@@ -1,0 +1,14 @@
+"""Analyzer registry (mirrors the reference's REGISTER_ANALYZER_* registry,
+/root/reference/core/analysis/analyzers.cpp) — name + options -> analyzer."""
+
+from iresearch_ray.analysis.tokenizers import (  # noqa: F401
+    Analyzer,
+    DelimiterAnalyzer,
+    NgramAnalyzer,
+    NormalizeAnalyzer,
+    PipelineAnalyzer,
+    RegexTokenizer,
+    StopwordsAnalyzer,
+    get_analyzer,
+    register_analyzer,
+)

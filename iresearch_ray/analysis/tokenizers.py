@@ -1,0 +1,254 @@
+"""Analyzers: text -> token stream, batch-vectorized.
+
+Brand-new implementations of the behaviors of the reference's analyzer
+family (/root/reference/core/analysis/*_token_stream.cpp):
+
+- ``RegexTokenizer``    ~ `segmentation_token_stream` (word split + case fold,
+  the analyzer the reference's own index benchmark uses —
+  scripts/index-benchmark.sh:18); deterministic, no ICU dependency.
+- ``DelimiterAnalyzer`` ~ `delimited_token_stream`.
+- ``NgramAnalyzer``     ~ `ngram_token_stream` (char n-grams [min,max],
+  optional preserve_original, start/end markers).
+- ``StopwordsAnalyzer`` ~ `token_stopwords_stream`.
+- ``NormalizeAnalyzer`` ~ `text_token_normalizing_stream` (case/accent fold,
+  single token out).
+- ``PipelineAnalyzer``  ~ `pipeline_token_stream` (composition).
+
+An analyzer instance is immutable; heavy setup happens in ``__init__`` so a
+Ray actor-pool stage constructs it once per worker (the reference pools
+analyzers per indexing thread — utils/index-put.cpp:536-543).
+
+The batch API is ``tokenize_batch(texts) -> (tokens, counts)`` where
+``tokens`` is one flat Python list over the whole batch and ``counts`` the
+per-doc token counts; positions are the per-doc token ordinals (derived
+vectorially by the caller).  Token emission order defines positions.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from typing import Callable, Iterable
+
+import numpy as np
+
+__all__ = [
+    "Analyzer",
+    "RegexTokenizer",
+    "DelimiterAnalyzer",
+    "NgramAnalyzer",
+    "StopwordsAnalyzer",
+    "NormalizeAnalyzer",
+    "PipelineAnalyzer",
+    "register_analyzer",
+    "get_analyzer",
+    "flatten_batch",
+]
+
+
+class Analyzer:
+    """Base: per-doc ``tokens(text)`` plus a batched entry point."""
+
+    name = "identity"
+
+    def tokens(self, text: str) -> list[str]:
+        raise NotImplementedError
+
+    def tokenize_batch(self, texts: Iterable[str]) -> tuple[list[str], np.ndarray]:
+        flat: list[str] = []
+        counts = np.empty(len(texts) if hasattr(texts, "__len__") else 0, dtype=np.int64)
+        if len(counts) == 0:
+            texts = list(texts)
+            counts = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = self.tokens(t)
+            counts[i] = len(toks)
+            flat.extend(toks)
+        return flat, counts
+
+    def config(self) -> dict:
+        """Stable config dict — hashed into segment lineage."""
+        return {"name": self.name}
+
+
+class RegexTokenizer(Analyzer):
+    """Word tokenizer: case-fold then emit regex word matches.
+
+    ``kind='unicode'`` uses ``\\w+`` (close to the reference `segmentation`
+    analyzer's alpha-word mode); ``kind='ascii'`` uses ``[a-z0-9]+`` over the
+    lowercased text — exactly reproducible in ANSI SQL
+    (``string_split_regex(lower(text), '[^a-z0-9]+')``), which the DuckDB
+    correctness oracle relies on.
+    """
+
+    def __init__(self, kind: str = "unicode", lowercase: bool = True):
+        if kind == "unicode":
+            self._pat = re.compile(r"\w+", re.UNICODE)
+        elif kind == "ascii":
+            self._pat = re.compile(r"[a-z0-9]+")
+        else:
+            raise ValueError(f"unknown RegexTokenizer kind: {kind}")
+        self.kind = kind
+        self.lowercase = lowercase
+        self.name = f"regex-{kind}"
+
+    def tokens(self, text: str) -> list[str]:
+        if self.lowercase:
+            text = text.lower()
+        return self._pat.findall(text)
+
+    def config(self) -> dict:
+        return {"name": self.name, "kind": self.kind, "lowercase": self.lowercase}
+
+
+class DelimiterAnalyzer(Analyzer):
+    """Split on a literal delimiter (reference delimited_token_stream)."""
+
+    def __init__(self, delimiter: str = ","):
+        self.delimiter = delimiter
+        self.name = "delimiter"
+
+    def tokens(self, text: str) -> list[str]:
+        if not text:
+            return []
+        return text.split(self.delimiter) if self.delimiter else [text]
+
+    def config(self) -> dict:
+        return {"name": self.name, "delimiter": self.delimiter}
+
+
+class NgramAnalyzer(Analyzer):
+    """Char n-grams in [min_gram, max_gram]; optional original passthrough.
+
+    Mirrors reference ngram_token_stream semantics: for each start offset,
+    emit grams of each length (only full-length grams unless at string end
+    behavior simplified: grams fully inside the string).
+    """
+
+    def __init__(self, min_gram: int = 2, max_gram: int = 3,
+                 preserve_original: bool = False, lowercase: bool = True):
+        if min_gram < 1 or max_gram < min_gram:
+            raise ValueError("bad ngram bounds")
+        self.min_gram, self.max_gram = min_gram, max_gram
+        self.preserve_original = preserve_original
+        self.lowercase = lowercase
+        self.name = "ngram"
+
+    def tokens(self, text: str) -> list[str]:
+        if self.lowercase:
+            text = text.lower()
+        out: list[str] = []
+        n = len(text)
+        for i in range(n):
+            for g in range(self.min_gram, self.max_gram + 1):
+                if i + g <= n:
+                    out.append(text[i:i + g])
+        if self.preserve_original and (n < self.min_gram or n > self.max_gram):
+            out.append(text)
+        return out
+
+    def config(self) -> dict:
+        return {"name": self.name, "min_gram": self.min_gram,
+                "max_gram": self.max_gram, "preserve_original": self.preserve_original}
+
+
+class StopwordsAnalyzer(Analyzer):
+    """Wrap another analyzer, dropping stopword tokens."""
+
+    def __init__(self, inner: Analyzer, stopwords: Iterable[str]):
+        self.inner = inner
+        self.stopwords = frozenset(stopwords)
+        self.name = "stopwords"
+
+    def tokens(self, text: str) -> list[str]:
+        sw = self.stopwords
+        return [t for t in self.inner.tokens(text) if t not in sw]
+
+    def config(self) -> dict:
+        return {"name": self.name, "inner": self.inner.config(),
+                "stopwords": sorted(self.stopwords)}
+
+
+class NormalizeAnalyzer(Analyzer):
+    """Whole-input normalization -> exactly one token (reference `norm`)."""
+
+    def __init__(self, lowercase: bool = True, strip_accents: bool = True):
+        self.lowercase = lowercase
+        self.strip_accents = strip_accents
+        self.name = "norm"
+
+    def tokens(self, text: str) -> list[str]:
+        if self.lowercase:
+            text = text.lower()
+        if self.strip_accents:
+            text = "".join(c for c in unicodedata.normalize("NFD", text)
+                           if not unicodedata.combining(c))
+        return [text]
+
+    def config(self) -> dict:
+        return {"name": self.name, "lowercase": self.lowercase,
+                "strip_accents": self.strip_accents}
+
+
+class PipelineAnalyzer(Analyzer):
+    """Chain: tokenizer then per-token analyzers (reference pipeline stream)."""
+
+    def __init__(self, stages: list[Analyzer]):
+        if not stages:
+            raise ValueError("empty pipeline")
+        self.stages = stages
+        self.name = "pipeline"
+
+    def tokens(self, text: str) -> list[str]:
+        toks = self.stages[0].tokens(text)
+        for stage in self.stages[1:]:
+            nxt: list[str] = []
+            for t in toks:
+                nxt.extend(stage.tokens(t))
+            toks = nxt
+        return toks
+
+    def config(self) -> dict:
+        return {"name": self.name, "stages": [s.config() for s in self.stages]}
+
+
+_REGISTRY: dict[str, Callable[..., Analyzer]] = {}
+
+
+def register_analyzer(name: str, factory: Callable[..., Analyzer]) -> None:
+    _REGISTRY[name] = factory
+
+
+def get_analyzer(name: str, **opts) -> Analyzer:
+    try:
+        return _REGISTRY[name](**opts)
+    except KeyError:
+        raise KeyError(f"unknown analyzer {name!r}; known: {sorted(_REGISTRY)}") from None
+
+
+register_analyzer("ascii", lambda **o: RegexTokenizer(kind="ascii", **o))
+register_analyzer("unicode", lambda **o: RegexTokenizer(kind="unicode", **o))
+register_analyzer("segmentation", lambda **o: RegexTokenizer(kind="unicode", **o))
+register_analyzer("delimiter", lambda **o: DelimiterAnalyzer(**o))
+register_analyzer("ngram", lambda **o: NgramAnalyzer(**o))
+register_analyzer("norm", lambda **o: NormalizeAnalyzer(**o))
+
+
+def flatten_batch(analyzer: Analyzer, texts: list[str]) -> dict[str, np.ndarray]:
+    """Tokenize a batch into flat postings-ready arrays.
+
+    Returns dict with:
+      - ``terms``:   object ndarray of token strings, one per occurrence
+      - ``doc_idx``: int64 ndarray, batch-local doc index per occurrence
+      - ``position``:int64 ndarray, token ordinal within its doc
+      - ``doc_len``: int64 ndarray per doc (len = n docs in batch)
+    """
+    flat, counts = analyzer.tokenize_batch(texts)
+    total = int(counts.sum())
+    doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    starts = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    position = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+    terms = np.empty(total, dtype=object)
+    terms[:] = flat
+    return {"terms": terms, "doc_idx": doc_idx, "position": position, "doc_len": counts}

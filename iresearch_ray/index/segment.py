@@ -1,0 +1,406 @@
+"""Immutable index segments: vectorized invert, Parquet artifacts, readers.
+
+A segment mirrors the reference's self-contained segment (term dictionary +
+postings + per-doc norms + docmap — see /root/reference/core/index/
+segment_writer.hpp and core/formats/formats_10.cpp) re-expressed as three
+Parquet/JSON artifacts:
+
+- ``terms.parquet``   term-sorted dictionary; per term: df, ttf, max_freq,
+  varint blobs (docs/freqs/positions) and per-128-block skip arrays
+  (last_doc, max_freq, byte offsets) for lists longer than one block.
+- ``docmap.parquet``  segment-local doc_id (1-based, dense, insertion order —
+  reference core/index/segment_writer.hpp:282) -> key (url) + doc_len.
+- ``segment.json``    stats + lineage + counters (resume / checkpoint unit).
+
+Inversion is whole-segment vectorized: one factorize + one lexsort over all
+token occurrences — the numpy equivalent of the reference's per-thread
+postings hash (core/index/postings.hpp:74-126), with terms flushed in byte
+order exactly like core/index/postings.cpp:36.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import tempfile
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from iresearch_ray import FORMAT_VERSION
+from iresearch_ray.index import codec
+
+TERMS_FILE = "terms.parquet"
+DOCMAP_FILE = "docmap.parquet"
+META_FILE = "segment.json"
+
+
+def _binary_array(blob: np.ndarray, byte_offsets: np.ndarray) -> pa.Array:
+    """Zero-copy large_binary array from one blob + per-row byte offsets."""
+    return pa.Array.from_buffers(
+        pa.large_binary(), len(byte_offsets) - 1,
+        [None, pa.py_buffer(np.ascontiguousarray(byte_offsets, dtype=np.int64)),
+         pa.py_buffer(np.ascontiguousarray(blob, dtype=np.uint8))])
+
+
+def _large_list_array(values: np.ndarray, offsets: np.ndarray) -> pa.Array:
+    """Zero-copy large_list<int64> from flat values + per-row value offsets."""
+    child = pa.array(np.ascontiguousarray(values, dtype=np.int64), type=pa.int64())
+    return pa.LargeListArray.from_arrays(
+        pa.array(np.ascontiguousarray(offsets, dtype=np.int64), type=pa.int64()), child)
+
+
+def analyzer_config_hash(config: dict) -> str:
+    return hashlib.sha256(json.dumps(config, sort_keys=True).encode()).hexdigest()[:16]
+
+
+@dataclass
+class SegmentWriter:
+    """Accumulates tokenized batches for ONE segment, then flushes artifacts.
+
+    Bounded like the reference's segment buffer (segment_memory_max,
+    index_writer.hpp:359-376): the caller sizes a segment via its input row
+    range; accumulation is flat int32/int64 arrays, ~20 bytes/token.
+    """
+
+    segment_id: str
+    analyzer_config: dict
+    lineage: dict = field(default_factory=dict)
+
+    def __post_init__(self):
+        self._term_chunks: list[np.ndarray] = []
+        self._doc_chunks: list[np.ndarray] = []
+        self._pos_chunks: list[np.ndarray] = []
+        self._doc_len_chunks: list[np.ndarray] = []
+        self._key_chunks: list = []
+        self._num_docs = 0
+
+    @property
+    def num_docs(self) -> int:
+        return self._num_docs
+
+    def add_batch(self, flat: dict, keys) -> None:
+        """Add one tokenized batch (from analysis.flatten_batch) + doc keys."""
+        n = len(flat["doc_len"])
+        # densely assign 1-based segment-local doc ids in insertion order
+        self._term_chunks.append(flat["terms"])
+        self._doc_chunks.append(flat["doc_idx"] + (self._num_docs + 1))
+        self._pos_chunks.append(flat["position"])
+        self._doc_len_chunks.append(flat["doc_len"])
+        self._key_chunks.append(np.asarray(keys))
+        self._num_docs += n
+
+    def flush(self, out_dir: str) -> dict:
+        """Invert + encode + atomically write artifacts; return segment meta."""
+        terms = (np.concatenate(self._term_chunks) if self._term_chunks
+                 else np.empty(0, dtype=object))
+        docs = (np.concatenate(self._doc_chunks) if self._doc_chunks
+                else np.empty(0, dtype=np.int64))
+        poss = (np.concatenate(self._pos_chunks) if self._pos_chunks
+                else np.empty(0, dtype=np.int64))
+        doc_lens = (np.concatenate(self._doc_len_chunks) if self._doc_len_chunks
+                    else np.empty(0, dtype=np.int64))
+        keys = (np.concatenate(self._key_chunks) if self._key_chunks
+                else np.empty(0, dtype=object))
+
+        table = invert_to_table(terms, docs, poss)
+        meta = {
+            "format_version": FORMAT_VERSION,
+            "segment_id": self.segment_id,
+            "num_docs": int(self._num_docs),
+            "sum_doc_len": int(doc_lens.sum()),
+            "num_terms": table.num_rows,
+            "analyzer": self.analyzer_config,
+            "analyzer_hash": analyzer_config_hash(self.analyzer_config),
+            "lineage": self.lineage,
+            "counters": {"docs_tokenized": int(self._num_docs),
+                         "tokens_emitted": int(len(terms))},
+        }
+        docmap = pa.table({
+            "doc_id": pa.array(np.arange(1, self._num_docs + 1, dtype=np.int64)),
+            "key": pa.array(keys.tolist(), type=pa.string()),
+            "doc_len": pa.array(doc_lens, type=pa.int64()),
+        })
+        write_segment_dir(out_dir, self.segment_id, table, docmap, meta)
+        return meta
+
+
+def invert_to_table(terms: np.ndarray, docs: np.ndarray, poss: np.ndarray) -> pa.Table:
+    """Build the term-dictionary table from flat (term, doc, position) rows.
+
+    One factorize + one stable sort; postings ordered by (term bytes, doc id,
+    position) — the doc-order invariant the reference enforces
+    (formats_10.cpp:823-828).
+    """
+    codes, uniques = pd.factorize(terms, sort=True)
+    n_terms = len(uniques)
+    order = np.lexsort((poss, docs, codes))
+    codes, docs, poss = codes[order], docs[order], poss[order]
+
+    # posting (term,doc) run boundaries
+    if len(codes):
+        new_posting = np.empty(len(codes), dtype=bool)
+        new_posting[0] = True
+        new_posting[1:] = (codes[1:] != codes[:-1]) | (docs[1:] != docs[:-1])
+        p_starts = np.flatnonzero(new_posting)
+        freqs = np.diff(np.r_[p_starts, len(codes)])
+        p_docs = docs[p_starts]
+        p_codes = codes[p_starts]
+        new_term = np.empty(len(p_codes), dtype=bool)
+        new_term[0] = True
+        new_term[1:] = p_codes[1:] != p_codes[:-1]
+        t_starts = np.flatnonzero(new_term)           # into posting arrays
+        df = np.diff(np.r_[t_starts, len(p_codes)])
+    else:
+        p_starts = np.empty(0, dtype=np.int64)
+        freqs = np.empty(0, dtype=np.int64)
+        p_docs = np.empty(0, dtype=np.int64)
+        t_starts = np.empty(0, dtype=np.int64)
+        df = np.empty(0, dtype=np.int64)
+
+    term_post_offs = np.r_[t_starts, len(p_docs)].astype(np.int64)   # len n_terms+1
+    ttf = np.add.reduceat(freqs, t_starts) if len(t_starts) else np.empty(0, dtype=np.int64)
+    max_freq = (codec.block_max_reduce(freqs, term_post_offs)
+                if len(freqs) else np.empty(0, dtype=np.int64))
+
+    # ---- per-term 128-posting block boundaries (in posting index space) ----
+    blocks_per_term = (df + codec.BLOCK - 1) // codec.BLOCK
+    blk_term = np.repeat(np.arange(n_terms, dtype=np.int64), blocks_per_term)
+    if len(blk_term):
+        blk_ord = np.arange(len(blk_term), dtype=np.int64)
+        blk_first = np.zeros(n_terms, dtype=np.int64)
+        np.cumsum(blocks_per_term[:-1], out=blk_first[1:])
+        blk_local = blk_ord - blk_first[blk_term]
+        blk_start = term_post_offs[blk_term] + blk_local * codec.BLOCK
+        blk_end = np.minimum(blk_start + codec.BLOCK, term_post_offs[blk_term + 1])
+    else:
+        blk_start = np.empty(0, dtype=np.int64)
+        blk_end = np.empty(0, dtype=np.int64)
+    blk_bounds = np.r_[blk_start, len(p_docs)].astype(np.int64)  # reduceat-style starts
+
+    # ---- encode doc deltas + freqs, offsets at both term and block grain ----
+    deltas = codec.delta_encode(p_docs, term_post_offs)
+    doc_nb = codec.varint_nbytes(deltas)
+    doc_cum = np.zeros(len(deltas) + 1, dtype=np.int64)
+    np.cumsum(doc_nb, out=doc_cum[1:])
+    doc_blob = codec.varint_encode(deltas)
+
+    freq_nb = codec.varint_nbytes(freqs)
+    freq_cum = np.zeros(len(freqs) + 1, dtype=np.int64)
+    np.cumsum(freq_nb, out=freq_cum[1:])
+    freq_blob = codec.varint_encode(freqs)
+
+    # ---- positions: delta per posting run; byte offsets per posting ----
+    posting_offs_in_tokens = np.r_[p_starts, len(codes)].astype(np.int64)
+    pos_deltas = codec.positions_delta_encode(poss, posting_offs_in_tokens)
+    pos_nb = codec.varint_nbytes(pos_deltas)
+    pos_cum = np.zeros(len(pos_deltas) + 1, dtype=np.int64)
+    np.cumsum(pos_nb, out=pos_cum[1:])
+    pos_blob = codec.varint_encode(pos_deltas)
+    # byte offset of each POSTING's position run; term/block offsets index this
+    posting_pos_off = pos_cum[posting_offs_in_tokens]
+
+    # ---- skip arrays, only for terms with >1 block ----
+    has_skip = blocks_per_term > 1
+    skip_counts = np.where(has_skip, blocks_per_term, 0)
+    skip_offs = np.zeros(n_terms + 1, dtype=np.int64)
+    np.cumsum(skip_counts, out=skip_offs[1:])
+    if len(blk_term):
+        keep = has_skip[blk_term]
+        k_start, k_end, k_term = blk_start[keep], blk_end[keep], blk_term[keep]
+        skip_last_doc = p_docs[k_end - 1]
+        skip_max_freq = np.maximum.reduceat(freqs, blk_bounds[:-1])[keep] if len(freqs) else k_start
+        # offsets relative to the term's own blob slice
+        skip_doc_off = doc_cum[k_start] - doc_cum[term_post_offs[k_term]]
+        skip_freq_off = freq_cum[k_start] - freq_cum[term_post_offs[k_term]]
+        skip_pos_off = posting_pos_off[k_start] - posting_pos_off[term_post_offs[k_term]]
+        # position-count offset so a block seek knows how many position values precede
+        freq_presum = np.zeros(len(freqs) + 1, dtype=np.int64)
+        np.cumsum(freqs, out=freq_presum[1:])
+        skip_pos_cnt = freq_presum[k_start] - freq_presum[term_post_offs[k_term]]
+    else:
+        skip_last_doc = skip_max_freq = skip_doc_off = skip_freq_off = skip_pos_off = skip_pos_cnt = np.empty(0, dtype=np.int64)
+
+    term_doc_offs = doc_cum[term_post_offs]
+    term_freq_offs = freq_cum[term_post_offs]
+    term_pos_offs = posting_pos_off  # per-posting; per-term via term_post_offs
+    term_pos_byte_offs = term_pos_offs[term_post_offs]
+
+    return pa.table({
+        "term": pa.array(uniques.tolist(), type=pa.string()),
+        "df": pa.array(df, type=pa.int64()),
+        "ttf": pa.array(ttf, type=pa.int64()),
+        "max_freq": pa.array(max_freq, type=pa.int64()),
+        "doc_blob": _binary_array(doc_blob, term_doc_offs),
+        "freq_blob": _binary_array(freq_blob, term_freq_offs),
+        "pos_blob": _binary_array(pos_blob, term_pos_byte_offs),
+        "skip_last_doc": _large_list_array(skip_last_doc, skip_offs),
+        "skip_max_freq": _large_list_array(skip_max_freq, skip_offs),
+        "skip_doc_off": _large_list_array(skip_doc_off, skip_offs),
+        "skip_freq_off": _large_list_array(skip_freq_off, skip_offs),
+        "skip_pos_off": _large_list_array(skip_pos_off, skip_offs),
+        "skip_pos_cnt": _large_list_array(skip_pos_cnt, skip_offs),
+    })
+
+
+def write_segment_dir(index_dir: str, segment_id: str, terms: pa.Table,
+                      docmap: pa.Table, meta: dict) -> str:
+    """Atomically write a segment directory (tmp + rename — the reference's
+    commit discipline, index_meta_writer formats_10.cpp:3518)."""
+    os.makedirs(index_dir, exist_ok=True)
+    final = os.path.join(index_dir, segment_id)
+    tmp = tempfile.mkdtemp(prefix=f".{segment_id}.", dir=index_dir)
+    try:
+        pq.write_table(terms, os.path.join(tmp, TERMS_FILE), compression="zstd")
+        pq.write_table(docmap, os.path.join(tmp, DOCMAP_FILE), compression="zstd")
+        with open(os.path.join(tmp, META_FILE), "w") as f:
+            json.dump(meta, f, indent=1)
+        if os.path.isdir(final):
+            # a concurrent/previous attempt won; keep it (idempotent resume)
+            import shutil
+            shutil.rmtree(tmp)
+        else:
+            os.replace(tmp, final)
+    except BaseException:
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    return final
+
+
+class SegmentReader:
+    """Lazy in-memory view of one segment's artifacts (query-side cache —
+    the analogue of reference segment_reader, core/index/segment_reader.cpp:257)."""
+
+    def __init__(self, seg_dir: str):
+        self.dir = seg_dir
+        with open(os.path.join(seg_dir, META_FILE)) as f:
+            self.meta = json.load(f)
+        self.segment_id = self.meta["segment_id"]
+        self.num_docs = self.meta["num_docs"]
+        self.sum_doc_len = self.meta["sum_doc_len"]
+        self._terms_tbl: pa.Table | None = None
+        self._terms_np: np.ndarray | None = None
+        self._doc_len: np.ndarray | None = None
+        self._keys: np.ndarray | None = None
+
+    # -- lazy loads ---------------------------------------------------------
+    @property
+    def terms_table(self) -> pa.Table:
+        if self._terms_tbl is None:
+            self._terms_tbl = pq.read_table(os.path.join(self.dir, TERMS_FILE))
+        return self._terms_tbl
+
+    @property
+    def terms(self) -> np.ndarray:
+        if self._terms_np is None:
+            self._terms_np = np.asarray(self.terms_table["term"].to_pylist(), dtype=object)
+        return self._terms_np
+
+    def _load_docmap(self):
+        t = pq.read_table(os.path.join(self.dir, DOCMAP_FILE))
+        self._doc_len = t["doc_len"].to_numpy()
+        self._keys = np.asarray(t["key"].to_pylist(), dtype=object)
+
+    @property
+    def doc_len(self) -> np.ndarray:
+        if self._doc_len is None:
+            self._load_docmap()
+        return self._doc_len
+
+    @property
+    def keys(self) -> np.ndarray:
+        if self._keys is None:
+            self._load_docmap()
+        return self._keys
+
+    # -- dictionary ---------------------------------------------------------
+    def lookup(self, term: str) -> int:
+        """Return row index of `term` or -1 (binary search, terms sorted)."""
+        t = self.terms
+        i = int(np.searchsorted(t, term))
+        if i < len(t) and t[i] == term:
+            return i
+        return -1
+
+    def term_range(self, lo: str | None, hi: str | None,
+                   include_lo=True, include_hi=False) -> tuple[int, int]:
+        """Row-index half-open range [i, j) of terms within [lo, hi]."""
+        t = self.terms
+        i = 0 if lo is None else int(np.searchsorted(t, lo, side="left" if include_lo else "right"))
+        j = len(t) if hi is None else int(np.searchsorted(t, hi, side="right" if include_hi else "left"))
+        return i, max(i, j)
+
+    def prefix_range(self, prefix: str) -> tuple[int, int]:
+        t = self.terms
+        i = int(np.searchsorted(t, prefix, side="left"))
+        j = int(np.searchsorted(t, prefix + "\U0010FFFF", side="right"))
+        return i, max(i, j)
+
+    def df(self, idx: int) -> int:
+        return int(self.terms_table["df"][idx].as_py())
+
+    def df_array(self) -> np.ndarray:
+        return self.terms_table["df"].to_numpy()
+
+    # -- postings -----------------------------------------------------------
+    def postings(self, idx: int, positions: bool = False):
+        """Decode term row `idx` -> (docs, freqs[, pos_runs, run_offsets])."""
+        tbl = self.terms_table
+        doc_blob = np.frombuffer(tbl["doc_blob"][idx].as_py(), dtype=np.uint8)
+        freq_blob = np.frombuffer(tbl["freq_blob"][idx].as_py(), dtype=np.uint8)
+        docs = codec.delta_decode(codec.varint_decode(doc_blob))
+        freqs = codec.varint_decode(freq_blob).astype(np.int64)
+        if not positions:
+            return docs, freqs
+        pos_blob = np.frombuffer(tbl["pos_blob"][idx].as_py(), dtype=np.uint8)
+        pos_deltas = codec.varint_decode(pos_blob).astype(np.int64)
+        run_offs = np.zeros(len(freqs) + 1, dtype=np.int64)
+        np.cumsum(freqs, out=run_offs[1:])
+        # per-run cumsum = global cumsum minus the sum preceding each run
+        glob = np.cumsum(pos_deltas)
+        prior = np.r_[0, glob][run_offs[:-1]]
+        pos = glob - np.repeat(prior, freqs)
+        return docs, freqs, pos, run_offs
+
+    def skips(self, idx: int) -> dict | None:
+        tbl = self.terms_table
+        last = tbl["skip_last_doc"][idx].as_py()
+        if not last:
+            return None
+        return {
+            "last_doc": np.asarray(last, dtype=np.int64),
+            "max_freq": np.asarray(tbl["skip_max_freq"][idx].as_py(), dtype=np.int64),
+            "doc_off": np.asarray(tbl["skip_doc_off"][idx].as_py(), dtype=np.int64),
+            "freq_off": np.asarray(tbl["skip_freq_off"][idx].as_py(), dtype=np.int64),
+            "pos_off": np.asarray(tbl["skip_pos_off"][idx].as_py(), dtype=np.int64),
+            "pos_cnt": np.asarray(tbl["skip_pos_cnt"][idx].as_py(), dtype=np.int64),
+        }
+
+    def decode_blocks(self, idx: int, block_mask: np.ndarray):
+        """Decode only the selected 128-posting blocks (WAND path)."""
+        sk = self.skips(idx)
+        tbl = self.terms_table
+        doc_blob = np.frombuffer(tbl["doc_blob"][idx].as_py(), dtype=np.uint8)
+        freq_blob = np.frombuffer(tbl["freq_blob"][idx].as_py(), dtype=np.uint8)
+        if sk is None:
+            docs = codec.delta_decode(codec.varint_decode(doc_blob))
+            return docs, codec.varint_decode(freq_blob).astype(np.int64)
+        n_blocks = len(sk["last_doc"])
+        doc_end = np.r_[sk["doc_off"][1:], len(doc_blob)]
+        freq_end = np.r_[sk["freq_off"][1:], len(freq_blob)]
+        out_docs, out_freqs = [], []
+        for b in np.flatnonzero(block_mask[:n_blocks]):
+            base = 0 if b == 0 else int(sk["last_doc"][b - 1])
+            d = codec.delta_decode(
+                codec.varint_decode(doc_blob[sk["doc_off"][b]:doc_end[b]]), base)
+            f = codec.varint_decode(freq_blob[sk["freq_off"][b]:freq_end[b]]).astype(np.int64)
+            out_docs.append(d)
+            out_freqs.append(f)
+        if not out_docs:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        return np.concatenate(out_docs), np.concatenate(out_freqs)

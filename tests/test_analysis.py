@@ -1,0 +1,74 @@
+"""Golden-token tests per analyzer (reference test strategy: golden token
+sequences, tests/analysis/*_tests.cpp)."""
+
+import numpy as np
+
+from iresearch_ray.analysis import (
+    DelimiterAnalyzer,
+    NgramAnalyzer,
+    NormalizeAnalyzer,
+    PipelineAnalyzer,
+    RegexTokenizer,
+    StopwordsAnalyzer,
+    get_analyzer,
+)
+from iresearch_ray.analysis.tokenizers import flatten_batch
+
+
+def test_ascii_tokenizer_golden():
+    a = get_analyzer("ascii")
+    assert a.tokens("The quick  brown-fox, 42!") == ["the", "quick", "brown", "fox", "42"]
+    assert a.tokens("") == []
+    assert a.tokens("...") == []
+    # non-ascii letters are separators in ascii mode
+    assert a.tokens("naïve café") == ["na", "ve", "caf"]
+
+
+def test_unicode_tokenizer_golden():
+    a = get_analyzer("unicode")
+    assert a.tokens("Naïve café!") == ["naïve", "café"]
+    assert a.tokens("a_b c") == ["a_b", "c"]
+
+
+def test_delimiter():
+    a = DelimiterAnalyzer(",")
+    assert a.tokens("a,b,,c") == ["a", "b", "", "c"]
+    assert a.tokens("") == []
+
+
+def test_ngram_golden():
+    a = NgramAnalyzer(min_gram=2, max_gram=3, lowercase=True)
+    assert a.tokens("AbCd") == ["ab", "abc", "bc", "bcd", "cd"]
+    ap = NgramAnalyzer(min_gram=2, max_gram=2, preserve_original=True)
+    assert ap.tokens("a") == ["a"]        # too short -> only original
+    assert ap.tokens("ab") == ["ab"]      # exact size, no duplicate original
+    assert ap.tokens("abc") == ["ab", "bc", "abc"]
+
+
+def test_stopwords_and_pipeline():
+    base = RegexTokenizer(kind="ascii")
+    sw = StopwordsAnalyzer(base, {"the", "a"})
+    assert sw.tokens("the cat a hat") == ["cat", "hat"]
+    pipe = PipelineAnalyzer([DelimiterAnalyzer(","), RegexTokenizer(kind="ascii")])
+    assert pipe.tokens("Foo Bar,Baz-9") == ["foo", "bar", "baz", "9"]
+
+
+def test_normalize():
+    n = NormalizeAnalyzer()
+    assert n.tokens("Crème BrÛlée") == ["creme brulee"]
+
+
+def test_flatten_batch_positions():
+    a = get_analyzer("ascii")
+    flat = flatten_batch(a, ["x y x", "", "z"])
+    assert list(flat["terms"]) == ["x", "y", "x", "z"]
+    assert list(flat["doc_idx"]) == [0, 0, 0, 2]
+    assert list(flat["position"]) == [0, 1, 2, 0]
+    assert list(flat["doc_len"]) == [3, 0, 1]
+
+
+def test_analyzer_config_stable():
+    a1 = get_analyzer("ascii")
+    a2 = get_analyzer("ascii")
+    assert a1.config() == a2.config()
+    assert np.array_equal(a1.tokens("a b"), a2.tokens("a b"))

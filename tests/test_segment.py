@@ -1,0 +1,105 @@
+"""Segment invert/flush/read round-trip vs the pure-Python oracle index."""
+
+import numpy as np
+import pytest
+
+from iresearch_ray.analysis import get_analyzer
+from iresearch_ray.analysis.tokenizers import flatten_batch
+from iresearch_ray.index.segment import SegmentReader, SegmentWriter
+from tests.oracle import OracleIndex
+
+
+def _zipf_texts(n_docs=300, seed=42):
+    rng = np.random.default_rng(seed)
+    vocab = np.array([f"w{i:04d}" for i in range(800)], dtype=object)
+    probs = 1.0 / np.arange(1, len(vocab) + 1) ** 1.1
+    probs /= probs.sum()
+    texts = []
+    for i in range(n_docs):
+        n = int(rng.integers(5, 200))
+        texts.append(" ".join(rng.choice(vocab, size=n, p=probs)))
+    return texts
+
+
+@pytest.fixture(scope="module")
+def built(tmp_path_factory):
+    idx_dir = str(tmp_path_factory.mktemp("seg"))
+    ana = get_analyzer("ascii")
+    texts = _zipf_texts()
+    oracle = OracleIndex(ana)
+    keys = [f"https://x/{i:06d}" for i in range(len(texts))]
+    for k, t in zip(keys, texts):
+        oracle.add(k, t)
+    w = SegmentWriter("seg-000", ana.config())
+    # feed in two batches to exercise doc-id continuation
+    mid = len(texts) // 3
+    for lo, hi in ((0, mid), (mid, len(texts))):
+        w.add_batch(flatten_batch(ana, texts[lo:hi]), keys[lo:hi])
+    meta = w.flush(idx_dir)
+    return idx_dir, meta, oracle
+
+
+def test_meta_and_docmap(built):
+    idx_dir, meta, oracle = built
+    r = SegmentReader(f"{idx_dir}/seg-000")
+    assert r.num_docs == oracle.num_docs
+    assert r.sum_doc_len == sum(oracle.doc_len)
+    assert meta["num_terms"] == len(oracle.postings)
+    assert np.array_equal(r.doc_len, np.array(oracle.doc_len))
+    assert list(r.keys[:3]) == oracle.keys[:3]
+
+
+def test_dictionary_sorted_and_complete(built):
+    idx_dir, _, oracle = built
+    r = SegmentReader(f"{idx_dir}/seg-000")
+    assert list(r.terms) == oracle.sorted_terms()
+    dfs = r.df_array()
+    for i, t in enumerate(r.terms):
+        assert dfs[i] == oracle.df(t)
+
+
+def test_postings_match_oracle_every_term(built):
+    idx_dir, _, oracle = built
+    r = SegmentReader(f"{idx_dir}/seg-000")
+    for i, t in enumerate(r.terms):
+        docs, freqs, pos, run_offs = r.postings(i, positions=True)
+        exp = oracle.postings[t]
+        assert list(docs) == [d for d, _, _ in exp], t
+        assert list(freqs) == [f for _, f, _ in exp], t
+        exp_pos = [p for _, _, ps in exp for p in ps]
+        assert list(pos) == exp_pos, t
+        assert (np.diff(docs) > 0).all()
+
+
+def test_skip_blocks_decode(built):
+    idx_dir, _, oracle = built
+    r = SegmentReader(f"{idx_dir}/seg-000")
+    # pick the highest-df term — should exceed one block (300 docs, zipf head)
+    dfs = r.df_array()
+    i = int(dfs.argmax())
+    assert dfs[i] > 128, "fixture should produce a multi-block term"
+    sk = r.skips(i)
+    assert sk is not None
+    full_docs, full_freqs = r.postings(i)
+    n_blocks = len(sk["last_doc"])
+    # decode every single block alone and compare slices
+    for b in range(n_blocks):
+        mask = np.zeros(n_blocks, dtype=bool)
+        mask[b] = True
+        d, f = r.decode_blocks(i, mask)
+        lo, hi = b * 128, min((b + 1) * 128, len(full_docs))
+        assert np.array_equal(d, full_docs[lo:hi])
+        assert np.array_equal(f, full_freqs[lo:hi])
+        assert sk["last_doc"][b] == full_docs[hi - 1]
+        assert sk["max_freq"][b] == full_freqs[lo:hi].max()
+
+
+def test_lookup_and_ranges(built):
+    idx_dir, _, oracle = built
+    r = SegmentReader(f"{idx_dir}/seg-000")
+    assert r.lookup("w0000") == 0
+    assert r.lookup("zzz-missing") == -1
+    lo, hi = r.prefix_range("w00")
+    assert [t for t in r.terms[lo:hi]] == [t for t in oracle.sorted_terms() if t.startswith("w00")]
+    lo, hi = r.term_range("w0010", "w0020")
+    assert all("w0010" <= t < "w0020" for t in r.terms[lo:hi])
