@@ -1,0 +1,237 @@
+"""Distributed index build: Ray Data pipeline over deterministic row ranges.
+
+Execution model (Ray-Data-first, mirroring the reference's parallelism):
+the reference gives each indexer thread a private ``segment_writer`` and
+never shuffles postings across threads (utils/index-put.cpp:536-560,
+core/index/index_writer.hpp:131-161) — segments are merged later and query
+``prepare`` sums stats across segments.  We keep exactly that shape at
+cluster scale:
+
+1.  The driver plans **segment specs** from Parquet footers only (file,
+    row-group range, row counts) — deterministic, metadata-cheap, and the
+    unit of checkpoint/resume.  Doc ids derive from the spec, never from
+    task scheduling.
+2.  ``ray.data.from_items(specs).map_batches(BuildSegmentTask, ...)`` runs
+    one task per segment: it streams ONLY its row groups (column-pruned to
+    key+text), tokenizes with an analyzer built once per actor, inverts in
+    vectorized numpy, and atomically writes the segment directory.
+    There is **no all-to-all shuffle in the build** — the term-keyed
+    shuffle exists only in the (cheap, pre-aggregated) global term-stats
+    job (`term_stats_dataset`) and in segment merges (merge.py), both of
+    which operate on per-segment aggregates, not raw postings.
+3.  The driver commits an index manifest generation listing all segments.
+
+Resume: a spec whose segment directory already holds a ``segment.json``
+with the same lineage hash is skipped (counter ``docs_tokenized`` proves
+no re-tokenization — FIXTURES.md F6).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from iresearch_ray.analysis import get_analyzer
+from iresearch_ray.analysis.tokenizers import flatten_batch
+from iresearch_ray.index import manifest as manifest_mod
+from iresearch_ray.index.segment import META_FILE, SegmentWriter, analyzer_config_hash
+
+DEFAULT_TARGET_DOCS = 50_000
+TOKENIZE_BATCH_ROWS = 4096
+
+
+def _list_parquet(paths) -> list[str]:
+    if isinstance(paths, str):
+        paths = [paths]
+    files: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            files.extend(sorted(
+                os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet")))
+        else:
+            files.append(p)
+    return sorted(files)
+
+
+def plan_segments(paths, target_docs: int = DEFAULT_TARGET_DOCS) -> list[dict]:
+    """Deterministic segment specs from Parquet footers (metadata only).
+
+    Row groups of one file are packed greedily up to ``target_docs`` rows;
+    a segment never spans files (keeps lineage trivial and reads local).
+    """
+    specs: list[dict] = []
+    for path in _list_parquet(paths):
+        md = pq.ParquetFile(path).metadata
+        rg_rows = [md.row_group(i).num_rows for i in range(md.num_row_groups)]
+        cur: list[int] = []
+        cur_rows = 0
+        row_start = 0
+        for i, n in enumerate(rg_rows):
+            if cur and cur_rows + n > target_docs:
+                specs.append({"file": path, "row_groups": cur, "row_start": row_start,
+                              "num_rows": cur_rows})
+                row_start += cur_rows
+                cur, cur_rows = [], 0
+            cur.append(i)
+            cur_rows += n
+        if cur:
+            specs.append({"file": path, "row_groups": cur, "row_start": row_start,
+                          "num_rows": cur_rows})
+    for ord_, s in enumerate(specs):
+        s["segment_ord"] = ord_
+        s["segment_id"] = f"seg-{ord_:05d}"
+    return specs
+
+
+def _lineage(spec: dict, analyzer_cfg: dict, text_column: str, key_column: str) -> dict:
+    lin = {
+        "file": os.path.basename(str(spec["file"])),
+        "row_groups": [int(g) for g in spec["row_groups"]],
+        "row_start": int(spec["row_start"]),
+        "num_rows": int(spec["num_rows"]),
+        "text_column": text_column,
+        "key_column": key_column,
+        "analyzer_hash": analyzer_config_hash(analyzer_cfg),
+    }
+    lin["hash"] = hashlib.sha256(
+        json.dumps(lin, sort_keys=True).encode()).hexdigest()[:16]
+    return lin
+
+
+def _segment_done(index_dir: str, segment_id: str, lineage_hash: str) -> bool:
+    meta_path = os.path.join(index_dir, segment_id, META_FILE)
+    try:
+        with open(meta_path) as f:
+            meta = json.load(f)
+        return meta.get("lineage", {}).get("hash") == lineage_hash
+    except (OSError, ValueError):
+        return False
+
+
+class BuildSegmentTask:
+    """Actor-pool callable: one input batch row = one segment spec.
+
+    Analyzer construction happens once per actor (``__init__``), the
+    reference's per-thread analyzer pooling (utils/index-put.cpp:536-543).
+    """
+
+    def __init__(self, index_dir: str, analyzer_name: str, analyzer_opts: dict,
+                 text_column: str, key_column: str):
+        self.index_dir = index_dir
+        self.analyzer = get_analyzer(analyzer_name, **analyzer_opts)
+        self.text_column = text_column
+        self.key_column = key_column
+
+    def __call__(self, batch: dict) -> dict:
+        out = {"segment_id": [], "num_docs": [], "sum_doc_len": [], "num_terms": [],
+               "tokens": [], "skipped": [], "wall_s": []}
+        n = len(batch["segment_id"])
+        for i in range(n):
+            spec = {k: (v[i].tolist() if isinstance(v[i], np.ndarray) else v[i])
+                    for k, v in batch.items()}
+            meta = self.build_one(spec)
+            out["segment_id"].append(meta["segment_id"])
+            out["num_docs"].append(meta["num_docs"])
+            out["sum_doc_len"].append(meta["sum_doc_len"])
+            out["num_terms"].append(meta["num_terms"])
+            out["tokens"].append(meta["counters"]["tokens_emitted"])
+            out["skipped"].append(meta.get("_skipped", False))
+            out["wall_s"].append(meta.get("_wall_s", 0.0))
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    def build_one(self, spec: dict) -> dict:
+        t0 = time.monotonic()
+        lineage = _lineage(spec, self.analyzer.config(), self.text_column, self.key_column)
+        seg_dir = os.path.join(self.index_dir, spec["segment_id"])
+        if _segment_done(self.index_dir, spec["segment_id"], lineage["hash"]):
+            with open(os.path.join(seg_dir, META_FILE)) as f:
+                meta = json.load(f)
+            meta["_skipped"] = True
+            meta["_wall_s"] = 0.0
+            return meta
+        pf = pq.ParquetFile(spec["file"])
+        writer = SegmentWriter(spec["segment_id"], self.analyzer.config(), lineage)
+        for rb in pf.iter_batches(batch_size=TOKENIZE_BATCH_ROWS,
+                                  row_groups=list(spec["row_groups"]),
+                                  columns=[self.key_column, self.text_column]):
+            texts = rb.column(self.text_column).to_pylist()
+            keys = rb.column(self.key_column).to_pylist()
+            writer.add_batch(flatten_batch(self.analyzer, texts), keys)
+        meta = writer.flush(self.index_dir)
+        meta["_skipped"] = False
+        meta["_wall_s"] = time.monotonic() - t0
+        return meta
+
+
+def build_index(paths, index_dir: str, analyzer: str = "unicode",
+                analyzer_opts: dict | None = None, text_column: str = "text",
+                key_column: str = "url", target_docs: int = DEFAULT_TARGET_DOCS,
+                concurrency: int | None = None, commit: bool = True) -> dict:
+    """Build (or resume) an index over Parquet inputs; returns the manifest.
+
+    Returns manifest dict; ``manifest['build_stats']`` carries per-segment
+    counters including how many segments were skipped by resume.
+    """
+    import ray
+    import ray.data
+
+    analyzer_opts = analyzer_opts or {}
+    specs = plan_segments(paths, target_docs)
+    if not specs:
+        raise ValueError(f"no parquet inputs under {paths!r}")
+    os.makedirs(index_dir, exist_ok=True)
+
+    ds = ray.data.from_items(specs)
+    if concurrency is None:
+        concurrency = max(1, min(len(specs), int(ray.cluster_resources().get("CPU", 4))))
+    stats_ds = ds.map_batches(
+        BuildSegmentTask,
+        fn_constructor_kwargs=dict(index_dir=index_dir, analyzer_name=analyzer,
+                                   analyzer_opts=analyzer_opts,
+                                   text_column=text_column, key_column=key_column),
+        batch_size=1, concurrency=min(concurrency, len(specs)), num_cpus=1,
+        batch_format="numpy")
+    rows = stats_ds.take_all()  # one small row per segment
+    rows.sort(key=lambda r: r["segment_id"])
+
+    segments = []
+    for r in rows:
+        seg_dir = os.path.join(index_dir, str(r["segment_id"]))
+        with open(os.path.join(seg_dir, META_FILE)) as f:
+            meta = json.load(f)
+        segments.append({"segment_id": meta["segment_id"], "num_docs": meta["num_docs"],
+                         "sum_doc_len": meta["sum_doc_len"], "num_terms": meta["num_terms"]})
+    build_stats = {
+        "segments_built": int(sum(1 for r in rows if not r["skipped"])),
+        "segments_skipped": int(sum(1 for r in rows if r["skipped"])),
+        "docs": int(sum(r["num_docs"] for r in rows)),
+        "tokens": int(sum(r["tokens"] for r in rows)),
+    }
+    if commit:
+        return manifest_mod.commit(index_dir, segments, extra={"build_stats": build_stats})
+    return {"segments": segments, "build_stats": build_stats}
+
+
+def term_stats_dataset(index_dir: str, generation: int | None = None):
+    """Global term -> (df, ttf) as a Ray Dataset — THE term-keyed shuffle.
+
+    Skew-safe by construction: the shuffle input is per-segment dictionary
+    rows (term, df, ttf) — already one row per term per segment (a maximal
+    combiner), so a head term contributes #segments rows, not #postings.
+    This is the pre-aggregate-before-groupby pattern; no salting is needed
+    because per-key volume is bounded by the segment count.
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    man = manifest_mod.load(index_dir, generation)
+    files = [os.path.join(index_dir, s["segment_id"], "terms.parquet")
+             for s in man["segments"]]
+    ds = ray.data.read_parquet(files, columns=["term", "df", "ttf"])
+    return ds.groupby("term").aggregate(Sum("df", alias_name="df"),
+                                        Sum("ttf", alias_name="ttf"))

@@ -113,6 +113,7 @@ class SegmentWriter:
             "segment_id": self.segment_id,
             "num_docs": int(self._num_docs),
             "sum_doc_len": int(doc_lens.sum()),
+            "max_doc_len": int(doc_lens.max()) if len(doc_lens) else 0,
             "num_terms": table.num_rows,
             "analyzer": self.analyzer_config,
             "analyzer_hash": analyzer_config_hash(self.analyzer_config),
@@ -283,6 +284,7 @@ class SegmentReader:
         self.segment_id = self.meta["segment_id"]
         self.num_docs = self.meta["num_docs"]
         self.sum_doc_len = self.meta["sum_doc_len"]
+        self.max_doc_len = self.meta.get("max_doc_len", 1 << 30)
         self._terms_tbl: pa.Table | None = None
         self._terms_np: np.ndarray | None = None
         self._doc_len: np.ndarray | None = None

@@ -1,0 +1,167 @@
+"""Index reader + top-k search execution (driver-local and Ray-distributed).
+
+Mirrors the reference flow (utils/index-search.cpp:628-748): prepare a
+filter against the whole index, execute per segment, maintain a bounded
+top-k with a score threshold that WAND-capable iterators use to skip
+posting blocks (ExecutionMode::kTop / `wanderator`,
+core/formats/formats_10.cpp:2235-2564).  ``mode='all'`` is the
+rank-identity ground truth; ``mode='top'`` prunes 128-posting blocks whose
+best-case score (block max_freq at the most favorable doc length) cannot
+beat the current k-th score — a conservative freq-monotone bound like the
+reference's (formats_10.cpp:2369-2391).
+
+Deterministic global doc order: ``global_doc = segment_base + local_doc``;
+ties in score break by ascending global doc (the arrival order of the
+reference's sequential segment scan).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from iresearch_ray.index import manifest as manifest_mod
+from iresearch_ray.index.segment import SegmentReader
+from iresearch_ray.search.filters import _PreparedTerm
+from iresearch_ray.search.scorers import BM25, FieldStats
+
+
+@dataclass
+class SegmentView:
+    reader: SegmentReader
+    base: int  # global doc id offset (global = base + local)
+
+    @property
+    def id(self) -> str:
+        return self.reader.segment_id
+
+    @property
+    def tiny(self) -> bool:
+        """Norms fit one byte -> reference Norm2Tiny scoring path."""
+        return self.reader.max_doc_len < 256
+
+
+class IndexReader:
+    """MVCC snapshot over the latest (or given) manifest generation
+    (reference directory_reader, core/index/directory_reader.cpp:219)."""
+
+    def __init__(self, index_dir: str, generation: int | None = None):
+        self.index_dir = index_dir
+        self.manifest = manifest_mod.load(index_dir, generation)
+        self.segments: list[SegmentView] = []
+        base = 0
+        for s in self.manifest["segments"]:
+            r = SegmentReader(os.path.join(index_dir, s["segment_id"]))
+            self.segments.append(SegmentView(r, base))
+            base += r.num_docs
+        self.stats = FieldStats(docs_with_field=self.manifest["num_docs"],
+                                total_tokens=self.manifest["sum_doc_len"])
+
+    @property
+    def num_docs(self) -> int:
+        return self.manifest["num_docs"]
+
+    def df(self, term: str) -> int:
+        total = 0
+        for seg in self.segments:
+            i = seg.reader.lookup(term)
+            if i >= 0:
+                total += int(seg.reader.df_array()[i])
+        return total
+
+    def key_of(self, global_doc: int) -> str:
+        for seg in self.segments:
+            if seg.base < global_doc <= seg.base + seg.reader.num_docs:
+                return seg.reader.keys[global_doc - seg.base - 1]
+        raise KeyError(global_doc)
+
+
+class IndexSearcher:
+    def __init__(self, reader: IndexReader, scorer=None):
+        self.reader = reader
+        self.scorer = scorer or BM25()
+
+    def execute(self, flt) -> list[tuple[SegmentView, np.ndarray, np.ndarray]]:
+        """All matches per segment (local docs, scores) — test/CheckQuery API."""
+        prep = flt.prepare(self.reader, self.scorer)
+        return [(seg, *prep.execute(seg)) for seg in self.reader.segments]
+
+    def search(self, flt, k: int = 10, mode: str = "all") -> pd.DataFrame:
+        """Top-k over all segments -> DataFrame(doc, key, score), sorted by
+        (-score, doc)."""
+        prep = flt.prepare(self.reader, self.scorer)
+        cand_docs: list[np.ndarray] = []
+        cand_scores: list[np.ndarray] = []
+        threshold = -np.inf
+        for seg in self.reader.segments:
+            if mode == "top" and isinstance(prep, _PreparedTerm):
+                docs, scores = _wand_term(prep, seg, k, threshold)
+            else:
+                docs, scores = prep.execute(seg)
+            if not len(docs):
+                continue
+            if len(docs) > k:  # per-segment pre-trim
+                top = np.argpartition(scores, len(scores) - k)[len(scores) - k:]
+                top = top[np.lexsort((docs[top], -scores[top]))]
+                docs, scores = docs[top], scores[top]
+            cand_docs.append(docs + seg.base)
+            cand_scores.append(scores)
+            all_s = np.concatenate(cand_scores)
+            if len(all_s) >= k:
+                threshold = float(np.partition(all_s, len(all_s) - k)[len(all_s) - k])
+        if not cand_docs:
+            return pd.DataFrame({"doc": np.empty(0, dtype=np.int64),
+                                 "key": pd.Series([], dtype=object),
+                                 "score": np.empty(0, dtype=np.float64)})
+        docs = np.concatenate(cand_docs)
+        scores = np.concatenate(cand_scores)
+        order = np.lexsort((docs, -scores))[:k]
+        docs, scores = docs[order], scores[order]
+        keys = [self.reader.key_of(int(d)) for d in docs]
+        return pd.DataFrame({"doc": docs, "key": keys,
+                             "score": scores.astype(np.float64)})
+
+
+def _wand_term(prep: _PreparedTerm, seg: SegmentView, k: int,
+               threshold: float) -> tuple[np.ndarray, np.ndarray]:
+    """Block-max pruning for a single-term top-k (reference wanderator)."""
+    i = prep.idx_by_seg.get(seg.id, -1)
+    dtype = prep.sp.dtype
+    if i < 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=dtype)
+    sk = seg.reader.skips(i)
+    if sk is None:  # short list: decode fully (reference enables WAND only
+        # for lists longer than one block, formats_10.cpp:2355-2357)
+        docs, freqs = seg.reader.postings(i)
+        docs = docs.astype(np.int64, copy=False)
+        return docs, prep.sp.score(freqs, seg.reader.doc_len[docs - 1], seg.tiny)
+    # best-case upper bound per block: max_freq at the most favorable length
+    ub = prep.sp.score(sk["max_freq"], np.zeros(len(sk["max_freq"]), dtype=np.int64),
+                       seg.tiny)
+    out_docs: list[np.ndarray] = []
+    out_scores: list[np.ndarray] = []
+    kept = 0
+    for b in np.argsort(-ub, kind="stable"):  # best blocks first -> tight threshold early
+        if kept >= k and ub[b] <= threshold:
+            continue
+        mask = np.zeros(len(ub), dtype=bool)
+        mask[b] = True
+        docs, freqs = seg.reader.decode_blocks(i, mask)
+        docs = docs.astype(np.int64, copy=False)
+        scores = prep.sp.score(freqs, seg.reader.doc_len[docs - 1], seg.tiny)
+        out_docs.append(docs)
+        out_scores.append(scores)
+        kept += len(docs)
+        if kept >= k:
+            all_s = np.concatenate(out_scores)
+            threshold = max(threshold,
+                            float(np.partition(all_s, len(all_s) - k)[len(all_s) - k]))
+    if not out_docs:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=dtype)
+    docs = np.concatenate(out_docs)
+    scores = np.concatenate(out_scores)
+    order = np.argsort(docs, kind="stable")
+    return docs[order], scores[order]

@@ -1,0 +1,383 @@
+"""Filter tree: prepare (collect global stats) then per-segment execute.
+
+Same two-phase shape as the reference (core/search/filter.hpp:52-139): a
+filter ``prepare``s against the WHOLE index — summing df / field stats over
+segments exactly like `field_collector` / `term_collector`
+(core/search/bm25.cpp:209-256) — then ``execute``s per segment, producing
+(sorted local doc ids, scores).  All per-segment math is vectorized numpy
+over decoded posting arrays.
+
+Composition semantics:
+- And:     intersection, child scores summed (conjunction.hpp:97-260)
+- Or:      union with ``min_match`` (disjunction.hpp:590,868;
+           min_match_disjunction.hpp:43), scores summed over matched children
+- Not:     positive minus negative matches (boolean_filter.cpp:599)
+- Phrase:  exact positional adjacency; the phrase frequency is the scored
+           tf and per-term idfs are summed into one stats buffer, as the
+           reference collects per-position terms into one stats
+           (phrase_query.cpp)
+- Prefix / Range / Wildcard / Fuzzy: dictionary expansion; each matched
+  term scored with its own global df; ``scored_terms_limit`` keeps only the
+  N highest-df terms scored (reference limited_sample_collector.hpp:48-258)
+  while the rest still match with zero score contribution.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import numpy as np
+
+from iresearch_ray.search import automaton
+from iresearch_ray.search.scorers import FieldStats
+
+
+def _empty(dtype):
+    return np.empty(0, dtype=np.int64), np.empty(0, dtype=dtype)
+
+
+def union_sum(docs_list, scores_list, counts_needed=False, dtype=np.float32):
+    """Union posting arrays, summing scores per doc (stable child order)."""
+    docs_list = [d for d in docs_list if len(d)]
+    if not docs_list:
+        out = _empty(dtype)
+        return (*out, np.empty(0, dtype=np.int64)) if counts_needed else out
+    docs = np.concatenate(docs_list)
+    scores = np.concatenate([s for s in scores_list if len(s)]).astype(dtype, copy=False)
+    order = np.argsort(docs, kind="stable")
+    docs, scores = docs[order], scores[order]
+    new = np.empty(len(docs), dtype=bool)
+    new[0] = True
+    new[1:] = docs[1:] != docs[:-1]
+    starts = np.flatnonzero(new)
+    u_docs = docs[starts]
+    u_scores = np.add.reduceat(scores, starts).astype(dtype, copy=False)
+    if counts_needed:
+        counts = np.diff(np.r_[starts, len(docs)])
+        return u_docs, u_scores, counts
+    return u_docs, u_scores
+
+
+class Filter:
+    boost: float = 1.0
+
+    def prepare(self, reader, scorer) -> "Prepared":
+        raise NotImplementedError
+
+
+class Prepared:
+    def execute(self, seg) -> tuple[np.ndarray, np.ndarray]:
+        raise NotImplementedError
+
+
+# ---------------------------------------------------------------- term ----
+class TermFilter(Filter):
+    """Exact term match (reference by_term, core/search/term_filter.cpp)."""
+
+    def __init__(self, term: str, boost: float = 1.0):
+        self.term, self.boost = term, boost
+
+    def prepare(self, reader, scorer):
+        idxs = [seg.reader.lookup(self.term) for seg in reader.segments]
+        df = sum(int(seg.reader.df_array()[i])
+                 for seg, i in zip(reader.segments, idxs) if i >= 0)
+        prep = scorer.prepare(reader.stats, df, self.boost)
+        return _PreparedTerm(dict(zip((s.id for s in reader.segments), idxs)), prep)
+
+
+class _PreparedTerm(Prepared):
+    def __init__(self, idx_by_seg, scorer_prep):
+        self.idx_by_seg = idx_by_seg
+        self.sp = scorer_prep
+
+    def execute(self, seg):
+        i = self.idx_by_seg.get(seg.id, -1)
+        if i < 0:
+            return _empty(self.sp.dtype)
+        docs, freqs = seg.reader.postings(i)
+        docs = docs.astype(np.int64, copy=False)
+        scores = self.sp.score(freqs, seg.reader.doc_len[docs - 1], seg.tiny)
+        return docs, scores
+
+
+# ---------------------------------------------------- explicit term set ----
+class TermsFilter(Filter):
+    """Disjunction over an explicit term set with per-term boosts
+    (reference by_terms, core/search/terms_filter.cpp:170)."""
+
+    def __init__(self, terms, boosts=None, boost: float = 1.0):
+        self.terms = list(terms)
+        self.boosts = list(boosts) if boosts else [1.0] * len(self.terms)
+        self.boost = boost
+
+    def prepare(self, reader, scorer):
+        children = [TermFilter(t, b * self.boost).prepare(reader, scorer)
+                    for t, b in zip(self.terms, self.boosts)]
+        return _PreparedUnion(children, 1, scorer.dtype)
+
+
+class _PreparedUnion(Prepared):
+    def __init__(self, children, min_match, dtype):
+        self.children = children
+        self.min_match = min_match
+        self.dtype = dtype
+
+    def execute(self, seg):
+        res = [c.execute(seg) for c in self.children]
+        docs, scores, counts = union_sum([r[0] for r in res], [r[1] for r in res],
+                                         counts_needed=True, dtype=self.dtype)
+        if self.min_match > 1:
+            keep = counts >= self.min_match
+            return docs[keep], scores[keep]
+        return docs, scores
+
+
+# ------------------------------------------------------------- boolean ----
+class AndFilter(Filter):
+    """Conjunction; child scores summed (reference And, conjunction.hpp)."""
+
+    def __init__(self, children, boost: float = 1.0):
+        self.children = list(children)
+        self.boost = boost
+
+    def prepare(self, reader, scorer):
+        return _PreparedAnd([c.prepare(reader, scorer) for c in self.children],
+                            scorer.dtype)
+
+
+class _PreparedAnd(Prepared):
+    def __init__(self, children, dtype):
+        self.children = children
+        self.dtype = dtype
+
+    def execute(self, seg):
+        res = [c.execute(seg) for c in self.children]
+        common = None
+        for docs, _ in res:
+            common = docs if common is None else common[np.isin(common, docs, assume_unique=True)]
+            if len(common) == 0:
+                return _empty(self.dtype)
+        total = np.zeros(len(common), dtype=self.dtype)
+        for docs, scores in res:
+            pos = np.searchsorted(docs, common)
+            total = total + scores[pos].astype(self.dtype, copy=False)
+        return common, total
+
+
+class OrFilter(Filter):
+    """Disjunction with optional min_match (reference Or(min_match_count))."""
+
+    def __init__(self, children, min_match: int = 1, boost: float = 1.0):
+        self.children = list(children)
+        self.min_match = min_match
+        self.boost = boost
+
+    def prepare(self, reader, scorer):
+        return _PreparedUnion([c.prepare(reader, scorer) for c in self.children],
+                              self.min_match, scorer.dtype)
+
+
+class NotFilter(Filter):
+    """positive AND NOT negative (reference exclusion / Not)."""
+
+    def __init__(self, positive: Filter, negative: Filter, boost: float = 1.0):
+        self.positive, self.negative = positive, negative
+        self.boost = boost
+
+    def prepare(self, reader, scorer):
+        return _PreparedNot(self.positive.prepare(reader, scorer),
+                            self.negative.prepare(reader, scorer), scorer.dtype)
+
+
+class _PreparedNot(Prepared):
+    def __init__(self, pos, neg, dtype):
+        self.pos, self.neg, self.dtype = pos, neg, dtype
+
+    def execute(self, seg):
+        docs, scores = self.pos.execute(seg)
+        if not len(docs):
+            return _empty(self.dtype)
+        ndocs, _ = self.neg.execute(seg)
+        keep = ~np.isin(docs, ndocs, assume_unique=True)
+        return docs[keep], scores[keep]
+
+
+class AllFilter(Filter):
+    """Match-all, constant boost score (reference all_filter.cpp)."""
+
+    def __init__(self, boost: float = 1.0):
+        self.boost = boost
+
+    def prepare(self, reader, scorer):
+        return _PreparedAll(self.boost, scorer.dtype)
+
+
+class _PreparedAll(Prepared):
+    def __init__(self, boost, dtype):
+        self.boost, self.dtype = boost, dtype
+
+    def execute(self, seg):
+        docs = np.arange(1, seg.reader.num_docs + 1, dtype=np.int64)
+        return docs, np.full(len(docs), self.dtype(self.boost), dtype=self.dtype)
+
+
+# -------------------------------------------------------------- phrase ----
+class PhraseFilter(Filter):
+    """Exact positional phrase over consecutive tokens (reference by_phrase,
+    fixed-term flavor, core/search/phrase_filter.hpp:42-148)."""
+
+    def __init__(self, terms, boost: float = 1.0):
+        if not terms:
+            raise ValueError("empty phrase")
+        self.terms = list(terms)
+        self.boost = boost
+
+    def prepare(self, reader, scorer):
+        idf_sum = 0.0
+        idx_maps = []
+        for t in self.terms:
+            idxs = {seg.id: seg.reader.lookup(t) for seg in reader.segments}
+            df = sum(int(seg.reader.df_array()[i])
+                     for seg, i in ((s, idxs[s.id]) for s in reader.segments) if i >= 0)
+            idf_sum += scorer.idf(reader.stats.docs_with_field, df)
+            idx_maps.append(idxs)
+        prep = scorer.prepare(reader.stats, df=0, boost=self.boost,
+                              idf_override=idf_sum)
+        return _PreparedPhrase(idx_maps, prep)
+
+
+class _PreparedPhrase(Prepared):
+    def __init__(self, idx_maps, scorer_prep):
+        self.idx_maps = idx_maps
+        self.sp = scorer_prep
+
+    def execute(self, seg):
+        keys = None  # encoded (doc << 32) | aligned_start_position
+        for i, idxs in enumerate(self.idx_maps):
+            ti = idxs.get(seg.id, -1)
+            if ti < 0:
+                return _empty(self.sp.dtype)
+            docs, freqs, pos, run_offs = seg.reader.postings(ti, positions=True)
+            doc_per_occ = np.repeat(docs.astype(np.int64), freqs)
+            aligned = pos - i
+            ok = aligned >= 0
+            k = (doc_per_occ[ok] << np.int64(32)) | aligned[ok]
+            keys = k if keys is None else keys[np.isin(keys, k, assume_unique=True)]
+            if keys is None or len(keys) == 0:
+                return _empty(self.sp.dtype)
+        match_docs = (keys >> np.int64(32))
+        u_docs, phrase_freq = np.unique(match_docs, return_counts=True)
+        scores = self.sp.score(phrase_freq, seg.reader.doc_len[u_docs - 1], seg.tiny)
+        return u_docs, scores
+
+
+# ----------------------------------------------- dictionary expansions ----
+class _ExpansionFilter(Filter):
+    """Base for prefix/range/wildcard/fuzzy: match dictionary rows per
+    segment, collect global df per matched term string, score the
+    ``scored_terms_limit`` highest-df terms (None = all)."""
+
+    scored_terms_limit: int | None = None
+
+    def __init__(self, boost: float = 1.0, scored_terms_limit: int | None = None):
+        self.boost = boost
+        self.scored_terms_limit = scored_terms_limit
+
+    def _match(self, seg_reader) -> np.ndarray:
+        raise NotImplementedError
+
+    def prepare(self, reader, scorer):
+        df_by_term: dict[str, int] = defaultdict(int)
+        matches = {}
+        for seg in reader.segments:
+            rows = self._match(seg.reader)
+            matches[seg.id] = rows
+            if len(rows):
+                terms = seg.reader.terms[rows]
+                dfs = seg.reader.df_array()[rows]
+                for t, d in zip(terms, dfs):
+                    df_by_term[t] += int(d)
+        scored = set(df_by_term)
+        if self.scored_terms_limit is not None and len(scored) > self.scored_terms_limit:
+            best = sorted(df_by_term.items(), key=lambda kv: (-kv[1], kv[0]))
+            scored = {t for t, _ in best[:self.scored_terms_limit]}
+        preps = {t: scorer.prepare(reader.stats, df_by_term[t], self.boost)
+                 for t in scored}
+        return _PreparedExpansion(matches, preps, scorer.dtype)
+
+
+class _PreparedExpansion(Prepared):
+    def __init__(self, matches, preps, dtype):
+        self.matches = matches
+        self.preps = preps
+        self.dtype = dtype
+
+    def execute(self, seg):
+        rows = self.matches.get(seg.id)
+        if rows is None or len(rows) == 0:
+            return _empty(self.dtype)
+        docs_l, scores_l = [], []
+        terms = seg.reader.terms
+        for r in rows:
+            docs, freqs = seg.reader.postings(int(r))
+            docs = docs.astype(np.int64, copy=False)
+            sp = self.preps.get(terms[r])
+            if sp is None:  # matched but unscored (beyond scored_terms_limit)
+                scores = np.zeros(len(docs), dtype=self.dtype)
+            else:
+                scores = sp.score(freqs, seg.reader.doc_len[docs - 1], seg.tiny)
+            docs_l.append(docs)
+            scores_l.append(scores)
+        return union_sum(docs_l, scores_l, dtype=self.dtype)
+
+
+class PrefixFilter(_ExpansionFilter):
+    """Term-prefix scan (reference by_prefix)."""
+
+    def __init__(self, prefix: str, **kw):
+        super().__init__(**kw)
+        self.prefix = prefix
+
+    def _match(self, r):
+        lo, hi = r.prefix_range(self.prefix)
+        return np.arange(lo, hi, dtype=np.int64)
+
+
+class RangeFilter(_ExpansionFilter):
+    """Dictionary range scan (reference by_range)."""
+
+    def __init__(self, lo=None, hi=None, include_lo=True, include_hi=False, **kw):
+        super().__init__(**kw)
+        self.lo, self.hi = lo, hi
+        self.include_lo, self.include_hi = include_lo, include_hi
+
+    def _match(self, r):
+        lo, hi = r.term_range(self.lo, self.hi, self.include_lo, self.include_hi)
+        return np.arange(lo, hi, dtype=np.int64)
+
+
+class WildcardFilter(_ExpansionFilter):
+    """%/_ pattern over the dictionary (reference by_wildcard)."""
+
+    def __init__(self, pattern: str, **kw):
+        super().__init__(**kw)
+        self.pattern = pattern
+
+    def _match(self, r):
+        return automaton.match_wildcard(r.terms, self.pattern)
+
+
+class FuzzyFilter(_ExpansionFilter):
+    """Levenshtein distance <= max_distance (reference by_edit_distance;
+    plain edit distance, no transpositions)."""
+
+    def __init__(self, term: str, max_distance: int = 1, prefix_len: int = 0, **kw):
+        super().__init__(**kw)
+        self.term = term
+        self.max_distance = max_distance
+        self.prefix_len = prefix_len
+
+    def _match(self, r):
+        idx, _ = automaton.match_fuzzy(r.terms, self.term, self.max_distance,
+                                       self.prefix_len)
+        return idx

@@ -1,0 +1,258 @@
+"""CheckQuery-style filter correctness + BM25 parity vs brute-force oracle
+(reference pattern: tests/search/filter_test_case_base.hpp:379-404)."""
+
+import numpy as np
+import pytest
+
+from iresearch_ray.analysis import get_analyzer
+from iresearch_ray.index.build import build_index
+from iresearch_ray.search import (
+    BM25,
+    AllFilter,
+    AndFilter,
+    FuzzyFilter,
+    IndexReader,
+    IndexSearcher,
+    NotFilter,
+    OrFilter,
+    PhraseFilter,
+    PrefixFilter,
+    RangeFilter,
+    TermFilter,
+    TermsFilter,
+    WildcardFilter,
+)
+from iresearch_ray.sources.pages import synthesize_pages, write_pages
+from tests.oracle import OracleIndex
+
+N_DOCS = 800
+
+
+@pytest.fixture(scope="module")
+def index(ray_session, tmp_path_factory):
+    base = tmp_path_factory.mktemp("idx")
+    pages_path = str(base / "pages.parquet")
+    write_pages(pages_path, N_DOCS, row_group_size=100)
+    index_dir = str(base / "index")
+    man = build_index(pages_path, index_dir, analyzer="ascii", target_docs=300)
+    assert man["build_stats"]["segments_built"] == 3
+    reader = IndexReader(index_dir)
+    ana = get_analyzer("ascii")
+    oracle = OracleIndex(ana)
+    t = synthesize_pages(N_DOCS)
+    for url, text in zip(t["url"].to_pylist(), t["text"].to_pylist()):
+        oracle.add(url, text)
+    return reader, oracle
+
+
+def _engine_matches(reader, flt, scorer=None):
+    s = IndexSearcher(reader, scorer or BM25())
+    out_docs, out_scores = [], []
+    for seg, docs, scores in s.execute(flt):
+        out_docs.append(docs + seg.base)
+        out_scores.append(scores)
+    if not out_docs:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+    return np.concatenate(out_docs), np.concatenate(out_scores)
+
+
+def test_global_stats(index):
+    reader, oracle = index
+    assert reader.num_docs == oracle.num_docs
+    assert reader.stats.total_tokens == sum(oracle.doc_len)
+    for t in ("hterm", "mterm", "lterm", "ref", "abcd"):
+        assert reader.df(t) == oracle.df(t), t
+
+
+@pytest.mark.parametrize("term", ["hterm", "mterm", "lterm", "the-missing"])
+def test_term_scores_bitwise(index, term):
+    reader, oracle = index
+    docs, scores = _engine_matches(reader, TermFilter(term))
+    exp = oracle.bm25_scores(term)
+    assert list(docs) == sorted(exp)
+    exp_scores = np.array([exp[d] for d in docs], dtype=np.float32)
+    assert np.array_equal(scores, exp_scores)
+
+
+def test_bm25_variants(index):
+    reader, oracle = index
+    for k, b in ((1.2, 0.75), (1.2, 0.0), (1.2, 1.0), (1.5, 0.3)):
+        docs, scores = _engine_matches(reader, TermFilter("hterm"), BM25(k=k, b=b))
+        exp = oracle.bm25_scores("hterm", k=k, b=b)
+        exp_scores = np.array([exp[d] for d in docs], dtype=np.float32)
+        assert np.array_equal(scores, exp_scores), (k, b)
+
+
+def test_and(index):
+    reader, oracle = index
+    docs, scores = _engine_matches(reader, AndFilter([TermFilter("hterm"), TermFilter("mterm")]))
+    a = oracle.bm25_scores("hterm")
+    b = oracle.bm25_scores("mterm")
+    exp_docs = sorted(set(a) & set(b))
+    assert list(docs) == exp_docs
+    exp = np.array([np.float32(np.float32(0) + np.float32(a[d])) + np.float32(b[d])
+                    for d in exp_docs], dtype=np.float32)
+    assert np.allclose(scores, exp, rtol=0, atol=0)
+
+
+def test_or_and_min_match(index):
+    reader, oracle = index
+    terms = ["hterm", "mterm", "lterm"]
+    per = [oracle.bm25_scores(t) for t in terms]
+    docs, scores = _engine_matches(reader, OrFilter([TermFilter(t) for t in terms]))
+    exp_docs = sorted(set().union(*[set(p) for p in per]))
+    assert list(docs) == exp_docs
+    for mm in (2, 3):
+        docs_mm, _ = _engine_matches(
+            reader, OrFilter([TermFilter(t) for t in terms], min_match=mm))
+        exp_mm = sorted(d for d in exp_docs if sum(d in p for p in per) >= mm)
+        assert list(docs_mm) == exp_mm, mm
+
+
+def test_not(index):
+    reader, oracle = index
+    docs, _ = _engine_matches(reader, NotFilter(TermFilter("hterm"), TermFilter("mterm")))
+    a, b = oracle.bm25_scores("hterm"), oracle.bm25_scores("mterm")
+    assert list(docs) == sorted(set(a) - set(b))
+
+
+def test_all_filter(index):
+    reader, oracle = index
+    docs, scores = _engine_matches(reader, AllFilter(boost=2.5))
+    assert len(docs) == oracle.num_docs
+    assert (scores == np.float32(2.5)).all()
+
+
+def test_terms_filter_with_boosts(index):
+    reader, oracle = index
+    docs, scores = _engine_matches(reader, TermsFilter(["hterm", "mterm"], boosts=[2.0, 0.5]))
+    a = oracle.bm25_scores("hterm", boost=2.0)
+    b = oracle.bm25_scores("mterm", boost=0.5)
+    exp_docs = sorted(set(a) | set(b))
+    assert list(docs) == exp_docs
+
+
+def _oracle_phrase(oracle, words):
+    out = {}
+    for doc_id, key in enumerate(oracle.keys, start=1):
+        pass
+    # rebuild doc token lists from postings is awkward; scan positions instead
+    first = oracle.postings.get(words[0], [])
+    for doc, _, positions in first:
+        cnt = 0
+        for p in positions:
+            ok = True
+            for j, w in enumerate(words[1:], start=1):
+                plist = next((ps for d, _, ps in oracle.postings.get(w, []) if d == doc), None)
+                if plist is None or (p + j) not in plist:
+                    ok = False
+                    break
+            if ok:
+                cnt += 1
+        if cnt:
+            out[doc] = cnt
+    return out
+
+
+def test_phrase(index):
+    reader, oracle = index
+    docs, scores = _engine_matches(reader, PhraseFilter(["ref", "name"]))
+    exp = _oracle_phrase(oracle, ["ref", "name"])
+    assert list(docs) == sorted(exp)
+    assert len(docs) > 0
+    # scored with summed idf and phrase freq as tf
+    scorer = BM25()
+    idf_sum = sum(scorer.idf(oracle.num_docs, oracle.df(w)) for w in ("ref", "name"))
+    sp = scorer.prepare(
+        __import__("iresearch_ray.search.scorers", fromlist=["FieldStats"]).FieldStats(
+            oracle.num_docs, sum(oracle.doc_len)), 0, idf_override=idf_sum)
+    exp_scores = sp.score(np.array([exp[int(d)] for d in docs]),
+                          np.array([oracle.doc_len[int(d) - 1] for d in docs]), True)
+    assert np.array_equal(scores, exp_scores)
+
+
+def test_phrase_three_words_and_missing(index):
+    reader, oracle = index
+    docs, _ = _engine_matches(reader, PhraseFilter(["ref", "name", "zzzznotthere"]))
+    assert len(docs) == 0
+
+
+def test_prefix(index):
+    reader, oracle = index
+    docs, _ = _engine_matches(reader, PrefixFilter("abcd"))
+    exp_terms = [t for t in oracle.sorted_terms() if t.startswith("abcd")]
+    exp_docs = sorted({d for t in exp_terms for d, _, _ in oracle.postings[t]})
+    assert list(docs) == exp_docs
+    assert "abcde" in exp_terms and "abcdef" in exp_terms
+
+
+def test_range(index):
+    reader, oracle = index
+    docs, _ = _engine_matches(reader, RangeFilter("hterm", "lterm", include_hi=True))
+    exp_terms = [t for t in oracle.sorted_terms() if "hterm" <= t <= "lterm"]
+    exp_docs = sorted({d for t in exp_terms for d, _, _ in oracle.postings[t]})
+    assert list(docs) == exp_docs
+
+
+def test_wildcard(index):
+    reader, oracle = index
+    docs, _ = _engine_matches(reader, WildcardFilter("abc%"))
+    exp_terms = [t for t in oracle.sorted_terms() if t.startswith("abc")]
+    exp_docs = sorted({d for t in exp_terms for d, _, _ in oracle.postings[t]})
+    assert list(docs) == exp_docs
+    docs2, _ = _engine_matches(reader, WildcardFilter("_term"))
+    exp_terms2 = [t for t in oracle.sorted_terms() if len(t) == 5 and t.endswith("term")]
+    exp_docs2 = sorted({d for t in exp_terms2 for d, _, _ in oracle.postings[t]})
+    assert list(docs2) == exp_docs2
+
+
+def test_fuzzy(index):
+    reader, oracle = index
+
+    def dist(a, b):
+        import functools
+
+        @functools.lru_cache(maxsize=None)
+        def d(i, j):
+            if i == 0:
+                return j
+            if j == 0:
+                return i
+            return min(d(i - 1, j) + 1, d(i, j - 1) + 1,
+                       d(i - 1, j - 1) + (a[i - 1] != b[j - 1]))
+        return d(len(a), len(b))
+
+    for probe, maxd in (("fuzzy", 1), ("fuzzy", 2)):
+        docs, _ = _engine_matches(reader, FuzzyFilter(probe, max_distance=maxd))
+        exp_terms = [t for t in oracle.sorted_terms() if dist(t, probe) <= maxd]
+        exp_docs = sorted({d for t in exp_terms for d, _, _ in oracle.postings[t]})
+        assert list(docs) == exp_docs, (probe, maxd)
+        assert "fuzy" in exp_terms
+
+
+def test_scored_terms_limit(index):
+    reader, oracle = index
+    docs_all, _ = _engine_matches(reader, PrefixFilter("abcd"))
+    docs_lim, scores_lim = _engine_matches(reader, PrefixFilter("abcd", scored_terms_limit=1))
+    assert np.array_equal(docs_all, docs_lim)  # same matches, fewer scored
+
+
+def test_topk_search_rank_and_ties(index):
+    reader, oracle = index
+    s = IndexSearcher(reader)
+    df = s.search(TermFilter("hterm"), k=10)
+    exp = oracle.top_k(["hterm"], k=10)
+    assert list(df["doc"]) == [d for d, _ in exp]
+    assert np.allclose(df["score"].to_numpy(),
+                       np.array([sc for _, sc in exp]), rtol=1e-6)
+    assert list(df.columns) == ["doc", "key", "score"]
+
+
+def test_topk_wand_equals_all(index):
+    reader, oracle = index
+    s = IndexSearcher(reader)
+    for term in ("hterm", "mterm", "lterm"):
+        a = s.search(TermFilter(term), k=10, mode="all")
+        b = s.search(TermFilter(term), k=10, mode="top")
+        assert list(a["doc"]) == list(b["doc"]), term
+        assert np.array_equal(a["score"].to_numpy(), b["score"].to_numpy())
