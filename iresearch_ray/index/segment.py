@@ -138,7 +138,6 @@ def invert_to_table(terms: np.ndarray, docs: np.ndarray, poss: np.ndarray) -> pa
     (formats_10.cpp:823-828).
     """
     codes, uniques = pd.factorize(terms, sort=True)
-    n_terms = len(uniques)
     order = np.lexsort((poss, docs, codes))
     codes, docs, poss = codes[order], docs[order], poss[order]
 
@@ -155,21 +154,45 @@ def invert_to_table(terms: np.ndarray, docs: np.ndarray, poss: np.ndarray) -> pa
         new_term[0] = True
         new_term[1:] = p_codes[1:] != p_codes[:-1]
         t_starts = np.flatnonzero(new_term)           # into posting arrays
-        df = np.diff(np.r_[t_starts, len(p_codes)])
     else:
         p_starts = np.empty(0, dtype=np.int64)
         freqs = np.empty(0, dtype=np.int64)
         p_docs = np.empty(0, dtype=np.int64)
         t_starts = np.empty(0, dtype=np.int64)
-        df = np.empty(0, dtype=np.int64)
 
     term_post_offs = np.r_[t_starts, len(p_docs)].astype(np.int64)   # len n_terms+1
-    ttf = np.add.reduceat(freqs, t_starts) if len(t_starts) else np.empty(0, dtype=np.int64)
+    return encode_postings_table(np.asarray(uniques, dtype=object), term_post_offs,
+                                 p_docs, freqs, poss, np.r_[p_starts, len(codes)])
+
+
+def encode_postings_table(uniques: np.ndarray, term_post_offs: np.ndarray,
+                          p_docs: np.ndarray, freqs: np.ndarray,
+                          poss: np.ndarray,
+                          posting_offs_in_tokens: np.ndarray) -> pa.Table:
+    """Encode already-inverted postings into the terms.parquet schema.
+
+    Inputs: sorted unique terms; per-term posting offsets (len n_terms+1);
+    concatenated per-posting (doc, freq); concatenated position occurrences
+    with per-posting run offsets (len n_postings+1).  Shared by the segment
+    flush and the k-way segment merge (which produces already-inverted runs).
+    """
+    n_terms = len(uniques)
+    t_starts = term_post_offs[:-1]
+    df = np.diff(term_post_offs)
+    ttf = (np.add.reduceat(freqs, t_starts) if len(freqs)
+           else np.empty(0, dtype=np.int64))
+    if n_terms and len(freqs) == 0:
+        ttf = np.zeros(n_terms, dtype=np.int64)
+    elif len(freqs) and (df == 0).any():
+        # reduceat can't handle empty groups; merge never produces them
+        raise ValueError("empty posting list for a dictionary term")
     max_freq = (codec.block_max_reduce(freqs, term_post_offs)
                 if len(freqs) else np.empty(0, dtype=np.int64))
+    if n_terms and len(freqs) == 0:
+        max_freq = np.zeros(n_terms, dtype=np.int64)
+    blocks_per_term = (df + codec.BLOCK - 1) // codec.BLOCK
 
     # ---- per-term 128-posting block boundaries (in posting index space) ----
-    blocks_per_term = (df + codec.BLOCK - 1) // codec.BLOCK
     blk_term = np.repeat(np.arange(n_terms, dtype=np.int64), blocks_per_term)
     if len(blk_term):
         blk_ord = np.arange(len(blk_term), dtype=np.int64)
@@ -196,7 +219,7 @@ def invert_to_table(terms: np.ndarray, docs: np.ndarray, poss: np.ndarray) -> pa
     freq_blob = codec.varint_encode(freqs)
 
     # ---- positions: delta per posting run; byte offsets per posting ----
-    posting_offs_in_tokens = np.r_[p_starts, len(codes)].astype(np.int64)
+    posting_offs_in_tokens = np.asarray(posting_offs_in_tokens, dtype=np.int64)
     pos_deltas = codec.positions_delta_encode(poss, posting_offs_in_tokens)
     pos_nb = codec.varint_nbytes(pos_deltas)
     pos_cum = np.zeros(len(pos_deltas) + 1, dtype=np.int64)
@@ -261,11 +284,12 @@ def write_segment_dir(index_dir: str, segment_id: str, terms: pa.Table,
         with open(os.path.join(tmp, META_FILE), "w") as f:
             json.dump(meta, f, indent=1)
         if os.path.isdir(final):
-            # a concurrent/previous attempt won; keep it (idempotent resume)
+            # stale content from an older lineage (e.g. analyzer change):
+            # replace it; duplicate concurrent attempts write identical bytes
+            # (deterministic build), so last-wins is safe
             import shutil
-            shutil.rmtree(tmp)
-        else:
-            os.replace(tmp, final)
+            shutil.rmtree(final)
+        os.replace(tmp, final)
     except BaseException:
         import shutil
         shutil.rmtree(tmp, ignore_errors=True)

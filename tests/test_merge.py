@@ -1,0 +1,100 @@
+"""Consolidation: merged index must answer rank-identically (reference
+merge_writer semantics) + resume/lineage checkpointing (FIXTURES.md F6)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from iresearch_ray.index.build import build_index
+from iresearch_ray.index import manifest as manifest_mod
+from iresearch_ray.index.merge import consolidate, plan_consolidation
+from iresearch_ray.index.segment import META_FILE
+from iresearch_ray.search import BM25, IndexReader, IndexSearcher, OrFilter, PhraseFilter, TermFilter
+from iresearch_ray.sources.pages import write_pages
+
+N_DOCS = 600
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    base = tmp_path_factory.mktemp("merge")
+    pages = str(base / "pages.parquet")
+    write_pages(pages, N_DOCS, row_group_size=50)
+    index_dir = str(base / "index")
+    man = build_index(pages, index_dir, analyzer="ascii", target_docs=100)
+    assert len(man["segments"]) == 6
+    return pages, index_dir, man
+
+
+def _results(index_dir, flt, generation=None, k=20):
+    r = IndexReader(index_dir, generation)
+    return IndexSearcher(r, BM25()).search(flt, k=k)
+
+
+def test_consolidate_rank_identical(built):
+    _, index_dir, man = built
+    queries = [TermFilter("hterm"), TermFilter("mterm"),
+               OrFilter([TermFilter("hterm"), TermFilter("lterm")]),
+               PhraseFilter(["ref", "name"])]
+    before = [_results(index_dir, q, man["generation"]) for q in queries]
+    man2 = consolidate(index_dir, target_docs=300)
+    assert man2["generation"] == man["generation"] + 1
+    assert len(man2["segments"]) < len(man["segments"])
+    assert man2["num_docs"] == man["num_docs"]
+    after = [_results(index_dir, q, man2["generation"]) for q in queries]
+    for b, a in zip(before, after):
+        assert list(b["doc"]) == list(a["doc"])
+        assert np.array_equal(b["score"].to_numpy(), a["score"].to_numpy())
+        assert list(b["key"]) == list(a["key"])
+
+
+def test_old_generation_still_readable(built):
+    _, index_dir, man = built
+    r_old = IndexReader(index_dir, man["generation"])
+    assert r_old.num_docs == N_DOCS
+
+
+def test_merged_dictionary_totals(built):
+    _, index_dir, _ = built
+    man2 = manifest_mod.load(index_dir)
+    r = IndexReader(index_dir, man2["generation"])
+    assert r.df("hterm") > 0
+    r1 = IndexReader(index_dir, 1)
+    for t in ("hterm", "mterm", "ref", "abcd"):
+        assert r.df(t) == r1.df(t)
+
+
+def test_plan_consolidation_adjacency():
+    segs = [{"segment_id": f"s{i}", "num_docs": 100} for i in range(5)]
+    runs = plan_consolidation(segs, target_docs=250)
+    assert runs == [["s0", "s1"], ["s2", "s3"]] or runs == [["s0", "s1"], ["s2", "s3"], ["s4"]][:2]
+    # singleton tail never merges alone
+    assert all(len(r) >= 2 for r in runs)
+
+
+def test_resume_skips_done_segments(built, ray_session):
+    pages, index_dir, man = built
+    # delete ONE segment dir; rebuild must reprocess only that one (F6)
+    victim = man["segments"][2]["segment_id"]
+    import shutil
+    shutil.rmtree(os.path.join(index_dir, victim))
+    man3 = build_index(pages, index_dir, analyzer="ascii", target_docs=100)
+    bs = man3["build_stats"]
+    assert bs["segments_built"] == 1
+    assert bs["segments_skipped"] == 5
+    with open(os.path.join(index_dir, victim, META_FILE)) as f:
+        meta = json.load(f)
+    assert meta["counters"]["docs_tokenized"] == meta["num_docs"]
+    # rebuilt index answers identically to generation 1
+    a = _results(index_dir, TermFilter("hterm"), generation=1)
+    b = _results(index_dir, TermFilter("hterm"), generation=man3["generation"])
+    assert list(a["doc"]) == list(b["doc"])
+    assert np.array_equal(a["score"].to_numpy(), b["score"].to_numpy())
+
+
+def test_analyzer_change_invalidates_resume(built, ray_session):
+    pages, index_dir, _ = built
+    man = build_index(pages, index_dir, analyzer="unicode", target_docs=100)
+    assert man["build_stats"]["segments_built"] == 6  # different lineage hash
