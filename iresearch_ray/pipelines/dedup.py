@@ -1,0 +1,193 @@
+"""Deduplication pipelines over a Ray Dataset of documents.
+
+Scale notes (designed for 100 TB corpora):
+- exact/fingerprint dedup shuffle only (hash, doc_id) pairs — one small
+  groupby per corpus, never the document payloads;
+- MinHash-LSH shuffles (band, band_hash, doc_id, signature) rows —
+  signature is 64*8 bytes/doc; candidate verification happens inside the
+  band groups (signature Jaccard estimate), so no second pass over text;
+- SimHash groups by the 64-bit sketch (exact-bucket flavor).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from iresearch_ray.analysis import get_analyzer
+from iresearch_ray.util import pool_size
+from iresearch_ray.analysis.minhash import (
+    band_hashes,
+    minhash_signatures,
+    shingles,
+    simhash,
+    stable_hash_strings,
+)
+
+
+def _md5_hex(values: list[str]) -> list[str]:
+    return [hashlib.md5(v.encode()).hexdigest() for v in values]
+
+
+def exact_dedup_groups(ds, text_column: str = "text", id_column: str = "doc_id"):
+    """Group exact duplicates: -> (text_hash, dup_count, keep_id=min id).
+
+    Hash inside map_batches (only hash+id leave the node), then one small
+    groupby on the 128-bit content hash.
+    """
+    from ray.data.aggregate import Count, Min
+
+    def hash_batch(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "text_hash": pa.array(_md5_hex(b[text_column].to_pylist())),
+            id_column: b[id_column],
+        })
+
+    hashed = ds.map_batches(hash_batch, batch_format="pyarrow")
+    return hashed.groupby("text_hash").aggregate(
+        Count(alias_name="dup_count"), Min(id_column, alias_name="keep_id"))
+
+
+def fingerprint_dedup_groups(ds, text_column: str = "text",
+                             id_column: str = "doc_id", analyzer: str = "ascii"):
+    """Bag-of-words fingerprint dedup: identical token multisets collide
+    regardless of word order: -> (fingerprint, dup_count, keep_id)."""
+    from ray.data.aggregate import Count, Min
+
+    class FpBatch:
+        def __init__(self):
+            self.analyzer = get_analyzer(analyzer)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            fps = [hashlib.md5(" ".join(sorted(self.analyzer.tokens(t))).encode()).hexdigest()
+                   for t in b[text_column].to_pylist()]
+            return pa.table({"fingerprint": pa.array(fps), id_column: b[id_column]})
+
+    hashed = ds.map_batches(FpBatch, batch_format="pyarrow", concurrency=pool_size(2))
+    return hashed.groupby("fingerprint").aggregate(
+        Count(alias_name="dup_count"), Min(id_column, alias_name="keep_id"))
+
+
+class MinHashBatch:
+    """Actor-pool stage: text -> (doc_id, band, band_hash, signature)."""
+
+    def __init__(self, text_column, id_column, analyzer, num_hashes, bands, shingle_k):
+        self.text_column = text_column
+        self.id_column = id_column
+        self.analyzer = get_analyzer(analyzer)
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.shingle_k = shingle_k
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        texts = b[self.text_column].to_pylist()
+        ids = b[self.id_column].to_numpy()
+        all_shingles: list[str] = []
+        offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+        for i, t in enumerate(texts):
+            sh = shingles(self.analyzer.tokens(t), self.shingle_k)
+            all_shingles.extend(sh)
+            offsets[i + 1] = len(all_shingles)
+        hashes = stable_hash_strings(all_shingles) if all_shingles else np.empty(0, np.uint64)
+        sigs = minhash_signatures(hashes, offsets, self.num_hashes)
+        bh = band_hashes(sigs, self.bands)
+        n, B = len(texts), self.bands
+        sig_rows = np.repeat(sigs.view(np.int64), B, axis=0)  # one copy per band row
+        return pa.table({
+            self.id_column: pa.array(np.repeat(ids, B)),
+            "band": pa.array(np.tile(np.arange(B, dtype=np.int64), n)),
+            "band_hash": pa.array(bh.reshape(-1).view(np.int64)),
+            "signature": pa.array(list(sig_rows), type=pa.list_(pa.int64())),
+        })
+
+
+def minhash_lsh_pairs(ds, text_column: str = "text", id_column: str = "doc_id",
+                      analyzer: str = "ascii", num_hashes: int = 64,
+                      bands: int = 16, shingle_k: int = 3,
+                      threshold: float = 0.8, concurrency: int | None = None):
+    """Near-duplicate candidate pairs via MinHash + LSH banding.
+
+    map_batches(sketch) -> explode to (band, band_hash) keys -> groupby the
+    band key -> within each bucket, pairwise signature-Jaccard estimate ->
+    pairs with est >= threshold, deduped across bands.
+    Returns Dataset(id_a, id_b, est_jaccard) with id_a < id_b.
+    """
+    sk = ds.map_batches(
+        MinHashBatch, fn_constructor_kwargs=dict(
+            text_column=text_column, id_column=id_column, analyzer=analyzer,
+            num_hashes=num_hashes, bands=bands, shingle_k=shingle_k),
+        batch_format="pyarrow", concurrency=pool_size(concurrency))
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+        g = g.sort_values(id_column)
+        ids = g[id_column].to_numpy()
+        sigs = np.stack(g["signature"].to_numpy())
+        out_a, out_b, out_j = [], [], []
+        for i in range(len(ids)):
+            eq = (sigs[i + 1:] == sigs[i]).mean(axis=1)
+            hit = np.flatnonzero(eq >= threshold)
+            out_a.extend([ids[i]] * len(hit))
+            out_b.extend(ids[i + 1 + hit])
+            out_j.extend(eq[hit])
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "est_jaccard": out_j})
+
+    pairs = sk.groupby(["band", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas")
+    from ray.data.aggregate import Max
+
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Max("est_jaccard", alias_name="est_jaccard"))
+
+
+def simhash_groups(ds, text_column: str = "text", id_column: str = "doc_id",
+                   analyzer: str = "ascii", concurrency: int | None = None):
+    """Exact-bucket SimHash dedup: -> (simhash, dup_count, keep_id)."""
+    from ray.data.aggregate import Count, Min
+
+    class SimBatch:
+        def __init__(self):
+            self.analyzer = get_analyzer(analyzer)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            texts = b[text_column].to_pylist()
+            toks: list[str] = []
+            offs = np.zeros(len(texts) + 1, dtype=np.int64)
+            for i, t in enumerate(texts):
+                ts = self.analyzer.tokens(t)
+                toks.extend(ts)
+                offs[i + 1] = len(toks)
+            th = stable_hash_strings(toks) if toks else np.empty(0, np.uint64)
+            sh = simhash(th, offs)
+            return pa.table({"simhash": pa.array(sh.view(np.int64)),
+                             id_column: b[id_column]})
+
+    hashed = ds.map_batches(SimBatch, batch_format="pyarrow", concurrency=pool_size(concurrency))
+    return hashed.groupby("simhash").aggregate(
+        Count(alias_name="dup_count"), Min(id_column, alias_name="keep_id"))
+
+
+def dedup_keep_first(pairs_df: pd.DataFrame, all_ids: np.ndarray) -> np.ndarray:
+    """Driver-side union-find over the (small) candidate-pair set -> ids to
+    KEEP (min id per duplicate component).  Candidate pairs are the output
+    of `minhash_lsh_pairs` — bounded by true near-dup volume, not corpus
+    size, so driver-side is safe (documented assumption)."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs_df["id_a"], pairs_df["id_b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    drop = {x for x in parent if find(x) != x}
+    return np.array([i for i in all_ids if i not in drop], dtype=all_ids.dtype)

@@ -1,0 +1,190 @@
+"""Dedup / textstats / ANN / multimodal pipeline correctness on testdata."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from iresearch_ray.analysis import get_analyzer
+from iresearch_ray.analysis.minhash import (
+    minhash_signatures,
+    shingles,
+    simhash,
+    stable_hash_strings,
+)
+from iresearch_ray.pipelines import ann, dedup, multimodal, textstats
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(ray_session):
+    return ray.data.read_parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs_pdf():
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{SF}/documents.parquet").to_pandas()
+
+
+def test_exact_dedup(docs, docs_pdf):
+    out = dedup.exact_dedup_groups(docs).to_pandas()
+    exp = docs_pdf.groupby(docs_pdf["text"]).agg(
+        dup_count=("doc_id", "size"), keep_id=("doc_id", "min"))
+    assert len(out) == len(exp)
+    assert out["dup_count"].sum() == len(docs_pdf)
+    m = out.set_index("text_hash")
+    import hashlib
+    for text, row in exp.iterrows():
+        h = hashlib.md5(text.encode()).hexdigest()
+        assert m.loc[h, "keep_id"] == row["keep_id"]
+        assert m.loc[h, "dup_count"] == row["dup_count"]
+
+
+def test_fingerprint_dedup(docs, docs_pdf):
+    out = dedup.fingerprint_dedup_groups(docs).to_pandas()
+    ana = get_analyzer("ascii")
+    exp_groups = docs_pdf.assign(
+        fp=docs_pdf["text"].map(lambda t: " ".join(sorted(ana.tokens(t))))
+    ).groupby("fp")["doc_id"].agg(["size", "min"])
+    assert len(out) == len(exp_groups)
+    assert out["dup_count"].sum() == len(docs_pdf)
+
+
+def test_minhash_identical_docs_pair(ray_session):
+    rows = [{"doc_id": 1, "text": "alpha beta gamma delta epsilon zeta eta theta"},
+            {"doc_id": 2, "text": "alpha beta gamma delta epsilon zeta eta theta"},
+            {"doc_id": 3, "text": "completely different words entirely unrelated content here now"},
+            {"doc_id": 4, "text": "alpha beta gamma delta epsilon zeta eta iota"}]
+    ds = ray.data.from_items(rows)
+    pairs = dedup.minhash_lsh_pairs(ds, threshold=0.9).to_pandas()
+    assert ((pairs["id_a"] == 1) & (pairs["id_b"] == 2)).any()
+    assert not ((pairs["id_a"] == 1) & (pairs["id_b"] == 3)).any()
+    exact = pairs[(pairs.id_a == 1) & (pairs.id_b == 2)]["est_jaccard"].iloc[0]
+    assert exact == 1.0
+    keep = dedup.dedup_keep_first(pairs, np.array([1, 2, 3, 4]))
+    assert 1 in keep and 3 in keep and 2 not in keep
+
+
+def test_minhash_signature_estimates_jaccard():
+    a = [f"tok{i}" for i in range(100)]
+    b = [f"tok{i}" for i in range(20, 120)]  # true J = 80/120 = 0.666
+    sh_a, sh_b = shingles(a, 1), shingles(b, 1)
+    h = stable_hash_strings(sh_a + sh_b)
+    sig = minhash_signatures(h, np.array([0, len(sh_a), len(sh_a) + len(sh_b)]),
+                             num_hashes=256)
+    est = (sig[0] == sig[1]).mean()
+    assert abs(est - 2 / 3) < 0.12
+
+
+def test_simhash_groups(ray_session):
+    rows = [{"doc_id": 1, "text": "a b c d"}, {"doc_id": 2, "text": "a b c d"},
+            {"doc_id": 3, "text": "x y z w"}]
+    out = dedup.simhash_groups(ray.data.from_items(rows)).to_pandas()
+    assert len(out) == 2
+    g = out[out["dup_count"] == 2]
+    assert g["keep_id"].iloc[0] == 1
+
+
+def test_quality_stats(docs, docs_pdf):
+    out = textstats.quality_stats(docs).to_pandas().set_index("doc_id")
+    ana = get_analyzer("ascii")
+    for doc_id in docs_pdf["doc_id"].head(20):
+        text = docs_pdf.set_index("doc_id").loc[doc_id, "text"]
+        toks = ana.tokens(text)
+        assert out.loc[doc_id, "n_tokens"] == len(toks)
+        assert out.loc[doc_id, "n_unique_tokens"] == len(set(toks))
+        exp_sw = round(sum(w in textstats.STOPWORDS_EN for w in toks) / len(toks), 6)
+        assert out.loc[doc_id, "stopword_ratio"] == pytest.approx(exp_sw)
+
+
+def test_langid(ray_session):
+    rows = [{"doc_id": 1, "text": "the cat and the dog"},
+            {"doc_id": 2, "text": "der hund und die katze ist"},
+            {"doc_id": 3, "text": "le chat et la mer est"},
+            {"doc_id": 4, "text": "el perro y la casa es un"}]
+    out = textstats.langid(ray.data.from_items(rows)).to_pandas()
+    assert list(out.sort_values("doc_id")["lang_pred"]) == ["en", "de", "fr", "es"]
+
+
+def test_token_count_by(docs, docs_pdf):
+    out = textstats.token_count_by(docs, "source").to_pandas().set_index("source")
+    ana = get_analyzer("ascii")
+    exp = docs_pdf.assign(n=docs_pdf["text"].map(lambda t: len(ana.tokens(t)))) \
+        .groupby("source")["n"].sum()
+    for src, n in exp.items():
+        assert out.loc[src, "total_tokens"] == n
+
+
+def test_term_frequencies(docs, docs_pdf):
+    out = textstats.term_frequencies(docs).to_pandas().set_index("term")
+    ana = get_analyzer("ascii")
+    from collections import Counter
+    df_c, ttf_c = Counter(), Counter()
+    for t in docs_pdf["text"]:
+        c = Counter(ana.tokens(t))
+        for w, n in c.items():
+            df_c[w] += 1
+            ttf_c[w] += n
+    assert len(out) == len(df_c)
+    for w in list(df_c)[:25]:
+        assert out.loc[w, "df"] == df_c[w]
+        assert out.loc[w, "ttf"] == ttf_c[w]
+
+
+def test_cosine_topk_exact(ray_session):
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet")
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    M = np.asarray(emb["embedding"].to_pylist(), dtype=np.float32)
+    ids = emb["vec_id"].to_numpy()
+    q = M[0]
+    out = ann.cosine_topk(ds, q, k=10)
+    qn = q / np.linalg.norm(q)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    sims = Mn @ qn
+    order = np.lexsort((ids, -sims))[:10]
+    assert list(out["vec_id"]) == list(ids[order])
+    assert np.allclose(out["cosine"], sims[order], atol=1e-6)
+
+
+def test_lsh_topk_recall(ray_session):
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet")
+    M = np.asarray(emb["embedding"].to_pylist(), dtype=np.float32)
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    q = M[0]
+    exact = ann.cosine_topk(ds, q, k=10)
+    approx = ann.lsh_topk(ds, q, k=10, planes=4, multiprobe=1)
+    recall = len(set(approx["vec_id"]) & set(exact["vec_id"])) / 10
+    assert recall >= 0.5  # loose: sign-LSH on raw embeddings
+    assert exact["vec_id"].iloc[0] == approx["vec_id"].iloc[0] == 0  # self-match
+
+
+def test_multimodal_decode_plumbing(ray_session):
+    from iresearch_ray.sources.pages import synthesize_pages
+
+    t = synthesize_pages(32)
+    ds = ray.data.from_arrow(t)
+    out = multimodal.decode_features(ds, payload_column="html",
+                                     feature_dim=8, batch_size=8).to_pandas()
+    assert len(out) == 32
+    assert "html" not in out.columns
+    assert all(len(f) == 8 for f in out["feature"])
+    assert (out["payload_bytes"] > 0).all()
+    # determinism
+    out2 = multimodal.decode_features(ray.data.from_arrow(t), payload_column="html",
+                                      feature_dim=8, batch_size=8).to_pandas()
+    a = out.sort_values("url")["feature"].map(tuple).tolist()
+    b = out2.sort_values("url")["feature"].map(tuple).tolist()
+    assert a == b
+
+
+def test_multimodal_stub_raises():
+    stage = multimodal.DecodeFeatureBatch(fake=None)
+    with pytest.raises(NotImplementedError):
+        stage._decode_stub(b"payload")
