@@ -1,44 +1,499 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() smoke, queries() vs oracle_sql() correctness.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Every fulltext query runs through the REAL engine (Ray Data segment build ->
+manifest -> filter prepare/execute over posting lists), tokenizing with the
+deterministic `ascii` analyzer whose exact semantics DuckDB reproduces as
+``list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')``.
+Scores for oracle-checked queries are computed in float64 (the engine's
+reference-parity float32 path is exercised by tests/) and rounded so the
+driver's value-hash comparison is stable.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import math
+import os
+import re
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
 
+from iresearch_ray.pipelines.textstats import LANG_ORDER, LANG_PROFILES
+
+BM25_K, BM25_B = 1.2, 0.75
+_CACHE_ROOT = "/tmp/iresearch_ray_cache"
+_READERS: dict[str, Any] = {}
+
+# SQL fragment: the ascii tokenizer, exactly
+_TOK = ("list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+        "x -> x <> '')")
+_TOK_CTE = f"WITH tok AS (SELECT doc_id, {_TOK} AS ts FROM documents)"
+
+
+# --------------------------------------------------------------------------
+# index plumbing
+# --------------------------------------------------------------------------
+def _slug(sf_dir: str) -> str:
+    return re.sub(r"\W+", "_", os.path.realpath(sf_dir)).strip("_")
+
+
+def _index_reader(sf_dir: str):
+    """Build (or resume) the index over the sf_dir documents table, cached."""
+    from iresearch_ray.index.build import build_index
+    from iresearch_ray.search import IndexReader
+    from iresearch_ray.sources.pages import pages_from_documents
+
+    key = _slug(sf_dir)
+    if key in _READERS:
+        return _READERS[key]
+    import pyarrow.parquet as pq
+
+    cache = os.path.join(_CACHE_ROOT, key)
+    os.makedirs(cache, exist_ok=True)
+    pages_path = os.path.join(cache, "pages.parquet")
+    if not os.path.exists(pages_path):
+        t = pages_from_documents(sf_dir)
+        tmp = pages_path + ".tmp"
+        pq.write_table(t, tmp, row_group_size=max(16, t.num_rows // 8),
+                       compression="zstd")
+        os.replace(tmp, pages_path)
+    n = pq.ParquetFile(pages_path).metadata.num_rows
+    index_dir = os.path.join(cache, "index")
+    build_index(pages_path, index_dir, analyzer="ascii",
+                target_docs=max(32, math.ceil(n / 4)))
+    reader = IndexReader(index_dir)
+    _READERS[key] = reader
+    return reader
+
+
+def _doc_id(key: str) -> int:
+    return int(key.rsplit("/", 1)[1])
+
+
+def _scorer():
+    from iresearch_ray.search import BM25
+
+    return BM25(k=BM25_K, b=BM25_B, dtype=np.float64)
+
+
+def _all_matches(sf_dir: str, flt, with_counts: bool = False) -> pd.DataFrame:
+    """Every match as (doc_id, score[, n_terms]) via per-segment execute."""
+    reader = _index_reader(sf_dir)
+    prep = flt.prepare(reader, _scorer())
+    ids, scores, counts = [], [], []
+    for seg in reader.segments:
+        if with_counts:
+            docs, sc, cn = prep.execute_counts(seg)
+            counts.append(cn)
+        else:
+            docs, sc = prep.execute(seg)
+        if len(docs):
+            keys = seg.reader.keys[docs - 1]
+            ids.append(np.array([_doc_id(k) for k in keys], dtype=np.int64))
+            scores.append(sc)
+    if not ids:
+        base = {"doc_id": pd.Series([], dtype=np.int64)}
+        if with_counts:
+            base["n_terms"] = pd.Series([], dtype=np.int64)
+        else:
+            base["score"] = pd.Series([], dtype=np.float64)
+        return pd.DataFrame(base)
+    out = {"doc_id": np.concatenate(ids)}
+    if with_counts:
+        out["n_terms"] = np.concatenate(counts).astype(np.int64)
+    else:
+        out["score"] = np.round(np.concatenate(scores).astype(np.float64), 4)
+    return pd.DataFrame(out).sort_values("doc_id").reset_index(drop=True)
+
+
+def _topk(sf_dir: str, flt, k: int = 10, mode: str = "all") -> pd.DataFrame:
+    """Top-k ranked by (ROUNDED score desc, doc_id asc) so the engine and the
+    SQL oracle break 4-decimal ties identically (both sides' unrounded
+    float64 scores agree only to ~1e-15)."""
+    if mode == "all":
+        df = _all_matches(sf_dir, flt)
+    else:  # WAND: over-fetch by exact score, then re-rank rounded (ties at
+        # the k-boundary are within this buffer for realistic corpora)
+        from iresearch_ray.search import IndexSearcher
+
+        reader = _index_reader(sf_dir)
+        raw = IndexSearcher(reader, _scorer()).search(flt, k=3 * k, mode=mode)
+        df = pd.DataFrame({"doc_id": [_doc_id(x) for x in raw["key"]],
+                           "score": np.round(raw["score"].to_numpy(), 4)})
+    return (df.sort_values(["score", "doc_id"], ascending=[False, True])
+            .head(k).reset_index(drop=True))
+
+
+# --------------------------------------------------------------------------
+# SQL builders (shared fragments keep engine & oracle in lockstep)
+# --------------------------------------------------------------------------
+def _sql_bm25(term_pred_tf: str, where: str, score_expr_tail: str = "") -> str:
+    """BM25 scorer SQL over docs matching `where`; tf given by term_pred_tf."""
+    return f"""
+{_TOK_CTE},
+stats AS (SELECT count(*)::DOUBLE AS n, sum(len(ts))::DOUBLE AS tot FROM tok),
+tf AS (SELECT doc_id, {term_pred_tf} AS f, len(ts) AS dl FROM tok),
+m AS (SELECT * FROM tf WHERE {where}),
+d AS (SELECT count(*)::DOUBLE AS df FROM m)
+SELECT m.doc_id,
+       round((({BM25_K} + 1) * ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)))
+             - (({BM25_K} + 1) * ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)))
+               * (({BM25_K} - {BM25_K}*{BM25_B}) + ({BM25_K}*{BM25_B}/(s.tot/s.n)) * m.dl)
+               / ((({BM25_K} - {BM25_K}*{BM25_B}) + ({BM25_K}*{BM25_B}/(s.tot/s.n)) * m.dl) + m.f),
+             4) AS score{score_expr_tail}
+FROM m, d, stats s
+"""
+
+
+def _sql_tf(term: str) -> str:
+    return f"len(list_filter(ts, x -> x = '{term}'))"
+
+
+def _sql_expansion_counts(match_expr: str) -> str:
+    """(doc_id, n distinct matching terms) for a per-token predicate."""
+    return f"""
+{_TOK_CTE},
+pos AS (SELECT doc_id, unnest(ts) AS w FROM tok)
+SELECT doc_id, count(DISTINCT w) AS n_terms
+FROM pos WHERE {match_expr}
+GROUP BY doc_id
+"""
+
+
+def _sql_langid() -> str:
+    hits = ",\n  ".join(
+        f"len(list_filter(ts, x -> x IN ({', '.join(repr(w) for w in LANG_PROFILES[lang])}))) AS {lang}"
+        for lang in LANG_ORDER)
+    return f"""
+{_TOK_CTE},
+hits AS (SELECT doc_id, {hits} FROM tok)
+SELECT doc_id, CASE WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+                    WHEN de >= fr AND de >= es THEN 'de'
+                    WHEN fr >= es THEN 'fr' ELSE 'es' END AS lang_pred
+FROM hits
+"""
+
+
+# --------------------------------------------------------------------------
+# contract functions
+# --------------------------------------------------------------------------
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: build index over sf0.001 pages, run the reference-style
+    query-category set, return the concatenated top-10 results."""
+    from iresearch_ray.search import (
+        AndFilter, FuzzyFilter, OrFilter, PhraseFilter, PrefixFilter,
+        TermFilter, WildcardFilter,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    cats = {
+        "HighTerm": TermFilter("the"),
+        "MedTerm": TermFilter("batch"),
+        "LowTerm": TermFilter("dup"),
+        "AndHighMed": AndFilter([TermFilter("the"), TermFilter("batch")]),
+        "OrHighMed": OrFilter([TermFilter("the"), TermFilter("batch")]),
+        "MinMatch2of3": OrFilter([TermFilter("spark"), TermFilter("window"),
+                                  TermFilter("dup")], min_match=2),
+        "Phrase": PhraseFilter(["batch", "batch"]),
+        "Prefix3": PrefixFilter("st"),
+        "Wildcard": WildcardFilter("%ow%"),
+        "Fuzzy1": FuzzyFilter("batc", max_distance=1),
+    }
+    frames = []
+    for cat, flt in cats.items():
+        df = _topk(sf_dir, flt, k=10)
+        df.insert(0, "category", cat)
+        df.insert(1, "rank", np.arange(1, len(df) + 1))
+        frames.append(df)
+    return pd.concat(frames, ignore_index=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from iresearch_ray.search import (
+        AndFilter, FuzzyFilter, OrFilter, PhraseFilter, PrefixFilter,
+        RangeFilter, TermFilter, WildcardFilter,
+    )
+    from iresearch_ray.pipelines import ann, dedup, multimodal, textstats
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def ray_docs(sf_dir):
+        import ray.data
+
+        return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    def term_postings(sf_dir):
+        reader = _index_reader(sf_dir)
+        ids, tfs = [], []
+        for seg in reader.segments:
+            i = seg.reader.lookup("batch")
+            if i < 0:
+                continue
+            docs, freqs = seg.reader.postings(i)
+            keys = seg.reader.keys[docs.astype(np.int64) - 1]
+            ids.append(np.array([_doc_id(k) for k in keys], dtype=np.int64))
+            tfs.append(freqs.astype(np.int64))
+        return pd.DataFrame({"doc_id": np.concatenate(ids), "tf": np.concatenate(tfs)})
+
+    def term_dictionary(sf_dir):
+        from iresearch_ray.index.build import term_stats_dataset
+
+        reader = _index_reader(sf_dir)  # ensures index exists
+        return term_stats_dataset(reader.index_dir).to_pandas()
+
+    def top_terms(sf_dir):
+        df = term_dictionary(sf_dir)
+        return (df.sort_values(["ttf", "term"], ascending=[False, True])
+                .head(20).reset_index(drop=True))
+
+    def doc_stats(sf_dir):
+        out = textstats.quality_stats(ray_docs(sf_dir)).to_pandas()
+        return out[["doc_id", "n_tokens", "n_unique_tokens"]]
+
+    def quality(sf_dir):
+        out = textstats.quality_stats(ray_docs(sf_dir)).to_pandas()
+        return out[["doc_id", "n_tokens", "stopword_ratio", "mean_token_len"]]
+
+    def langid_q(sf_dir):
+        out = textstats.langid(ray_docs(sf_dir)).to_pandas()
+        return out[["doc_id", "lang_pred"]]
+
+    def token_count_by_source(sf_dir):
+        return textstats.token_count_by(ray_docs(sf_dir), "source").to_pandas()
+
+    def lang_distribution(sf_dir):
+        from ray.data.aggregate import Count
+
+        return (ray_docs(sf_dir).groupby("lang")
+                .aggregate(Count(alias_name="n_docs")).to_pandas())
+
+    def dedup_exact(sf_dir):
+        return dedup.exact_dedup_groups(ray_docs(sf_dir)).to_pandas()
+
+    def dedup_fingerprint(sf_dir):
+        return dedup.fingerprint_dedup_groups(ray_docs(sf_dir)).to_pandas()
+
+    def minhash_pairs(sf_dir):
+        return dedup.minhash_lsh_pairs(ray_docs(sf_dir), threshold=0.9).to_pandas()
+
+    def simhash_q(sf_dir):
+        return dedup.simhash_groups(ray_docs(sf_dir)).to_pandas()
+
+    def fingerprints_q(sf_dir):
+        import pyarrow.parquet as pq
+
+        from iresearch_ray.analysis import get_analyzer
+        from iresearch_ray.analysis.minhash import rolling_fingerprints, stable_hash_strings
+
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "text"])
+        ana = get_analyzer("ascii")
+        toks: list[str] = []
+        offs = np.zeros(t.num_rows + 1, dtype=np.int64)
+        for i, txt in enumerate(t["text"].to_pylist()):
+            ws = ana.tokens(txt)
+            toks.extend(ws)
+            offs[i + 1] = len(toks)
+        th = stable_hash_strings(toks) if toks else np.empty(0, np.uint64)
+        d, f = rolling_fingerprints(th, offs)
+        doc_ids = t["doc_id"].to_numpy()
+        return pd.DataFrame({"doc_id": doc_ids[d], "fingerprint": f.view(np.int64)})
+
+    def ann_cosine(sf_dir):
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        import ray.data
+
+        emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        row = emb.filter(pc.equal(emb["vec_id"], 0))
+        q = np.asarray(row["embedding"].to_pylist()[0], dtype=np.float64)
+        ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        out = ann.cosine_topk(ds, q, k=10, dtype=np.float64)
+        return pd.DataFrame({"vec_id": out["vec_id"].astype(np.int64),
+                             "cosine": np.round(out["cosine"].to_numpy(), 6)})
+
+    def ann_lsh(sf_dir):
+        import pyarrow.parquet as pq
+        import ray.data
+
+        emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        q = np.asarray(emb["embedding"].to_pylist()[0], dtype=np.float32)
+        ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        out = ann.lsh_topk(ds, q, k=10, planes=4, multiprobe=1)
+        return pd.DataFrame({"vec_id": out["vec_id"].astype(np.int64)})
+
+    def multimodal_q(sf_dir):
+        import ray.data
+        from iresearch_ray.sources.pages import pages_from_documents
+
+        ds = ray.data.from_arrow(pages_from_documents(sf_dir))
+        out = multimodal.decode_features(ds, payload_column="html",
+                                         feature_dim=8).to_pandas()
+        return pd.DataFrame({"url": out["url"],
+                             "payload_bytes": out["payload_bytes"].astype(np.int64)})
+
+    return {
+        # --- engine-backed fulltext (index build + query execution) ---
+        "term_postings": term_postings,
+        "term_search": lambda sf: _all_matches(sf, TermFilter("batch")),
+        "term_topk": lambda sf: _topk(sf, TermFilter("batch"), k=10),
+        "term_topk_wand": lambda sf: _topk(sf, TermFilter("the"), k=10, mode="top"),
+        "bool_and_search": lambda sf: _all_matches(
+            sf, AndFilter([TermFilter("batch"), TermFilter("stream")])),
+        "bool_or_minmatch": lambda sf: _all_matches(
+            sf, OrFilter([TermFilter("spark"), TermFilter("window"),
+                          TermFilter("dup")], min_match=2), with_counts=True),
+        "phrase_search": lambda sf: _all_matches(sf, PhraseFilter(["batch", "batch"])),
+        "prefix_search": lambda sf: _all_matches(sf, PrefixFilter("st"),
+                                                 with_counts=True),
+        "range_search": lambda sf: _all_matches(
+            sf, RangeFilter("key", "merge"), with_counts=True),
+        "wildcard_search": lambda sf: _all_matches(sf, WildcardFilter("%ow%"),
+                                                   with_counts=True),
+        "fuzzy_search": lambda sf: _all_matches(
+            sf, FuzzyFilter("batc", max_distance=1), with_counts=True),
+        "term_dictionary": term_dictionary,
+        "top_terms": top_terms,
+        # --- text-analysis pipelines ---
+        "doc_stats": doc_stats,
+        "quality_stats": quality,
+        "langid": langid_q,
+        "token_count_by_source": token_count_by_source,
+        "lang_distribution": lang_distribution,
+        # --- dedup pipelines ---
+        "dedup_exact": dedup_exact,
+        "dedup_fingerprint": dedup_fingerprint,
+        "minhash_pairs": minhash_pairs,            # rows-only
+        "simhash_groups": simhash_q,               # rows-only
+        "doc_fingerprints": fingerprints_q,        # rows-only
+        # --- similarity search ---
+        "ann_cosine": ann_cosine,
+        "ann_lsh": ann_lsh,                        # rows-only (approximate)
+        # --- multimodal plumbing ---
+        "multimodal_features": multimodal_q,       # rows-only
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    k, b = BM25_K, BM25_B
+    profiles_sql = _sql_langid()
+    return {
+        "term_postings": f"""
+{_TOK_CTE}
+SELECT doc_id, {_sql_tf('batch')} AS tf FROM tok
+WHERE {_sql_tf('batch')} > 0
+""",
+        "term_search": _sql_bm25(_sql_tf("batch"), "f > 0"),
+        "term_topk": _sql_bm25(_sql_tf("batch"), "f > 0") +
+        " ORDER BY score DESC, doc_id LIMIT 10",
+        "term_topk_wand": _sql_bm25(_sql_tf("the"), "f > 0") +
+        " ORDER BY score DESC, doc_id LIMIT 10",
+        "bool_and_search": f"""
+{_TOK_CTE},
+stats AS (SELECT count(*)::DOUBLE AS n, sum(len(ts))::DOUBLE AS tot FROM tok),
+tf AS (SELECT doc_id, {_sql_tf('batch')} AS f1, {_sql_tf('stream')} AS f2,
+              len(ts) AS dl FROM tok),
+d1 AS (SELECT count(*)::DOUBLE AS df FROM tf WHERE f1 > 0),
+d2 AS (SELECT count(*)::DOUBLE AS df FROM tf WHERE f2 > 0),
+m AS (SELECT * FROM tf WHERE f1 > 0 AND f2 > 0)
+SELECT m.doc_id, round(
+   (({k}+1)*ln(1+(s.n-d1.df+0.5)/(d1.df+0.5)))
+   - (({k}+1)*ln(1+(s.n-d1.df+0.5)/(d1.df+0.5)))
+     * (({k}-{k}*{b}) + ({k}*{b}/(s.tot/s.n))*m.dl)
+     / ((({k}-{k}*{b}) + ({k}*{b}/(s.tot/s.n))*m.dl) + m.f1)
+ + (({k}+1)*ln(1+(s.n-d2.df+0.5)/(d2.df+0.5)))
+   - (({k}+1)*ln(1+(s.n-d2.df+0.5)/(d2.df+0.5)))
+     * (({k}-{k}*{b}) + ({k}*{b}/(s.tot/s.n))*m.dl)
+     / ((({k}-{k}*{b}) + ({k}*{b}/(s.tot/s.n))*m.dl) + m.f2), 4) AS score
+FROM m, d1, d2, stats s
+""",
+        "bool_or_minmatch": f"""
+{_TOK_CTE},
+tf AS (SELECT doc_id, {_sql_tf('spark')} AS f1, {_sql_tf('window')} AS f2,
+              {_sql_tf('dup')} AS f3 FROM tok)
+SELECT doc_id, ((f1>0)::INT + (f2>0)::INT + (f3>0)::INT)::BIGINT AS n_terms
+FROM tf WHERE (f1>0)::INT + (f2>0)::INT + (f3>0)::INT >= 2
+""",
+        "phrase_search": f"""
+{_TOK_CTE},
+stats AS (SELECT count(*)::DOUBLE AS n, sum(len(ts))::DOUBLE AS tot FROM tok),
+pos AS (SELECT doc_id, unnest(ts) AS w, generate_subscripts(ts, 1) AS p FROM tok),
+ph AS (SELECT a.doc_id, count(*) AS f
+       FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+       WHERE a.w = 'batch' AND b.w = 'batch' GROUP BY a.doc_id),
+d AS (SELECT count(*)::DOUBLE AS df FROM tok WHERE {_sql_tf('batch')} > 0),
+dl AS (SELECT doc_id, len(ts) AS dl FROM tok)
+SELECT ph.doc_id, round(
+   (({k}+1)*(2*ln(1+(s.n-d.df+0.5)/(d.df+0.5))))
+   - (({k}+1)*(2*ln(1+(s.n-d.df+0.5)/(d.df+0.5))))
+     * (({k}-{k}*{b}) + ({k}*{b}/(s.tot/s.n))*dl.dl)
+     / ((({k}-{k}*{b}) + ({k}*{b}/(s.tot/s.n))*dl.dl) + ph.f), 4) AS score
+FROM ph JOIN dl ON ph.doc_id = dl.doc_id, d, stats s
+""",
+        "prefix_search": _sql_expansion_counts("w LIKE 'st%'"),
+        "range_search": _sql_expansion_counts("w >= 'key' AND w < 'merge'"),
+        "wildcard_search": _sql_expansion_counts("w LIKE '%ow%'"),
+        "fuzzy_search": _sql_expansion_counts("levenshtein(w, 'batc') <= 1"),
+        "term_dictionary": f"""
+{_TOK_CTE},
+pos AS (SELECT doc_id, unnest(ts) AS w FROM tok)
+SELECT w AS term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS ttf
+FROM pos GROUP BY w
+""",
+        "top_terms": f"""
+{_TOK_CTE},
+pos AS (SELECT doc_id, unnest(ts) AS w FROM tok)
+SELECT w AS term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS ttf
+FROM pos GROUP BY w ORDER BY ttf DESC, term LIMIT 20
+""",
+        "doc_stats": f"""
+{_TOK_CTE}
+SELECT doc_id, len(ts)::BIGINT AS n_tokens,
+       len(list_distinct(ts))::BIGINT AS n_unique_tokens
+FROM tok
+""",
+        "quality_stats": f"""
+{_TOK_CTE}
+SELECT doc_id, len(ts)::BIGINT AS n_tokens,
+  CASE WHEN len(ts) = 0 THEN 0.0 ELSE round(
+    len(list_filter(ts, x -> x IN ({', '.join(repr(w) for w in LANG_PROFILES['en'])})))::DOUBLE
+    / len(ts), 6) END AS stopword_ratio,
+  CASE WHEN len(ts) = 0 THEN 0.0 ELSE round(
+    list_aggregate(list_transform(ts, x -> len(x)), 'sum')::DOUBLE / len(ts), 6)
+  END AS mean_token_len
+FROM tok
+""",
+        "langid": profiles_sql,
+        "token_count_by_source": f"""
+WITH tok AS (SELECT source, {_TOK} AS ts FROM documents)
+SELECT source, sum(len(ts))::BIGINT AS total_tokens FROM tok GROUP BY source
+""",
+        "lang_distribution": """
+SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang
+""",
+        "dedup_exact": """
+SELECT md5(text) AS text_hash, count(*)::BIGINT AS dup_count,
+       min(doc_id)::BIGINT AS keep_id
+FROM documents GROUP BY md5(text)
+""",
+        "dedup_fingerprint": f"""
+{_TOK_CTE}
+SELECT md5(array_to_string(list_sort(ts), ' ')) AS fingerprint,
+       count(*)::BIGINT AS dup_count, min(doc_id)::BIGINT AS keep_id
+FROM tok GROUP BY 1
+""",
+        "ann_cosine": """
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id::BIGINT AS vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 6) AS cosine
+FROM embeddings e, q
+ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qe) DESC, e.vec_id
+LIMIT 10
+""",
+        # minhash_pairs / simhash_groups / doc_fingerprints / ann_lsh /
+        # multimodal_features are intentionally omitted: hash-sketch and
+        # approximate operators are not ANSI-SQL-expressible -> rows-only.
+    }

@@ -18,20 +18,22 @@ import pyarrow as pa
 from iresearch_ray.util import pool_size
 
 
-def _as_matrix(col) -> np.ndarray:
+def _as_matrix(col, dtype=np.float32) -> np.ndarray:
     arr = col.combine_chunks() if hasattr(col, "combine_chunks") else col
     lst = arr.to_pylist()
-    return np.asarray(lst, dtype=np.float32)
+    return np.asarray(lst, dtype=dtype)
 
 
 class CosineTopKBatch:
     """Per-batch brute-force cosine top-k against broadcast queries."""
 
-    def __init__(self, query_ref, id_column: str, vec_column: str, k: int):
+    def __init__(self, query_ref, id_column: str, vec_column: str, k: int,
+                 dtype=np.float32):
         import ray
 
+        self.dtype = np.dtype(dtype).type
         q = ray.get(query_ref) if not isinstance(query_ref, np.ndarray) else query_ref
-        self.q = np.asarray(q, dtype=np.float32)
+        self.q = np.asarray(q, dtype=self.dtype)
         if self.q.ndim == 1:
             self.q = self.q[None, :]
         self.qn = self.q / np.maximum(np.linalg.norm(self.q, axis=1, keepdims=True), 1e-30)
@@ -41,7 +43,7 @@ class CosineTopKBatch:
 
     def __call__(self, b: pa.Table) -> pa.Table:
         ids = b[self.id_column].to_numpy()
-        m = _as_matrix(b[self.vec_column])
+        m = _as_matrix(b[self.vec_column], self.dtype)
         mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
         sims = mn @ self.qn.T  # (batch, n_queries)
         out_q, out_id, out_s = [], [], []
@@ -58,16 +60,17 @@ class CosineTopKBatch:
 
 
 def cosine_topk(ds, query: np.ndarray, k: int = 10, id_column: str = "vec_id",
-                vec_column: str = "embedding", concurrency: int | None = None) -> pd.DataFrame:
+                vec_column: str = "embedding", concurrency: int | None = None,
+                dtype=np.float32) -> pd.DataFrame:
     """Exact cosine top-k (per query row in `query`): the per-batch partial
     top-k keeps the shuffle tiny (k rows per batch per query)."""
     import ray
 
-    qref = ray.put(np.asarray(query, dtype=np.float32))
+    qref = ray.put(np.asarray(query, dtype=dtype))
     partials = ds.map_batches(
         CosineTopKBatch,
         fn_constructor_kwargs=dict(query_ref=qref, id_column=id_column,
-                                   vec_column=vec_column, k=k),
+                                   vec_column=vec_column, k=k, dtype=dtype),
         batch_format="pyarrow", concurrency=pool_size(concurrency))
     df = partials.to_pandas()  # tiny: k rows per (batch, query)
     out = []

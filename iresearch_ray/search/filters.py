@@ -123,13 +123,18 @@ class _PreparedUnion(Prepared):
         self.dtype = dtype
 
     def execute(self, seg):
+        docs, scores, _ = self.execute_counts(seg)
+        return docs, scores
+
+    def execute_counts(self, seg):
+        """(docs, scores, n matched children per doc) after min_match."""
         res = [c.execute(seg) for c in self.children]
         docs, scores, counts = union_sum([r[0] for r in res], [r[1] for r in res],
                                          counts_needed=True, dtype=self.dtype)
         if self.min_match > 1:
             keep = counts >= self.min_match
-            return docs[keep], scores[keep]
-        return docs, scores
+            return docs[keep], scores[keep], counts[keep]
+        return docs, scores, counts
 
 
 # ------------------------------------------------------------- boolean ----
@@ -313,9 +318,15 @@ class _PreparedExpansion(Prepared):
         self.dtype = dtype
 
     def execute(self, seg):
+        docs, scores, _ = self.execute_counts(seg)
+        return docs, scores
+
+    def execute_counts(self, seg):
+        """(docs, scores, n distinct matched terms per doc)."""
         rows = self.matches.get(seg.id)
         if rows is None or len(rows) == 0:
-            return _empty(self.dtype)
+            e = _empty(self.dtype)
+            return e[0], e[1], np.empty(0, dtype=np.int64)
         docs_l, scores_l = [], []
         terms = seg.reader.terms
         for r in rows:
@@ -328,7 +339,7 @@ class _PreparedExpansion(Prepared):
                 scores = sp.score(freqs, seg.reader.doc_len[docs - 1], seg.tiny)
             docs_l.append(docs)
             scores_l.append(scores)
-        return union_sum(docs_l, scores_l, dtype=self.dtype)
+        return union_sum(docs_l, scores_l, counts_needed=True, dtype=self.dtype)
 
 
 class PrefixFilter(_ExpansionFilter):

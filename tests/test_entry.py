@@ -1,0 +1,81 @@
+"""Mini-driver: run queries() vs oracle_sql() through DuckDB exactly like
+the external correctness gate (row-count + schema + order-insensitive
+values), at sf0.001 for speed."""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import __ray_entry__ as entrymod
+
+SF = os.environ.get("GRAFT_TEST_SF", "/root/testdata/sf0.001")
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype(np.int64)
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype(np.float64)
+        else:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def _to_pandas(res):
+    if isinstance(res, pd.DataFrame):
+        return res
+    if hasattr(res, "to_pandas"):
+        return res.to_pandas()
+    raise TypeError(type(res))
+
+
+ORACLE = entrymod.oracle_sql()
+QUERIES = entrymod.queries()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE))
+def test_query_matches_oracle(ray_session, con, name):
+    ours = _normalize(_to_pandas(QUERIES[name](SF)))
+    theirs = _normalize(con.execute(ORACLE[name]).df())
+    assert list(ours.columns) == list(theirs.columns), (
+        f"{name}: schema {list(ours.columns)} vs {list(theirs.columns)}")
+    assert len(ours) == len(theirs), f"{name}: rows {len(ours)} vs {len(theirs)}"
+    for c in ours.columns:
+        a, b = ours[c].to_numpy(), theirs[c].to_numpy()
+        if a.dtype.kind == "f":
+            assert np.array_equal(a, b), f"{name}.{c}: float values differ"
+        else:
+            assert (a == b).all(), f"{name}.{c}: values differ"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE)))
+def test_rows_only_queries_run(ray_session, name):
+    res = _to_pandas(QUERIES[name](SF))
+    assert len(res) >= 0
+    assert len(res.columns) >= 1
+
+
+def test_entry_smoke(ray_session):
+    df = entrymod.entry()
+    assert len(df) > 0
+    assert list(df.columns) == ["category", "rank", "doc_id", "score"]
+    assert df["category"].nunique() == 10
+    # deterministic across calls
+    df2 = entrymod.entry()
+    pd.testing.assert_frame_equal(df, df2)
