@@ -84,8 +84,13 @@ class RegexTokenizer(Analyzer):
     def __init__(self, kind: str = "unicode", lowercase: bool = True):
         if kind == "unicode":
             self._pat = re.compile(r"\w+", re.UNICODE)
+            self.arrow_split_pattern = None
         elif kind == "ascii":
             self._pat = re.compile(r"[a-z0-9]+")
+            # enables the zero-Python-object Arrow tokenize fast path
+            # (flatten_batch_arrow); RE2 [^a-z0-9]+ splits identically to
+            # findall('[a-z0-9]+') on lowered text
+            self.arrow_split_pattern = "[^a-z0-9]+" if lowercase else None
         else:
             raise ValueError(f"unknown RegexTokenizer kind: {kind}")
         self.kind = kind
@@ -232,6 +237,50 @@ register_analyzer("segmentation", lambda **o: RegexTokenizer(kind="unicode", **o
 register_analyzer("delimiter", lambda **o: DelimiterAnalyzer(**o))
 register_analyzer("ngram", lambda **o: NgramAnalyzer(**o))
 register_analyzer("norm", lambda **o: NormalizeAnalyzer(**o))
+
+
+def flatten_batch_arrow(analyzer: Analyzer, texts) -> dict[str, np.ndarray]:
+    """Arrow-native tokenize: text column -> coded postings-ready arrays.
+
+    All heavy work (case fold, regex split, flatten, dictionary hash) runs in
+    Arrow C kernels — no per-token Python objects, which is what keeps the
+    build memory-bandwidth-friendly at high task concurrency.  Only usable
+    when ``analyzer.arrow_split_pattern`` is set (the deterministic ascii
+    word tokenizer); output tokens are IDENTICAL to the Python path.
+
+    Returns: ``codes`` (int64 per occurrence, batch-local), ``dict`` (object
+    ndarray: batch-local code -> term string), ``doc_idx``, ``position``,
+    ``doc_len``.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = texts if isinstance(texts, (pa.Array, pa.ChunkedArray)) else pa.array(texts)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    lowered = pc.utf8_lower(arr)
+    lists = pc.split_pattern_regex(lowered, analyzer.arrow_split_pattern)
+    lists = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) else lists
+    offsets = np.asarray(lists.offsets, dtype=np.int64)
+    offsets = offsets - offsets[0]
+    flat = pc.list_flatten(lists)
+    mask = pc.not_equal(flat, "")  # split keeps empty edge pieces; drop them
+    mask_np = mask.to_numpy(zero_copy_only=False)
+    n_docs = len(lists)
+    counts_all = np.diff(offsets)
+    doc_idx_all = np.repeat(np.arange(n_docs, dtype=np.int64), counts_all)
+    kept = np.flatnonzero(mask_np)
+    doc_idx = doc_idx_all[kept]
+    doc_len = np.bincount(doc_idx, minlength=n_docs).astype(np.int64)
+    starts = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(doc_len[:-1], out=starts[1:])
+    position = np.arange(len(kept), dtype=np.int64) - np.repeat(starts, doc_len)
+    enc = pc.dictionary_encode(flat.filter(mask))
+    enc = enc.combine_chunks() if isinstance(enc, pa.ChunkedArray) else enc
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    dict_np = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+    return {"codes": codes, "dict": dict_np, "doc_idx": doc_idx,
+            "position": position, "doc_len": doc_len}
 
 
 def flatten_batch(analyzer: Analyzer, texts: list[str]) -> dict[str, np.ndarray]:

@@ -37,7 +37,7 @@ import numpy as np
 import pyarrow.parquet as pq
 
 from iresearch_ray.analysis import get_analyzer
-from iresearch_ray.analysis.tokenizers import flatten_batch
+from iresearch_ray.analysis.tokenizers import flatten_batch, flatten_batch_arrow
 from iresearch_ray.index import manifest as manifest_mod
 from iresearch_ray.index.segment import META_FILE, SegmentWriter, analyzer_config_hash
 
@@ -156,23 +156,55 @@ class BuildSegmentTask:
             return meta
         pf = pq.ParquetFile(spec["file"])
         writer = SegmentWriter(spec["segment_id"], self.analyzer.config(), lineage)
+        arrow_fast = getattr(self.analyzer, "arrow_split_pattern", None)
         for rb in pf.iter_batches(batch_size=TOKENIZE_BATCH_ROWS,
                                   row_groups=list(spec["row_groups"]),
                                   columns=[self.key_column, self.text_column]):
-            texts = rb.column(self.text_column).to_pylist()
             keys = rb.column(self.key_column).to_pylist()
-            writer.add_batch(flatten_batch(self.analyzer, texts), keys)
+            if arrow_fast:
+                writer.add_batch_coded(
+                    flatten_batch_arrow(self.analyzer, rb.column(self.text_column)),
+                    keys)
+            else:
+                texts = rb.column(self.text_column).to_pylist()
+                writer.add_batch(flatten_batch(self.analyzer, texts), keys)
         meta = writer.flush(self.index_dir)
         meta["_skipped"] = False
         meta["_wall_s"] = time.monotonic() - t0
         return meta
 
 
+class _SegmentTaskFn:
+    """Pickle-friendly stateless wrapper: constructs the (cheap) analyzer
+    lazily per worker process and delegates to BuildSegmentTask."""
+
+    def __init__(self, ctor: dict):
+        self.ctor = ctor
+        self._impl = None
+
+    def __call__(self, batch):
+        if self._impl is None:
+            self._impl = BuildSegmentTask(**self.ctor)
+        return self._impl(batch)
+
+
 def build_index(paths, index_dir: str, analyzer: str = "unicode",
                 analyzer_opts: dict | None = None, text_column: str = "text",
                 key_column: str = "url", target_docs: int = DEFAULT_TARGET_DOCS,
-                concurrency: int | None = None, commit: bool = True) -> dict:
+                concurrency: int | None = None, commit: bool = True,
+                use_actors: bool = False, cpus_per_task: int = 1) -> dict:
     """Build (or resume) an index over Parquet inputs; returns the manifest.
+
+    ``cpus_per_task`` reserves that many CPUs per segment task — raise to 2
+    on hosts whose vCPUs are oversubscribed (tokenize+invert is
+    memory-bandwidth-bound; fewer concurrent tasks can be faster).
+
+    ``use_actors=False`` (default) runs segment tasks as stateless Ray tasks
+    — our analyzers construct in microseconds, and a per-segment task reuses
+    Ray's prestarted worker pool instead of paying a fresh process spawn +
+    heavy imports per actor.  Flip to True for analyzers with genuinely
+    expensive state (ML models, large stopword/stemmer tables), which is the
+    reference's per-thread analyzer-pool scenario (utils/index-put.cpp:343).
 
     Returns manifest dict; ``manifest['build_stats']`` carries per-segment
     counters including how many segments were skipped by resume.
@@ -189,13 +221,18 @@ def build_index(paths, index_dir: str, analyzer: str = "unicode",
     ds = ray.data.from_items(specs)
     if concurrency is None:
         concurrency = max(1, min(len(specs), int(ray.cluster_resources().get("CPU", 4))))
-    stats_ds = ds.map_batches(
-        BuildSegmentTask,
-        fn_constructor_kwargs=dict(index_dir=index_dir, analyzer_name=analyzer,
-                                   analyzer_opts=analyzer_opts,
-                                   text_column=text_column, key_column=key_column),
-        batch_size=1, concurrency=min(concurrency, len(specs)), num_cpus=1,
-        batch_format="numpy")
+    ctor = dict(index_dir=index_dir, analyzer_name=analyzer,
+                analyzer_opts=analyzer_opts,
+                text_column=text_column, key_column=key_column)
+    if use_actors:
+        stats_ds = ds.map_batches(
+            BuildSegmentTask, fn_constructor_kwargs=ctor,
+            batch_size=1, concurrency=min(concurrency, len(specs)),
+            num_cpus=cpus_per_task, batch_format="numpy")
+    else:
+        task = _SegmentTaskFn(ctor)
+        stats_ds = ds.map_batches(task, batch_size=1, num_cpus=cpus_per_task,
+                                  batch_format="numpy")
     rows = stats_ds.take_all()  # one small row per segment
     rows.sort(key=lambda r: r["segment_id"])
 

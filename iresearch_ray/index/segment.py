@@ -73,6 +73,8 @@ class SegmentWriter:
 
     def __post_init__(self):
         self._term_chunks: list[np.ndarray] = []
+        self._code_chunks: list[np.ndarray] = []   # coded fast path
+        self._dict_chunks: list[np.ndarray] = []
         self._doc_chunks: list[np.ndarray] = []
         self._pos_chunks: list[np.ndarray] = []
         self._doc_len_chunks: list[np.ndarray] = []
@@ -85,6 +87,8 @@ class SegmentWriter:
 
     def add_batch(self, flat: dict, keys) -> None:
         """Add one tokenized batch (from analysis.flatten_batch) + doc keys."""
+        if self._code_chunks:
+            raise ValueError("cannot mix coded and object batches")
         n = len(flat["doc_len"])
         # densely assign 1-based segment-local doc ids in insertion order
         self._term_chunks.append(flat["terms"])
@@ -94,10 +98,25 @@ class SegmentWriter:
         self._key_chunks.append(np.asarray(keys))
         self._num_docs += n
 
+    def add_batch_coded(self, flat: dict, keys) -> None:
+        """Add one CODED batch (from analysis.flatten_batch_arrow) + keys.
+
+        Stores int codes + the batch's small term dictionary — no per-token
+        Python objects; the cross-batch dictionary merge happens at flush.
+        """
+        if self._term_chunks:
+            raise ValueError("cannot mix coded and object batches")
+        n = len(flat["doc_len"])
+        self._code_chunks.append(flat["codes"])
+        self._dict_chunks.append(flat["dict"])
+        self._doc_chunks.append(flat["doc_idx"] + (self._num_docs + 1))
+        self._pos_chunks.append(flat["position"])
+        self._doc_len_chunks.append(flat["doc_len"])
+        self._key_chunks.append(np.asarray(keys))
+        self._num_docs += n
+
     def flush(self, out_dir: str) -> dict:
         """Invert + encode + atomically write artifacts; return segment meta."""
-        terms = (np.concatenate(self._term_chunks) if self._term_chunks
-                 else np.empty(0, dtype=object))
         docs = (np.concatenate(self._doc_chunks) if self._doc_chunks
                 else np.empty(0, dtype=np.int64))
         poss = (np.concatenate(self._pos_chunks) if self._pos_chunks
@@ -107,7 +126,26 @@ class SegmentWriter:
         keys = (np.concatenate(self._key_chunks) if self._key_chunks
                 else np.empty(0, dtype=object))
 
-        table = invert_to_table(terms, docs, poss)
+        if self._code_chunks:
+            # merge per-batch dictionaries (small) -> global sorted ranks,
+            # then remap each batch's codes through its slice of the mapping
+            all_dicts = np.concatenate(self._dict_chunks)
+            g_codes, uniques = pd.factorize(all_dicts, sort=True)
+            remapped = []
+            off = 0
+            for codes, d in zip(self._code_chunks, self._dict_chunks):
+                remapped.append(g_codes[off + codes])
+                off += len(d)
+            codes = (np.concatenate(remapped) if remapped
+                     else np.empty(0, dtype=np.int64))
+            n_tokens = len(codes)
+            table = invert_coded(codes, np.asarray(uniques, dtype=object),
+                                 docs, poss)
+        else:
+            terms = (np.concatenate(self._term_chunks) if self._term_chunks
+                     else np.empty(0, dtype=object))
+            n_tokens = len(terms)
+            table = invert_to_table(terms, docs, poss)
         meta = {
             "format_version": FORMAT_VERSION,
             "segment_id": self.segment_id,
@@ -119,7 +157,7 @@ class SegmentWriter:
             "analyzer_hash": analyzer_config_hash(self.analyzer_config),
             "lineage": self.lineage,
             "counters": {"docs_tokenized": int(self._num_docs),
-                         "tokens_emitted": int(len(terms))},
+                         "tokens_emitted": int(n_tokens)},
         }
         docmap = pa.table({
             "doc_id": pa.array(np.arange(1, self._num_docs + 1, dtype=np.int64)),
@@ -138,6 +176,14 @@ def invert_to_table(terms: np.ndarray, docs: np.ndarray, poss: np.ndarray) -> pa
     (formats_10.cpp:823-828).
     """
     codes, uniques = pd.factorize(terms, sort=True)
+    return invert_coded(codes, np.asarray(uniques, dtype=object), docs, poss)
+
+
+def invert_coded(codes: np.ndarray, sorted_uniques: np.ndarray,
+                 docs: np.ndarray, poss: np.ndarray) -> pa.Table:
+    """Invert from pre-coded occurrences (codes are ranks into the SORTED
+    unique-term array) — the zero-object fast path's entry point."""
+    uniques = sorted_uniques
     order = np.lexsort((poss, docs, codes))
     codes, docs, poss = codes[order], docs[order], poss[order]
 
@@ -395,16 +441,20 @@ class SegmentReader:
 
     def skips(self, idx: int) -> dict | None:
         tbl = self.terms_table
-        last = tbl["skip_last_doc"][idx].as_py()
-        if not last:
+
+        def col(name):
+            return tbl[name][idx].values.to_numpy(zero_copy_only=False).astype(np.int64)
+
+        last = col("skip_last_doc")
+        if len(last) == 0:
             return None
         return {
-            "last_doc": np.asarray(last, dtype=np.int64),
-            "max_freq": np.asarray(tbl["skip_max_freq"][idx].as_py(), dtype=np.int64),
-            "doc_off": np.asarray(tbl["skip_doc_off"][idx].as_py(), dtype=np.int64),
-            "freq_off": np.asarray(tbl["skip_freq_off"][idx].as_py(), dtype=np.int64),
-            "pos_off": np.asarray(tbl["skip_pos_off"][idx].as_py(), dtype=np.int64),
-            "pos_cnt": np.asarray(tbl["skip_pos_cnt"][idx].as_py(), dtype=np.int64),
+            "last_doc": last,
+            "max_freq": col("skip_max_freq"),
+            "doc_off": col("skip_doc_off"),
+            "freq_off": col("skip_freq_off"),
+            "pos_off": col("skip_pos_off"),
+            "pos_cnt": col("skip_pos_cnt"),
         }
 
     def decode_blocks(self, idx: int, block_mask: np.ndarray):

@@ -133,8 +133,10 @@ def _wand_term(prep: _PreparedTerm, seg: SegmentView, k: int,
     if i < 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=dtype)
     sk = seg.reader.skips(i)
-    if sk is None:  # short list: decode fully (reference enables WAND only
-        # for lists longer than one block, formats_10.cpp:2355-2357)
+    if sk is None or len(sk["last_doc"]) < 8:
+        # short list: decode fully — block pruning can't recoup its skip
+        # bookkeeping below ~1k postings (the reference likewise enables
+        # WAND only for lists longer than one block, formats_10.cpp:2355-57)
         docs, freqs = seg.reader.postings(i)
         docs = docs.astype(np.int64, copy=False)
         return docs, prep.sp.score(freqs, seg.reader.doc_len[docs - 1], seg.tiny)

@@ -387,8 +387,28 @@ class FuzzyFilter(_ExpansionFilter):
         self.term = term
         self.max_distance = max_distance
         self.prefix_len = prefix_len
+        self._dist_cache: dict[str, bool] = {}  # term -> within distance?
+        # segments share most of their vocabulary, so distances computed for
+        # one segment's dictionary answer the others nearly for free
 
     def _match(self, r):
-        idx, _ = automaton.match_fuzzy(r.terms, self.term, self.max_distance,
-                                       self.prefix_len)
-        return idx
+        terms = r.terms
+        if self.prefix_len:
+            prefix = self.term[:self.prefix_len]
+            lo = int(np.searchsorted(terms, prefix, side="left"))
+            hi = int(np.searchsorted(terms, prefix + "\U0010FFFF", side="right"))
+        else:
+            lo, hi = 0, len(terms)
+        window = terms[lo:hi]
+        cache = self._dist_cache
+        new_idx = [i for i, t in enumerate(window) if t not in cache]
+        if new_idx:
+            new_terms = window[new_idx]
+            d = automaton.levenshtein_distances(new_terms, self.term,
+                                                self.max_distance)
+            ok = d <= self.max_distance
+            for t, o in zip(new_terms, ok):
+                cache[t] = bool(o)
+        hit = np.fromiter((cache[t] for t in window), dtype=bool,
+                          count=len(window))
+        return np.flatnonzero(hit) + lo
