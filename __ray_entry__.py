@@ -75,6 +75,26 @@ def _doc_id(key: str) -> int:
     return int(key.rsplit("/", 1)[1])
 
 
+def _numeric_reader(sf_dir: str):
+    """Numeric granularity index over documents.n_chars, cached per sf."""
+    from iresearch_ray.index.build import build_index
+    from iresearch_ray.search import IndexReader
+
+    key = _slug(sf_dir) + "_nchars"
+    if key in _READERS:
+        return _READERS[key]
+    index_dir = os.path.join(_CACHE_ROOT, _slug(sf_dir), "index_nchars")
+    src = os.path.join(sf_dir, "documents.parquet")
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(src).metadata.num_rows
+    build_index(src, index_dir, analyzer="numeric", text_column="n_chars",
+                key_column="doc_id", target_docs=max(32, math.ceil(n / 4)))
+    reader = IndexReader(index_dir)
+    _READERS[key] = reader
+    return reader
+
+
 def _scorer():
     from iresearch_ray.search import BM25
 
@@ -249,6 +269,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (df.sort_values(["ttf", "term"], ascending=[False, True])
                 .head(20).reset_index(drop=True))
 
+    def numeric_range(sf_dir):
+        from iresearch_ray.search import BoostScore, GranularRangeFilter, IndexSearcher
+
+        reader = _numeric_reader(sf_dir)
+        s = IndexSearcher(reader, BoostScore(dtype=np.float64))
+        ids = []
+        prep = GranularRangeFilter(150, 300).prepare(reader, s.scorer)
+        for seg in reader.segments:
+            docs, _ = prep.execute(seg)
+            if len(docs):
+                ids.append(np.array([int(k) for k in seg.reader.keys[docs - 1]],
+                                    dtype=np.int64))
+        out = np.sort(np.concatenate(ids)) if ids else np.empty(0, dtype=np.int64)
+        return pd.DataFrame({"doc_id": out})
+
     def doc_stats(sf_dir):
         out = textstats.quality_stats(ray_docs(sf_dir)).to_pandas()
         return out[["doc_id", "n_tokens", "n_unique_tokens"]]
@@ -357,6 +392,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, FuzzyFilter("batc", max_distance=1), with_counts=True),
         "term_dictionary": term_dictionary,
         "top_terms": top_terms,
+        "numeric_range": numeric_range,
         # --- text-analysis pipelines ---
         "doc_stats": doc_stats,
         "quality_stats": quality,
@@ -448,6 +484,9 @@ FROM pos GROUP BY w
 pos AS (SELECT doc_id, unnest(ts) AS w FROM tok)
 SELECT w AS term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS ttf
 FROM pos GROUP BY w ORDER BY ttf DESC, term LIMIT 20
+""",
+        "numeric_range": """
+SELECT doc_id FROM documents WHERE n_chars BETWEEN 150 AND 300
 """,
         "doc_stats": f"""
 {_TOK_CTE}

@@ -12,3 +12,5 @@ from iresearch_ray.analysis.tokenizers import (  # noqa: F401
     get_analyzer,
     register_analyzer,
 )
+
+from iresearch_ray.analysis import numeric as _numeric  # noqa: F401 — registers 'numeric'

@@ -157,10 +157,12 @@ class BuildSegmentTask:
         pf = pq.ParquetFile(spec["file"])
         writer = SegmentWriter(spec["segment_id"], self.analyzer.config(), lineage)
         arrow_fast = getattr(self.analyzer, "arrow_split_pattern", None)
+        import pyarrow as pa
+
         for rb in pf.iter_batches(batch_size=TOKENIZE_BATCH_ROWS,
                                   row_groups=list(spec["row_groups"]),
                                   columns=[self.key_column, self.text_column]):
-            keys = rb.column(self.key_column).to_pylist()
+            keys = rb.column(self.key_column).cast(pa.string()).to_pylist()
             if arrow_fast:
                 writer.add_batch_coded(
                     flatten_batch_arrow(self.analyzer, rb.column(self.text_column)),

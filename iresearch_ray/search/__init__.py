@@ -4,11 +4,14 @@ from iresearch_ray.search.filters import (  # noqa: F401
     AllFilter,
     AndFilter,
     FuzzyFilter,
+    GranularRangeFilter,
     NotFilter,
     OrFilter,
     PhraseFilter,
     PrefixFilter,
+    ProxyFilter,
     RangeFilter,
+    SamePositionFilter,
     TermFilter,
     TermsFilter,
     WildcardFilter,

@@ -1,0 +1,151 @@
+"""Distributed query serving: long-lived segment-group actors.
+
+Scale path for the query side (the reference serves queries from one
+process over mmap'd segments — utils/index-search.cpp:544-546; on a Ray
+cluster segments live across nodes, so readers become a pool of
+**segment-group actors**, each holding its groups' decoded dictionaries /
+docmaps in memory across queries):
+
+1. ``collect``: every actor reports local df for the filter's terms
+   (reference term_collector, summed over segments — bm25.cpp:250-256).
+2. the driver sums dfs into the global ``df_map``.
+3. ``execute``: actors run the filter with the global stats, each returning
+   its top-k candidates (bounded: k rows per group cross the wire).
+4. the driver merges candidate sets into the final top-k.
+
+Dictionary-expansion filters (prefix/range/wildcard/fuzzy) also work: each
+actor expands against its own dictionaries in ``execute`` (their per-term
+stats stay group-local — matching reference behavior only when a term's df
+distribution is even across groups; exact global expansion stats would add
+one more round-trip, noted as future work).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+
+def _make_group_actor():
+    import ray
+
+    @ray.remote(num_cpus=1)
+    class SegmentGroupSearcher:
+        """Holds SegmentReaders for one group of segments (state cached
+        across queries — the reference's long-lived reader + caches)."""
+
+        def __init__(self, index_dir: str, generation, segment_entries,
+                     field_stats):
+            from iresearch_ray.index.segment import SegmentReader
+            from iresearch_ray.search.executor import SegmentView
+            from iresearch_ray.search.scorers import FieldStats
+
+            self.segments = [
+                SegmentView(SegmentReader(os.path.join(index_dir, e["segment_id"])),
+                            e["base"])
+                for e in segment_entries
+            ]
+            self.stats = FieldStats(*field_stats)
+
+        def expand_dfs(self, flt) -> dict:
+            """Dictionary-expansion collect: matched term -> local df."""
+            return flt.expand_dfs(self)
+
+        def term_dfs(self, terms: list[str]) -> dict:
+            out: dict[str, int] = {}
+            for t in terms:
+                total = 0
+                for seg in self.segments:
+                    i = seg.reader.lookup(t)
+                    if i >= 0:
+                        total += int(seg.reader.df_array()[i])
+                if total:
+                    out[t] = total
+            return out
+
+        def execute_topk(self, flt, scorer, df_map: dict, k: int):
+            prep = flt.prepare(self, scorer, df_map=df_map)
+            docs_l, scores_l, keys_l = [], [], []
+            for seg in self.segments:
+                docs, scores = prep.execute(seg)
+                if not len(docs):
+                    continue
+                if len(docs) > k:
+                    top = np.argpartition(scores, len(scores) - k)[len(scores) - k:]
+                    top = top[np.lexsort((docs[top], -scores[top]))]
+                    docs, scores = docs[top], scores[top]
+                keys_l.append(seg.reader.keys[docs - 1])
+                docs_l.append(docs + seg.base)
+                scores_l.append(scores)
+            if not docs_l:
+                return (np.empty(0, dtype=np.int64),
+                        np.empty(0, dtype=np.float64), [])
+            return (np.concatenate(docs_l),
+                    np.concatenate(scores_l).astype(np.float64),
+                    list(np.concatenate(keys_l)))
+
+    return SegmentGroupSearcher
+
+
+class DistributedSearcher:
+    """Driver-side handle over a pool of segment-group actors."""
+
+    def __init__(self, index_dir: str, num_groups: int | None = None,
+                 generation: int | None = None, scorer=None):
+        import ray
+
+        from iresearch_ray.index import manifest as manifest_mod
+        from iresearch_ray.search.scorers import BM25
+
+        self.scorer = scorer or BM25()
+        man = manifest_mod.load(index_dir, generation)
+        entries = []
+        base = 0
+        for s in man["segments"]:
+            entries.append({"segment_id": s["segment_id"], "base": base})
+            base += s["num_docs"]
+        if num_groups is None:
+            num_groups = min(len(entries),
+                             max(1, int(ray.cluster_resources().get("CPU", 4)) - 2))
+        groups = [entries[i::num_groups] for i in range(num_groups)]
+        groups = [g for g in groups if g]
+        field_stats = (man["num_docs"], man["sum_doc_len"])
+        Actor = _make_group_actor()
+        self.actors = [Actor.remote(index_dir, man.get("generation"), g, field_stats)
+                       for g in groups]
+
+    def search(self, flt, k: int = 10) -> pd.DataFrame:
+        import ray
+
+        from iresearch_ray.search.filters import _ExpansionFilter
+
+        df_map: dict[str, int] = {}
+        if isinstance(flt, _ExpansionFilter):
+            parts = ray.get([a.expand_dfs.remote(flt) for a in self.actors])
+        else:
+            terms = sorted(flt.terms_needed())
+            parts = (ray.get([a.term_dfs.remote(terms) for a in self.actors])
+                     if terms else [])
+        for part in parts:
+            for t, d in part.items():
+                df_map[t] = df_map.get(t, 0) + d
+        results = ray.get([a.execute_topk.remote(flt, self.scorer, df_map, k)
+                           for a in self.actors])
+        docs = np.concatenate([r[0] for r in results])
+        scores = np.concatenate([r[1] for r in results])
+        keys = [k_ for r in results for k_ in r[2]]
+        if not len(docs):
+            return pd.DataFrame({"doc": docs, "key": keys, "score": scores})
+        order = np.lexsort((docs, -scores))[:k]
+        return pd.DataFrame({"doc": docs[order],
+                             "key": [keys[i] for i in order],
+                             "score": scores[order]})
+
+    def close(self):
+        import ray
+
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []

@@ -61,8 +61,19 @@ def union_sum(docs_list, scores_list, counts_needed=False, dtype=np.float32):
 class Filter:
     boost: float = 1.0
 
-    def prepare(self, reader, scorer) -> "Prepared":
+    def prepare(self, reader, scorer, df_map: dict | None = None) -> "Prepared":
+        """Two-phase query compilation (reference filter::prepare).
+
+        ``df_map`` optionally supplies GLOBAL term -> df stats collected
+        elsewhere (the distributed path: actors report local dfs, the
+        driver sums and passes the map back down); when None, stats are
+        collected by scanning ``reader.segments`` directly.
+        """
         raise NotImplementedError
+
+    def terms_needed(self) -> set[str]:
+        """Terms whose global df this filter's scoring depends on."""
+        return set()
 
 
 class Prepared:
@@ -77,10 +88,16 @@ class TermFilter(Filter):
     def __init__(self, term: str, boost: float = 1.0):
         self.term, self.boost = term, boost
 
-    def prepare(self, reader, scorer):
+    def terms_needed(self):
+        return {self.term}
+
+    def prepare(self, reader, scorer, df_map=None):
         idxs = [seg.reader.lookup(self.term) for seg in reader.segments]
-        df = sum(int(seg.reader.df_array()[i])
-                 for seg, i in zip(reader.segments, idxs) if i >= 0)
+        if df_map is not None:
+            df = df_map.get(self.term, 0)
+        else:
+            df = sum(int(seg.reader.df_array()[i])
+                     for seg, i in zip(reader.segments, idxs) if i >= 0)
         prep = scorer.prepare(reader.stats, df, self.boost)
         return _PreparedTerm(dict(zip((s.id for s in reader.segments), idxs)), prep)
 
@@ -110,8 +127,11 @@ class TermsFilter(Filter):
         self.boosts = list(boosts) if boosts else [1.0] * len(self.terms)
         self.boost = boost
 
-    def prepare(self, reader, scorer):
-        children = [TermFilter(t, b * self.boost).prepare(reader, scorer)
+    def terms_needed(self):
+        return set(self.terms)
+
+    def prepare(self, reader, scorer, df_map=None):
+        children = [TermFilter(t, b * self.boost).prepare(reader, scorer, df_map)
                     for t, b in zip(self.terms, self.boosts)]
         return _PreparedUnion(children, 1, scorer.dtype)
 
@@ -145,9 +165,12 @@ class AndFilter(Filter):
         self.children = list(children)
         self.boost = boost
 
-    def prepare(self, reader, scorer):
-        return _PreparedAnd([c.prepare(reader, scorer) for c in self.children],
-                            scorer.dtype)
+    def terms_needed(self):
+        return set().union(*(c.terms_needed() for c in self.children))
+
+    def prepare(self, reader, scorer, df_map=None):
+        return _PreparedAnd([c.prepare(reader, scorer, df_map)
+                             for c in self.children], scorer.dtype)
 
 
 class _PreparedAnd(Prepared):
@@ -177,8 +200,12 @@ class OrFilter(Filter):
         self.min_match = min_match
         self.boost = boost
 
-    def prepare(self, reader, scorer):
-        return _PreparedUnion([c.prepare(reader, scorer) for c in self.children],
+    def terms_needed(self):
+        return set().union(*(c.terms_needed() for c in self.children))
+
+    def prepare(self, reader, scorer, df_map=None):
+        return _PreparedUnion([c.prepare(reader, scorer, df_map)
+                               for c in self.children],
                               self.min_match, scorer.dtype)
 
 
@@ -189,9 +216,13 @@ class NotFilter(Filter):
         self.positive, self.negative = positive, negative
         self.boost = boost
 
-    def prepare(self, reader, scorer):
-        return _PreparedNot(self.positive.prepare(reader, scorer),
-                            self.negative.prepare(reader, scorer), scorer.dtype)
+    def terms_needed(self):
+        return self.positive.terms_needed() | self.negative.terms_needed()
+
+    def prepare(self, reader, scorer, df_map=None):
+        return _PreparedNot(self.positive.prepare(reader, scorer, df_map),
+                            self.negative.prepare(reader, scorer, df_map),
+                            scorer.dtype)
 
 
 class _PreparedNot(Prepared):
@@ -213,7 +244,7 @@ class AllFilter(Filter):
     def __init__(self, boost: float = 1.0):
         self.boost = boost
 
-    def prepare(self, reader, scorer):
+    def prepare(self, reader, scorer, df_map=None):
         return _PreparedAll(self.boost, scorer.dtype)
 
 
@@ -237,13 +268,19 @@ class PhraseFilter(Filter):
         self.terms = list(terms)
         self.boost = boost
 
-    def prepare(self, reader, scorer):
+    def terms_needed(self):
+        return set(self.terms)
+
+    def prepare(self, reader, scorer, df_map=None):
         idf_sum = 0.0
         idx_maps = []
         for t in self.terms:
             idxs = {seg.id: seg.reader.lookup(t) for seg in reader.segments}
-            df = sum(int(seg.reader.df_array()[i])
-                     for seg, i in ((s, idxs[s.id]) for s in reader.segments) if i >= 0)
+            if df_map is not None:
+                df = df_map.get(t, 0)
+            else:
+                df = sum(int(seg.reader.df_array()[i])
+                         for seg, i in ((s, idxs[s.id]) for s in reader.segments) if i >= 0)
             idf_sum += scorer.idf(reader.stats.docs_with_field, df)
             idx_maps.append(idxs)
         prep = scorer.prepare(reader.stats, df=0, boost=self.boost,
@@ -291,17 +328,26 @@ class _ExpansionFilter(Filter):
     def _match(self, seg_reader) -> np.ndarray:
         raise NotImplementedError
 
-    def prepare(self, reader, scorer):
+    def expand_dfs(self, reader) -> dict:
+        """Matched term -> summed df over ``reader.segments`` (the
+        collect half of distributed expansion: each actor reports its
+        groups' contribution, the driver sums)."""
         df_by_term: dict[str, int] = defaultdict(int)
-        matches = {}
         for seg in reader.segments:
             rows = self._match(seg.reader)
-            matches[seg.id] = rows
             if len(rows):
                 terms = seg.reader.terms[rows]
                 dfs = seg.reader.df_array()[rows]
                 for t, d in zip(terms, dfs):
                     df_by_term[t] += int(d)
+        return dict(df_by_term)
+
+    def prepare(self, reader, scorer, df_map=None):
+        matches = {seg.id: self._match(seg.reader) for seg in reader.segments}
+        if df_map is not None:
+            df_by_term: dict[str, int] = dict(df_map)
+        else:
+            df_by_term = self.expand_dfs(reader)
         scored = set(df_by_term)
         if self.scored_terms_limit is not None and len(scored) > self.scored_terms_limit:
             best = sorted(df_by_term.items(), key=lambda kv: (-kv[1], kv[0]))
@@ -376,6 +422,102 @@ class WildcardFilter(_ExpansionFilter):
 
     def _match(self, r):
         return automaton.match_wildcard(r.terms, self.pattern)
+
+
+class GranularRangeFilter(_ExpansionFilter):
+    """Numeric [lo, hi] range over granularity terms (reference
+    by_granular_range, core/search/granular_range_filter.cpp): dictionary
+    scans at multiple precision levels instead of one flat value scan."""
+
+    def __init__(self, lo: int, hi: int, step: int | None = None, **kw):
+        super().__init__(**kw)
+        from iresearch_ray.analysis.numeric import PRECISION_STEP_DEF, cover_term_ranges
+
+        self.lo, self.hi = int(lo), int(hi)
+        self.step = step or PRECISION_STEP_DEF
+        self._ranges = cover_term_ranges(self.lo, self.hi, self.step)
+
+    def _match(self, r):
+        parts = []
+        for t_lo, t_hi in self._ranges:
+            a, b = r.term_range(t_lo, t_hi, include_lo=True, include_hi=True)
+            if b > a:
+                parts.append(np.arange(a, b, dtype=np.int64))
+        if not parts:
+            return np.empty(0, dtype=np.int64)
+        return np.concatenate(parts)
+
+
+class SamePositionFilter(Filter):
+    """All terms co-occurring at the SAME position (reference
+    by_same_position, core/search/same_position_filter.cpp) — the offset-0
+    variant of the phrase intersection."""
+
+    def __init__(self, terms, boost: float = 1.0):
+        if not terms:
+            raise ValueError("empty same-position term list")
+        self.terms = list(terms)
+        self.boost = boost
+
+    def terms_needed(self):
+        return set(self.terms)
+
+    def prepare(self, reader, scorer, df_map=None):
+        inner = PhraseFilter(self.terms, boost=self.boost)
+        prep = inner.prepare(reader, scorer, df_map)
+        return _PreparedSamePosition(prep)
+
+
+class _PreparedSamePosition(Prepared):
+    def __init__(self, phrase_prep):
+        self.pp = phrase_prep
+        self.sp = phrase_prep.sp
+
+    def execute(self, seg):
+        keys = None  # (doc << 32) | position, no per-term offset
+        for idxs in self.pp.idx_maps:
+            ti = idxs.get(seg.id, -1)
+            if ti < 0:
+                return _empty(self.sp.dtype)
+            docs, freqs, pos, _ = seg.reader.postings(ti, positions=True)
+            doc_per_occ = np.repeat(docs.astype(np.int64), freqs)
+            k = (doc_per_occ << np.int64(32)) | pos
+            keys = k if keys is None else keys[np.isin(keys, k, assume_unique=True)]
+            if len(keys) == 0:
+                return _empty(self.sp.dtype)
+        match_docs = keys >> np.int64(32)
+        u_docs, freq = np.unique(match_docs, return_counts=True)
+        scores = self.sp.score(freq, seg.reader.doc_len[u_docs - 1], seg.tiny)
+        return u_docs, scores
+
+
+class ProxyFilter(Filter):
+    """Per-segment result cache around an inner filter (reference
+    proxy_filter, core/search/proxy_filter.hpp:36-41) — repeated execution
+    against the same prepared query reuses the (docs, scores) arrays."""
+
+    def __init__(self, inner: Filter):
+        self.inner = inner
+        self.boost = getattr(inner, "boost", 1.0)
+
+    def terms_needed(self):
+        return self.inner.terms_needed()
+
+    def prepare(self, reader, scorer, df_map=None):
+        return _PreparedProxy(self.inner.prepare(reader, scorer, df_map))
+
+
+class _PreparedProxy(Prepared):
+    def __init__(self, inner):
+        self.inner = inner
+        self._cache: dict[str, tuple] = {}
+
+    def execute(self, seg):
+        hit = self._cache.get(seg.id)
+        if hit is None:
+            hit = self.inner.execute(seg)
+            self._cache[seg.id] = hit
+        return hit
 
 
 class FuzzyFilter(_ExpansionFilter):

@@ -1,0 +1,52 @@
+"""Distributed (actor-pool) search must equal the local searcher."""
+
+import numpy as np
+import pytest
+
+from iresearch_ray.index.build import build_index
+from iresearch_ray.search import (
+    BM25,
+    AndFilter,
+    FuzzyFilter,
+    IndexReader,
+    IndexSearcher,
+    OrFilter,
+    PhraseFilter,
+    PrefixFilter,
+    TermFilter,
+)
+from iresearch_ray.search.distributed import DistributedSearcher
+from iresearch_ray.sources.pages import write_pages
+
+
+@pytest.fixture(scope="module")
+def dist(ray_session, tmp_path_factory):
+    base = tmp_path_factory.mktemp("dist")
+    pages = str(base / "pages.parquet")
+    write_pages(pages, 600, row_group_size=75)
+    index_dir = str(base / "index")
+    build_index(pages, index_dir, analyzer="ascii", target_docs=150)
+    d = DistributedSearcher(index_dir, num_groups=3)
+    local = IndexSearcher(IndexReader(index_dir), BM25())
+    yield d, local
+    d.close()
+
+
+@pytest.mark.parametrize("name,make", [
+    ("term", lambda: TermFilter("hterm")),
+    ("and", lambda: AndFilter([TermFilter("hterm"), TermFilter("mterm")])),
+    ("or_mm", lambda: OrFilter([TermFilter("hterm"), TermFilter("mterm"),
+                                TermFilter("lterm")], min_match=2)),
+    ("phrase", lambda: PhraseFilter(["ref", "name"])),
+    ("prefix", lambda: PrefixFilter("abcd")),
+    ("fuzzy", lambda: FuzzyFilter("fuzzy", max_distance=1)),
+])
+def test_distributed_equals_local(dist, name, make):
+    d, local = dist
+    a = d.search(make(), k=15)
+    b = local.search(make(), k=15)
+    assert list(a["doc"]) == list(b["doc"]), name
+    assert list(a["key"]) == list(b["key"]), name
+    assert np.allclose(a["score"].to_numpy(), b["score"].to_numpy(),
+                       rtol=0, atol=0), name  # exact: expansions collect
+    # global dfs via the extra round, same as local prepare
