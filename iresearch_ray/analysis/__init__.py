@@ -14,3 +14,4 @@ from iresearch_ray.analysis.tokenizers import (  # noqa: F401
 )
 
 from iresearch_ray.analysis import numeric as _numeric  # noqa: F401 — registers 'numeric'
+from iresearch_ray.analysis import stem as _stem  # noqa: F401 — registers 'stem'/'text'

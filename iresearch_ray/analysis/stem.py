@@ -1,0 +1,188 @@
+"""Porter stemmer (classic 1980 algorithm, public domain description) and
+the composite `text` analyzer.
+
+Plays the role of the reference's Snowball-based stemming analyzers
+(text_token_stemming_stream.cpp and the stemming step of
+text_token_stream.cpp:373-433) without ICU/Snowball dependencies: the
+original Porter English algorithm, implemented from the published rules.
+Not byte-identical to Snowball's "english" (porter2) — documented
+deviation; the default index analyzer remains the deterministic
+segmentation-style tokenizer, as in the reference's own benchmark.
+"""
+
+from __future__ import annotations
+
+from iresearch_ray.analysis.tokenizers import (
+    Analyzer,
+    RegexTokenizer,
+    StopwordsAnalyzer,
+    register_analyzer,
+)
+
+_VOWELS = set("aeiou")
+
+
+def _is_cons(word: str, i: int) -> bool:
+    c = word[i]
+    if c in _VOWELS:
+        return False
+    if c == "y":
+        return i == 0 or not _is_cons(word, i - 1)
+    return True
+
+
+def _measure(stem: str) -> int:
+    """Number of VC sequences (the Porter 'm' measure)."""
+    m = 0
+    prev_v = False
+    for i in range(len(stem)):
+        v = not _is_cons(stem, i)
+        if prev_v and not v:
+            m += 1
+        prev_v = v
+    return m
+
+
+def _has_vowel(stem: str) -> bool:
+    return any(not _is_cons(stem, i) for i in range(len(stem)))
+
+
+def _ends_double_cons(word: str) -> bool:
+    return (len(word) >= 2 and word[-1] == word[-2]
+            and _is_cons(word, len(word) - 1))
+
+
+def _cvc(word: str) -> bool:
+    if len(word) < 3:
+        return False
+    return (_is_cons(word, len(word) - 3)
+            and not _is_cons(word, len(word) - 2)
+            and _is_cons(word, len(word) - 1)
+            and word[-1] not in "wxy")
+
+
+def porter_stem(word: str) -> str:
+    if len(word) <= 2:
+        return word
+    w = word
+
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif w.endswith("ss"):
+        pass
+    elif w.endswith("s"):
+        w = w[:-1]
+
+    # step 1b
+    flag_1b = False
+    if w.endswith("eed"):
+        if _measure(w[:-3]) > 0:
+            w = w[:-1]
+    elif w.endswith("ed"):
+        if _has_vowel(w[:-2]):
+            w = w[:-2]
+            flag_1b = True
+    elif w.endswith("ing"):
+        if _has_vowel(w[:-3]):
+            w = w[:-3]
+            flag_1b = True
+    if flag_1b:
+        if w.endswith(("at", "bl", "iz")):
+            w += "e"
+        elif _ends_double_cons(w) and w[-1] not in "lsz":
+            w = w[:-1]
+        elif _measure(w) == 1 and _cvc(w):
+            w += "e"
+
+    # step 1c
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+
+    # step 2
+    for suf, rep in (("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+                     ("anci", "ance"), ("izer", "ize"), ("abli", "able"),
+                     ("alli", "al"), ("entli", "ent"), ("eli", "e"),
+                     ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
+                     ("ator", "ate"), ("alism", "al"), ("iveness", "ive"),
+                     ("fulness", "ful"), ("ousness", "ous"), ("aliti", "al"),
+                     ("iviti", "ive"), ("biliti", "ble")):
+        if w.endswith(suf):
+            if _measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+
+    # step 3
+    for suf, rep in (("icate", "ic"), ("ative", ""), ("alize", "al"),
+                     ("iciti", "ic"), ("ical", "ic"), ("ful", ""), ("ness", "")):
+        if w.endswith(suf):
+            if _measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+
+    # step 4
+    for suf in ("al", "ance", "ence", "er", "ic", "able", "ible", "ant",
+                "ement", "ment", "ent", "ion", "ou", "ism", "ate", "iti",
+                "ous", "ive", "ize"):
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if _measure(stem) > 1:
+                if suf == "ion" and (not stem or stem[-1] not in "st"):
+                    break
+                w = stem
+            break
+
+    # step 5a
+    if w.endswith("e"):
+        m = _measure(w[:-1])
+        if m > 1 or (m == 1 and not _cvc(w[:-1])):
+            w = w[:-1]
+    # step 5b
+    if _measure(w) > 1 and _ends_double_cons(w) and w.endswith("l"):
+        w = w[:-1]
+    return w
+
+
+class StemAnalyzer(Analyzer):
+    """Whole-input Porter stem -> one token (reference `stem` analyzer)."""
+
+    name = "stem"
+
+    def tokens(self, text: str) -> list[str]:
+        return [porter_stem(text.lower())]
+
+    def config(self) -> dict:
+        return {"name": self.name, "algorithm": "porter"}
+
+
+class TextAnalyzer(Analyzer):
+    """Composite `text` analyzer: word split + case fold + stopword drop +
+    Porter stem — the shape of the reference text_token_stream pipeline
+    (segmentation -> normalize -> stopwords -> stem), minus ICU locale
+    machinery."""
+
+    name = "text"
+
+    def __init__(self, stopwords=(), stemming: bool = True, kind: str = "unicode"):
+        self.tokenizer = RegexTokenizer(kind=kind)
+        self.stopwords = frozenset(stopwords)
+        self.stemming = stemming
+
+    def tokens(self, text: str) -> list[str]:
+        toks = self.tokenizer.tokens(text)
+        if self.stopwords:
+            toks = [t for t in toks if t not in self.stopwords]
+        if self.stemming:
+            toks = [porter_stem(t) for t in toks]
+        return toks
+
+    def config(self) -> dict:
+        return {"name": self.name, "stopwords": sorted(self.stopwords),
+                "stemming": self.stemming,
+                "tokenizer": self.tokenizer.config()}
+
+
+register_analyzer("stem", lambda **o: StemAnalyzer(**o))
+register_analyzer("text", lambda **o: TextAnalyzer(**o))

@@ -29,6 +29,7 @@ import time
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.parquet as pq
 
 from iresearch_ray.index import codec
 from iresearch_ray.index import manifest as manifest_mod
@@ -89,29 +90,53 @@ def decode_segment_full(reader: SegmentReader) -> dict:
             "posting_offs": posting_offs}
 
 
-def merge_segment_tables(readers: list[SegmentReader]) -> tuple[pa.Table, pa.Table, dict]:
-    """Merge K segments (in order) into one; returns (terms, docmap, stats)."""
+def merge_segment_tables(readers: list[SegmentReader],
+                         masks: list[np.ndarray | None] | None = None,
+                         ) -> tuple[pa.Table, pa.Table, dict]:
+    """Merge K segments (in order) into one; returns (terms, docmap, stats).
+
+    ``masks[i]``: sorted deleted local doc ids (1-based) for reader i — those
+    docs are physically purged and surviving doc ids densely remapped, like
+    the reference merge_writer's doc_map (merge_writer.cpp:207-307)."""
+    if masks is None:
+        masks = [None] * len(readers)
     decoded = [decode_segment_full(r) for r in readers]
+    kept_counts = [r.num_docs - (len(m) if m is not None else 0)
+                   for r, m in zip(readers, masks)]
     bases = np.zeros(len(readers), dtype=np.int64)
-    np.cumsum([r.num_docs for r in readers[:-1]], out=bases[1:])
+    np.cumsum(kept_counts[:-1], out=bases[1:])
 
     all_terms = np.concatenate([d["terms"] for d in decoded])
     codes_flat, uniques = pd.factorize(all_terms, sort=True)
     # per-posting term code and remapped doc, in segment order
     code_parts, doc_parts, freq_parts = [], [], []
     run_start_parts, run_len_parts = [], []
+    keep_rows_parts = []
     t_cursor = 0
     pos_base = 0
-    for d, base in zip(decoded, bases):
+    for d, base, m, r in zip(decoded, bases, masks, readers):
         n_t = len(d["terms"])
-        codes = codes_flat[t_cursor:t_cursor + n_t]
+        codes = np.repeat(codes_flat[t_cursor:t_cursor + n_t], d["df"])
         t_cursor += n_t
-        code_parts.append(np.repeat(codes, d["df"]))
-        doc_parts.append(d["p_docs"] + base)
-        freq_parts.append(d["freqs"])
-        run_start_parts.append(d["posting_offs"][:-1] + pos_base)
-        run_len_parts.append(d["freqs"])
+        p_docs, freqs = d["p_docs"], d["freqs"]
+        run_start = d["posting_offs"][:-1] + pos_base
         pos_base += d["posting_offs"][-1]
+        if m is not None and len(m):
+            at = np.searchsorted(m, p_docs)
+            dele = (at < len(m)) & (m[np.minimum(at, len(m) - 1)] == p_docs)
+            keep = ~dele
+            codes, freqs, run_start = codes[keep], freqs[keep], run_start[keep]
+            p_docs = p_docs[keep] - np.searchsorted(m, p_docs[keep])
+            rows = np.ones(r.num_docs, dtype=bool)
+            rows[m - 1] = False
+            keep_rows_parts.append(rows)
+        else:
+            keep_rows_parts.append(np.ones(r.num_docs, dtype=bool))
+        code_parts.append(codes)
+        doc_parts.append(p_docs + base)
+        freq_parts.append(freqs)
+        run_start_parts.append(run_start)
+        run_len_parts.append(freqs)
     code_all = np.concatenate(code_parts) if code_parts else np.empty(0, dtype=np.int64)
     doc_all = np.concatenate(doc_parts) if doc_parts else np.empty(0, dtype=np.int64)
     freq_all = np.concatenate(freq_parts) if freq_parts else np.empty(0, dtype=np.int64)
@@ -139,46 +164,69 @@ def merge_segment_tables(readers: list[SegmentReader]) -> tuple[pa.Table, pa.Tab
               + (np.arange(total, dtype=np.int64) - np.repeat(out_offs[:-1], freqs)))
     poss = poss_all[gather] if total else np.empty(0, dtype=np.int64)
 
-    terms_tbl = encode_postings_table(np.asarray(uniques, dtype=object),
-                                      term_post_offs, p_docs, freqs, poss, out_offs)
-    num_docs = int(sum(r.num_docs for r in readers))
+    # compact the dictionary to terms that still have postings (a fully
+    # masked term vanishes, like the reference's merged term dictionary)
+    used = (np.asarray(uniques, dtype=object)[sc[term_post_offs[:-1]]]
+            if len(sc) else np.empty(0, dtype=object))
+    terms_tbl = encode_postings_table(used, term_post_offs, p_docs, freqs,
+                                      poss, out_offs)
+    keep_rows = (np.concatenate(keep_rows_parts) if keep_rows_parts
+                 else np.empty(0, dtype=bool))
+    all_keys = (np.concatenate([r.keys for r in readers])[keep_rows]
+                if readers else np.empty(0, dtype=object))
+    all_lens = (np.concatenate([r.doc_len for r in readers])[keep_rows]
+                if readers else np.empty(0, dtype=np.int64))
+    num_docs = int(len(all_keys))
     docmap = pa.table({
         "doc_id": pa.array(np.arange(1, num_docs + 1, dtype=np.int64)),
-        "key": pa.array(np.concatenate([r.keys for r in readers]).tolist()
-                        if readers else [], type=pa.string()),
-        "doc_len": pa.array(np.concatenate([r.doc_len for r in readers])
-                            if readers else np.empty(0, dtype=np.int64), type=pa.int64()),
+        "key": pa.array(all_keys.tolist(), type=pa.string()),
+        "doc_len": pa.array(all_lens, type=pa.int64()),
     })
     stats = {
         "num_docs": num_docs,
-        "sum_doc_len": int(sum(r.sum_doc_len for r in readers)),
-        "max_doc_len": int(max((r.max_doc_len for r in readers), default=0)),
+        "sum_doc_len": int(all_lens.sum()),
+        "max_doc_len": int(all_lens.max()) if num_docs else 0,
         "num_terms": terms_tbl.num_rows,
     }
     return terms_tbl, docmap, stats
 
 
-def merge_run(index_dir: str, segment_ids: list[str], out_id: str) -> dict:
-    """Merge one adjacent run of segments into `out_id` (idempotent)."""
+def merge_run(index_dir: str, segment_ids: list[str], out_id: str,
+              mask_files: dict[str, str] | None = None) -> dict:
+    """Merge one adjacent run of segments into `out_id` (idempotent).
+
+    ``mask_files``: segment_id -> docmask parquet name (from the manifest);
+    masked docs are purged during the merge."""
     from iresearch_ray import FORMAT_VERSION
 
+    mask_files = mask_files or {}
+    lineage_key = [sid + (":" + mask_files[sid] if mask_files.get(sid) else "")
+                   for sid in segment_ids]
     out_meta_path = os.path.join(index_dir, out_id, META_FILE)
     if os.path.exists(out_meta_path):
         with open(out_meta_path) as f:
             meta = json.load(f)
-        if meta.get("lineage", {}).get("merged_from") == segment_ids:
+        if meta.get("lineage", {}).get("merged_from") == lineage_key:
             meta["_skipped"] = True
             return meta
     t0 = time.monotonic()
     readers = [SegmentReader(os.path.join(index_dir, sid)) for sid in segment_ids]
-    terms_tbl, docmap, stats = merge_segment_tables(readers)
+    masks = []
+    for sid in segment_ids:
+        name = mask_files.get(sid)
+        if name:
+            t = pq.read_table(os.path.join(index_dir, sid, name))
+            masks.append(t["deleted_doc"].to_numpy().astype(np.int64))
+        else:
+            masks.append(None)
+    terms_tbl, docmap, stats = merge_segment_tables(readers, masks)
     meta = {
         "format_version": FORMAT_VERSION,
         "segment_id": out_id,
         **stats,
         "analyzer": readers[0].meta.get("analyzer", {}),
         "analyzer_hash": readers[0].meta.get("analyzer_hash", ""),
-        "lineage": {"merged_from": segment_ids},
+        "lineage": {"merged_from": lineage_key},
         "counters": {
             "docs_tokenized": 0,  # merge re-tokenizes nothing
             "tokens_emitted": 0,
@@ -222,16 +270,21 @@ def consolidate(index_dir: str, target_docs: int, generation: int | None = None,
     if not runs:
         return man
     gen = man["generation"] + 1
+    mask_files = {s["segment_id"]: s["docmask"]
+                  for s in man["segments"] if s.get("docmask")}
     jobs = [{"out_id": f"seg-m{gen}-{i:04d}", "ids": json.dumps(run)}
             for i, run in enumerate(runs)]
 
     # merge runs are few and heavy -> one Ray task per run (the Dataset API
     # adds nothing over direct tasks for a handful of opaque directory jobs)
     @ray.remote(num_cpus=1)
-    def _task(out_id, ids_json):
-        return merge_run(index_dir, json.loads(ids_json), out_id)
+    def _task(out_id, ids_json, masks_json):
+        return merge_run(index_dir, json.loads(ids_json), out_id,
+                         json.loads(masks_json))
 
-    metas = ray.get([_task.remote(j["out_id"], j["ids"]) for j in jobs])
+    masks_json = json.dumps(mask_files)
+    metas = ray.get([_task.remote(j["out_id"], j["ids"], masks_json)
+                     for j in jobs])
     merged_first = {run[0]: (jobs[i]["out_id"], metas[i]) for i, run in enumerate(runs)}
     merged_members = {sid for run in runs for sid in run}
 

@@ -42,9 +42,12 @@ def _make_group_actor():
             from iresearch_ray.search.executor import SegmentView
             from iresearch_ray.search.scorers import FieldStats
 
+            from iresearch_ray.index.delete import load_mask
+
             self.segments = [
                 SegmentView(SegmentReader(os.path.join(index_dir, e["segment_id"])),
-                            e["base"])
+                            e["base"],
+                            load_mask(index_dir, e) if e.get("docmask") else None)
                 for e in segment_entries
             ]
             self.stats = FieldStats(*field_stats)
@@ -69,7 +72,7 @@ def _make_group_actor():
             prep = flt.prepare(self, scorer, df_map=df_map)
             docs_l, scores_l, keys_l = [], [], []
             for seg in self.segments:
-                docs, scores = prep.execute(seg)
+                docs, scores = seg.apply_mask(*prep.execute(seg))
                 if not len(docs):
                     continue
                 if len(docs) > k:
@@ -104,7 +107,8 @@ class DistributedSearcher:
         entries = []
         base = 0
         for s in man["segments"]:
-            entries.append({"segment_id": s["segment_id"], "base": base})
+            entries.append({"segment_id": s["segment_id"], "base": base,
+                            "docmask": s.get("docmask")})
             base += s["num_docs"]
         if num_groups is None:
             num_groups = min(len(entries),

@@ -33,10 +33,24 @@ from iresearch_ray.search.scorers import BM25, FieldStats
 class SegmentView:
     reader: SegmentReader
     base: int  # global doc id offset (global = base + local)
+    mask: np.ndarray | None = None  # sorted deleted local doc ids (1-based)
 
     @property
     def id(self) -> str:
         return self.reader.segment_id
+
+    def apply_mask(self, docs: np.ndarray, scores: np.ndarray):
+        """Drop masked docs from a (docs, scores) result — the reference
+        applies document_mask at read (formats_10.cpp:3546)."""
+        if self.mask is None or not len(docs):
+            return docs, scores
+        idx = np.searchsorted(self.mask, docs)
+        hit = ((idx < len(self.mask))
+               & (self.mask[np.minimum(idx, len(self.mask) - 1)] == docs))
+        if not hit.any():
+            return docs, scores
+        keep = ~hit
+        return docs[keep], scores[keep]
 
     @property
     def tiny(self) -> bool:
@@ -55,7 +69,11 @@ class IndexReader:
         base = 0
         for s in self.manifest["segments"]:
             r = SegmentReader(os.path.join(index_dir, s["segment_id"]))
-            self.segments.append(SegmentView(r, base))
+            mask = None
+            if s.get("docmask"):
+                from iresearch_ray.index.delete import load_mask
+                mask = load_mask(index_dir, s)
+            self.segments.append(SegmentView(r, base, mask))
             base += r.num_docs
         self.stats = FieldStats(docs_with_field=self.manifest["num_docs"],
                                 total_tokens=self.manifest["sum_doc_len"])
@@ -87,7 +105,8 @@ class IndexSearcher:
     def execute(self, flt) -> list[tuple[SegmentView, np.ndarray, np.ndarray]]:
         """All matches per segment (local docs, scores) — test/CheckQuery API."""
         prep = flt.prepare(self.reader, self.scorer)
-        return [(seg, *prep.execute(seg)) for seg in self.reader.segments]
+        return [(seg, *seg.apply_mask(*prep.execute(seg)))
+                for seg in self.reader.segments]
 
     def search(self, flt, k: int = 10, mode: str = "all") -> pd.DataFrame:
         """Top-k over all segments -> DataFrame(doc, key, score), sorted by
@@ -101,6 +120,7 @@ class IndexSearcher:
                 docs, scores = _wand_term(prep, seg, k, threshold)
             else:
                 docs, scores = prep.execute(seg)
+            docs, scores = seg.apply_mask(docs, scores)
             if not len(docs):
                 continue
             if len(docs) > k:  # per-segment pre-trim

@@ -72,3 +72,38 @@ def test_analyzer_config_stable():
     a2 = get_analyzer("ascii")
     assert a1.config() == a2.config()
     assert np.array_equal(a1.tokens("a b"), a2.tokens("a b"))
+
+
+def test_porter_stem_golden():
+    # Classic vectors from the published Porter (1980) rule set.
+    from iresearch_ray.analysis.stem import porter_stem
+
+    cases = {
+        "caresses": "caress", "ponies": "poni", "ties": "ti",
+        "caress": "caress", "cats": "cat", "feed": "feed",
+        "agreed": "agre", "plastered": "plaster", "bled": "bled",
+        "motoring": "motor", "sing": "sing", "conflated": "conflat",
+        "troubled": "troubl", "sized": "size", "hopping": "hop",
+        "falling": "fall", "hissing": "hiss", "failing": "fail",
+        "filing": "file", "happy": "happi", "sky": "sky",
+        "relational": "relat", "conditional": "condit",
+        "vietnamization": "vietnam", "predication": "predic",
+        "triplicate": "triplic", "formative": "form", "formalize": "formal",
+        "electricity": "electr", "hopefulness": "hope",
+        "revival": "reviv", "allowance": "allow", "inference": "infer",
+        "airliner": "airlin", "adjustable": "adjust", "defensible": "defens",
+        "adoption": "adopt", "probate": "probat", "rate": "rate",
+        "cease": "ceas", "controlling": "control",
+    }
+    for w, want in cases.items():
+        assert porter_stem(w) == want, (w, porter_stem(w), want)
+
+
+def test_stem_and_text_analyzers():
+    stem = get_analyzer("stem")
+    assert stem.tokens("Running") == ["run"]
+    txt = get_analyzer("text", stopwords=("the", "of"))
+    assert txt.tokens("The running of the dogs") == ["run", "dog"]
+    plain = get_analyzer("text", stemming=False)
+    assert plain.tokens("Running dogs") == ["running", "dogs"]
+    assert txt.config()["stopwords"] == ["of", "the"]
