@@ -65,7 +65,56 @@ def _index_reader(sf_dir: str):
     n = pq.ParquetFile(pages_path).metadata.num_rows
     index_dir = os.path.join(cache, "index")
     build_index(pages_path, index_dir, analyzer="ascii",
+                target_docs=max(32, math.ceil(n / 4)),
+                store_columns=("lang",))
+    reader = IndexReader(index_dir)
+    _READERS[key] = reader
+    return reader
+
+
+def _ngram_reader(sf_dir: str):
+    """Char-2-gram index over the same pages (for by_ngram_similarity)."""
+    from iresearch_ray.index.build import build_index
+    from iresearch_ray.search import IndexReader
+
+    key = _slug(sf_dir) + "_ngram"
+    if key in _READERS:
+        return _READERS[key]
+    _index_reader(sf_dir)  # ensures pages.parquet exists
+    cache = os.path.join(_CACHE_ROOT, _slug(sf_dir))
+    import pyarrow.parquet as pq
+
+    pages_path = os.path.join(cache, "pages.parquet")
+    n = pq.ParquetFile(pages_path).metadata.num_rows
+    index_dir = os.path.join(cache, "index_ngram")
+    build_index(pages_path, index_dir, analyzer="ngram",
+                analyzer_opts={"min_gram": 2, "max_gram": 2},
                 target_docs=max(32, math.ceil(n / 4)))
+    reader = IndexReader(index_dir)
+    _READERS[key] = reader
+    return reader
+
+
+def _deleted_reader(sf_dir: str):
+    """Separate index copy where docs containing 'dup' are mask-deleted
+    (delete_by_filter) — exercises doc masks through the read path."""
+    from iresearch_ray.index.build import build_index
+    from iresearch_ray.index.delete import delete_by_filter
+    from iresearch_ray.search import IndexReader, TermFilter
+
+    key = _slug(sf_dir) + "_del"
+    if key in _READERS:
+        return _READERS[key]
+    _index_reader(sf_dir)
+    cache = os.path.join(_CACHE_ROOT, _slug(sf_dir))
+    import pyarrow.parquet as pq
+
+    pages_path = os.path.join(cache, "pages.parquet")
+    n = pq.ParquetFile(pages_path).metadata.num_rows
+    index_dir = os.path.join(cache, "index_del")
+    build_index(pages_path, index_dir, analyzer="ascii",
+                target_docs=max(32, math.ceil(n / 4)))
+    delete_by_filter(index_dir, TermFilter("dup"))
     reader = IndexReader(index_dir)
     _READERS[key] = reader
     return reader
@@ -101,17 +150,26 @@ def _scorer():
     return BM25(k=BM25_K, b=BM25_B, dtype=np.float64)
 
 
-def _all_matches(sf_dir: str, flt, with_counts: bool = False) -> pd.DataFrame:
+def _all_matches(sf_dir: str, flt, with_counts: bool = False,
+                 reader=None) -> pd.DataFrame:
     """Every match as (doc_id, score[, n_terms]) via per-segment execute."""
-    reader = _index_reader(sf_dir)
+    if reader is None:
+        reader = _index_reader(sf_dir)
     prep = flt.prepare(reader, _scorer())
     ids, scores, counts = [], [], []
     for seg in reader.segments:
         if with_counts:
             docs, sc, cn = prep.execute_counts(seg)
-            counts.append(cn)
         else:
             docs, sc = prep.execute(seg)
+            cn = None
+        if seg.mask is not None and len(docs):
+            before = docs
+            docs, sc = seg.apply_mask(docs, sc)
+            if cn is not None and len(docs) < len(before):
+                cn = cn[np.isin(before, docs, assume_unique=True)]
+        if cn is not None:
+            counts.append(cn)
         if len(docs):
             keys = seg.reader.keys[docs - 1]
             ids.append(np.array([_doc_id(k) for k in keys], dtype=np.int64))
@@ -152,14 +210,18 @@ def _topk(sf_dir: str, flt, k: int = 10, mode: str = "all") -> pd.DataFrame:
 # --------------------------------------------------------------------------
 # SQL builders (shared fragments keep engine & oracle in lockstep)
 # --------------------------------------------------------------------------
-def _sql_bm25(term_pred_tf: str, where: str, score_expr_tail: str = "") -> str:
-    """BM25 scorer SQL over docs matching `where`; tf given by term_pred_tf."""
+def _sql_bm25(term_pred_tf: str, where: str, score_expr_tail: str = "",
+              tf_extra: str = "", df_where: str | None = None) -> str:
+    """BM25 scorer SQL over docs matching `where`; tf given by term_pred_tf.
+
+    ``df_where`` computes the scoring df over a different predicate than the
+    output rows (the doc-mask case: stats keep counting masked docs)."""
     return f"""
 {_TOK_CTE},
 stats AS (SELECT count(*)::DOUBLE AS n, sum(len(ts))::DOUBLE AS tot FROM tok),
-tf AS (SELECT doc_id, {term_pred_tf} AS f, len(ts) AS dl FROM tok),
+tf AS (SELECT doc_id, {term_pred_tf} AS f{tf_extra}, len(ts) AS dl FROM tok),
 m AS (SELECT * FROM tf WHERE {where}),
-d AS (SELECT count(*)::DOUBLE AS df FROM m)
+d AS (SELECT count(*)::DOUBLE AS df FROM tf WHERE {df_where or where})
 SELECT m.doc_id,
        round((({BM25_K} + 1) * ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)))
              - (({BM25_K} + 1) * ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)))
@@ -305,6 +367,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (ray_docs(sf_dir).groupby("lang")
                 .aggregate(Count(alias_name="n_docs")).to_pandas())
 
+    def column_existence(sf_dir):
+        from iresearch_ray.search import ColumnExistenceFilter
+
+        reader = _index_reader(sf_dir)
+        prep = ColumnExistenceFilter("lang").prepare(reader, _scorer())
+        ids, langs = [], []
+        for seg in reader.segments:
+            docs, _ = prep.execute(seg)
+            if len(docs):
+                keys = seg.reader.keys[docs - 1]
+                ids.append(np.array([_doc_id(k) for k in keys], dtype=np.int64))
+                langs.append(np.asarray(
+                    seg.reader.column("lang").take(docs - 1).to_pylist(),
+                    dtype=object))
+        return pd.DataFrame({
+            "doc_id": np.concatenate(ids) if ids else np.empty(0, np.int64),
+            "lang": np.concatenate(langs) if langs else [],
+        }).sort_values("doc_id").reset_index(drop=True)
+
+    def delete_search(sf_dir):
+        from iresearch_ray.search import TermFilter
+
+        return _all_matches(sf_dir, TermFilter("batch"),
+                            reader=_deleted_reader(sf_dir))
+
+    def ngram_similarity(sf_dir):
+        from iresearch_ray.analysis import NgramAnalyzer
+        from iresearch_ray.search import NgramSimilarityFilter
+
+        qgrams = NgramAnalyzer(min_gram=2, max_gram=2).tokens("stream")
+        reader = _ngram_reader(sf_dir)
+        prep = NgramSimilarityFilter(qgrams, threshold=0.8).prepare(
+            reader, _scorer())
+        ids, scores = [], []
+        for seg in reader.segments:
+            docs, sc = prep.execute(seg)
+            if len(docs):
+                keys = seg.reader.keys[docs - 1]
+                ids.append(np.array([_doc_id(k) for k in keys], dtype=np.int64))
+                scores.append(sc)
+        return pd.DataFrame({
+            "doc_id": np.concatenate(ids) if ids else np.empty(0, np.int64),
+            "sim": np.round(np.concatenate(scores).astype(np.float64), 4)
+            if scores else pd.Series([], dtype=np.float64),
+        }).sort_values("doc_id").reset_index(drop=True)
+
     def dedup_exact(sf_dir):
         return dedup.exact_dedup_groups(ray_docs(sf_dir)).to_pandas()
 
@@ -393,6 +501,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_dictionary": term_dictionary,
         "top_terms": top_terms,
         "numeric_range": numeric_range,
+        "column_existence": column_existence,
+        "delete_search": delete_search,
+        "ngram_similarity": ngram_similarity,      # rows-only (LCS chain)
         # --- text-analysis pipelines ---
         "doc_stats": doc_stats,
         "quality_stats": quality,
@@ -469,6 +580,13 @@ SELECT ph.doc_id, round(
      / ((({k}-{k}*{b}) + ({k}*{b}/(s.tot/s.n))*dl.dl) + ph.f), 4) AS score
 FROM ph JOIN dl ON ph.doc_id = dl.doc_id, d, stats s
 """,
+        "column_existence": """
+SELECT doc_id, lang FROM documents WHERE lang IS NOT NULL ORDER BY doc_id
+""",
+        "delete_search": _sql_bm25(
+            _sql_tf("batch"), "f > 0 AND fdel = 0",
+            tf_extra=", len(list_filter(ts, x -> x = 'dup')) AS fdel",
+            df_where="f > 0"),
         "prefix_search": _sql_expansion_counts("w LIKE 'st%'"),
         "range_search": _sql_expansion_counts("w >= 'key' AND w < 'merge'"),
         "wildcard_search": _sql_expansion_counts("w LIKE '%ow%'"),

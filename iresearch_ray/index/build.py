@@ -88,7 +88,8 @@ def plan_segments(paths, target_docs: int = DEFAULT_TARGET_DOCS) -> list[dict]:
     return specs
 
 
-def _lineage(spec: dict, analyzer_cfg: dict, text_column: str, key_column: str) -> dict:
+def _lineage(spec: dict, analyzer_cfg: dict, text_column: str, key_column: str,
+             store_columns: tuple = ()) -> dict:
     lin = {
         "file": os.path.basename(str(spec["file"])),
         "row_groups": [int(g) for g in spec["row_groups"]],
@@ -98,6 +99,8 @@ def _lineage(spec: dict, analyzer_cfg: dict, text_column: str, key_column: str) 
         "key_column": key_column,
         "analyzer_hash": analyzer_config_hash(analyzer_cfg),
     }
+    if store_columns:
+        lin["store_columns"] = list(store_columns)
     lin["hash"] = hashlib.sha256(
         json.dumps(lin, sort_keys=True).encode()).hexdigest()[:16]
     return lin
@@ -121,11 +124,13 @@ class BuildSegmentTask:
     """
 
     def __init__(self, index_dir: str, analyzer_name: str, analyzer_opts: dict,
-                 text_column: str, key_column: str):
+                 text_column: str, key_column: str,
+                 store_columns: tuple = ()):
         self.index_dir = index_dir
         self.analyzer = get_analyzer(analyzer_name, **analyzer_opts)
         self.text_column = text_column
         self.key_column = key_column
+        self.store_columns = tuple(store_columns)
 
     def __call__(self, batch: dict) -> dict:
         out = {"segment_id": [], "num_docs": [], "sum_doc_len": [], "num_terms": [],
@@ -146,7 +151,8 @@ class BuildSegmentTask:
 
     def build_one(self, spec: dict) -> dict:
         t0 = time.monotonic()
-        lineage = _lineage(spec, self.analyzer.config(), self.text_column, self.key_column)
+        lineage = _lineage(spec, self.analyzer.config(), self.text_column,
+                           self.key_column, self.store_columns)
         seg_dir = os.path.join(self.index_dir, spec["segment_id"])
         if _segment_done(self.index_dir, spec["segment_id"], lineage["hash"]):
             with open(os.path.join(seg_dir, META_FILE)) as f:
@@ -159,9 +165,11 @@ class BuildSegmentTask:
         arrow_fast = getattr(self.analyzer, "arrow_split_pattern", None)
         import pyarrow as pa
 
+        read_cols = list(dict.fromkeys(
+            [self.key_column, self.text_column, *self.store_columns]))
         for rb in pf.iter_batches(batch_size=TOKENIZE_BATCH_ROWS,
                                   row_groups=list(spec["row_groups"]),
-                                  columns=[self.key_column, self.text_column]):
+                                  columns=read_cols):
             keys = rb.column(self.key_column).cast(pa.string()).to_pylist()
             if arrow_fast:
                 writer.add_batch_coded(
@@ -170,6 +178,9 @@ class BuildSegmentTask:
             else:
                 texts = rb.column(self.text_column).to_pylist()
                 writer.add_batch(flatten_batch(self.analyzer, texts), keys)
+            if self.store_columns:
+                writer.add_stored(pa.Table.from_batches([rb]).select(
+                    list(self.store_columns)))
         meta = writer.flush(self.index_dir)
         meta["_skipped"] = False
         meta["_wall_s"] = time.monotonic() - t0
@@ -194,7 +205,8 @@ def build_index(paths, index_dir: str, analyzer: str = "unicode",
                 analyzer_opts: dict | None = None, text_column: str = "text",
                 key_column: str = "url", target_docs: int = DEFAULT_TARGET_DOCS,
                 concurrency: int | None = None, commit: bool = True,
-                use_actors: bool = False, cpus_per_task: int = 1) -> dict:
+                use_actors: bool = False, cpus_per_task: int = 1,
+                store_columns: tuple = ()) -> dict:
     """Build (or resume) an index over Parquet inputs; returns the manifest.
 
     ``cpus_per_task`` reserves that many CPUs per segment task — raise to 2
@@ -225,7 +237,8 @@ def build_index(paths, index_dir: str, analyzer: str = "unicode",
         concurrency = max(1, min(len(specs), int(ray.cluster_resources().get("CPU", 4))))
     ctor = dict(index_dir=index_dir, analyzer_name=analyzer,
                 analyzer_opts=analyzer_opts,
-                text_column=text_column, key_column=key_column)
+                text_column=text_column, key_column=key_column,
+                store_columns=tuple(store_columns))
     if use_actors:
         stats_ds = ds.map_batches(
             BuildSegmentTask, fn_constructor_kwargs=ctor,

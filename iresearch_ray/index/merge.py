@@ -188,7 +188,25 @@ def merge_segment_tables(readers: list[SegmentReader],
         "max_doc_len": int(all_lens.max()) if num_docs else 0,
         "num_terms": terms_tbl.num_rows,
     }
-    return terms_tbl, docmap, stats
+
+    # stored-field columnstore: concat per-segment tables (schema-promoted —
+    # a segment lacking a column contributes nulls), purge masked rows,
+    # re-assign dense doc ids
+    columns_tbl = None
+    if any(r.stored_columns for r in readers):
+        parts = []
+        for r, rows in zip(readers, keep_rows_parts):
+            t = r.columns_table
+            if t is None:
+                t = pa.table({"doc_id": pa.array(
+                    np.arange(1, r.num_docs + 1, dtype=np.int64))})
+            parts.append(t.filter(pa.array(rows)))
+        columns_tbl = pa.concat_tables(parts, promote_options="default")
+        columns_tbl = columns_tbl.drop_columns(["doc_id"]).add_column(
+            0, "doc_id", pa.array(np.arange(1, num_docs + 1, dtype=np.int64)))
+        stats["stored_columns"] = [c for c in columns_tbl.column_names
+                                   if c != "doc_id"]
+    return terms_tbl, docmap, stats, columns_tbl
 
 
 def merge_run(index_dir: str, segment_ids: list[str], out_id: str,
@@ -219,7 +237,7 @@ def merge_run(index_dir: str, segment_ids: list[str], out_id: str,
             masks.append(t["deleted_doc"].to_numpy().astype(np.int64))
         else:
             masks.append(None)
-    terms_tbl, docmap, stats = merge_segment_tables(readers, masks)
+    terms_tbl, docmap, stats, columns_tbl = merge_segment_tables(readers, masks)
     meta = {
         "format_version": FORMAT_VERSION,
         "segment_id": out_id,
@@ -233,7 +251,8 @@ def merge_run(index_dir: str, segment_ids: list[str], out_id: str,
             "docs_merged": stats["num_docs"],
         },
     }
-    write_segment_dir(index_dir, out_id, terms_tbl, docmap, meta)
+    write_segment_dir(index_dir, out_id, terms_tbl, docmap, meta,
+                      columns_tbl)
     meta["_skipped"] = False
     meta["_wall_s"] = time.monotonic() - t0
     return meta

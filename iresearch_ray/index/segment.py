@@ -36,6 +36,7 @@ from iresearch_ray.index import codec
 
 TERMS_FILE = "terms.parquet"
 DOCMAP_FILE = "docmap.parquet"
+COLUMNS_FILE = "columns.parquet"  # stored-field columnstore (optional)
 META_FILE = "segment.json"
 
 
@@ -79,7 +80,14 @@ class SegmentWriter:
         self._pos_chunks: list[np.ndarray] = []
         self._doc_len_chunks: list[np.ndarray] = []
         self._key_chunks: list = []
+        self._stored_chunks: list[pa.Table] = []  # columnstore (STORE action)
         self._num_docs = 0
+
+    def add_stored(self, tbl: pa.Table) -> None:
+        """Stored-field values for the batch just added (reference STORE
+        action, segment_writer.hpp:47-61): verbatim columns, row-aligned
+        with the batch's docs; nulls mean 'doc has no such field'."""
+        self._stored_chunks.append(tbl)
 
     @property
     def num_docs(self) -> int:
@@ -164,7 +172,18 @@ class SegmentWriter:
             "key": pa.array(keys.tolist(), type=pa.string()),
             "doc_len": pa.array(doc_lens, type=pa.int64()),
         })
-        write_segment_dir(out_dir, self.segment_id, table, docmap, meta)
+        columns = None
+        if self._stored_chunks:
+            columns = pa.concat_tables(self._stored_chunks)
+            assert columns.num_rows == self._num_docs, \
+                (columns.num_rows, self._num_docs)
+            columns = columns.add_column(
+                0, "doc_id", pa.array(np.arange(1, self._num_docs + 1,
+                                                dtype=np.int64)))
+            meta["stored_columns"] = [c for c in columns.column_names
+                                      if c != "doc_id"]
+        write_segment_dir(out_dir, self.segment_id, table, docmap, meta,
+                          columns)
         return meta
 
 
@@ -318,7 +337,8 @@ def encode_postings_table(uniques: np.ndarray, term_post_offs: np.ndarray,
 
 
 def write_segment_dir(index_dir: str, segment_id: str, terms: pa.Table,
-                      docmap: pa.Table, meta: dict) -> str:
+                      docmap: pa.Table, meta: dict,
+                      columns: pa.Table | None = None) -> str:
     """Atomically write a segment directory (tmp + rename — the reference's
     commit discipline, index_meta_writer formats_10.cpp:3518)."""
     os.makedirs(index_dir, exist_ok=True)
@@ -327,6 +347,9 @@ def write_segment_dir(index_dir: str, segment_id: str, terms: pa.Table,
     try:
         pq.write_table(terms, os.path.join(tmp, TERMS_FILE), compression="zstd")
         pq.write_table(docmap, os.path.join(tmp, DOCMAP_FILE), compression="zstd")
+        if columns is not None:
+            pq.write_table(columns, os.path.join(tmp, COLUMNS_FILE),
+                           compression="zstd")
         with open(os.path.join(tmp, META_FILE), "w") as f:
             json.dump(meta, f, indent=1)
         if os.path.isdir(final):
@@ -389,6 +412,36 @@ class SegmentReader:
         if self._keys is None:
             self._load_docmap()
         return self._keys
+
+    # -- columnstore (stored fields) ----------------------------------------
+    @property
+    def stored_columns(self) -> list[str]:
+        return self.meta.get("stored_columns", [])
+
+    @property
+    def columns_table(self) -> pa.Table | None:
+        """Lazy stored-field table (doc_id + stored columns), or None
+        (reference columnstore, core/formats/formats_10.cpp columnstore)."""
+        if not self.stored_columns:
+            return None
+        if getattr(self, "_columns_tbl", None) is None:
+            self._columns_tbl = pq.read_table(
+                os.path.join(self.dir, COLUMNS_FILE))
+        return self._columns_tbl
+
+    def column(self, name: str) -> pa.ChunkedArray | None:
+        t = self.columns_table
+        if t is None or name not in t.column_names:
+            return None
+        return t[name]
+
+    def column_docs(self, name: str) -> np.ndarray:
+        """Local doc ids whose stored column is present (non-null)."""
+        col = self.column(name)
+        if col is None:
+            return np.empty(0, dtype=np.int64)
+        valid = ~np.asarray(col.is_null())
+        return np.flatnonzero(valid).astype(np.int64) + 1
 
     # -- dictionary ---------------------------------------------------------
     def lookup(self, term: str) -> int:

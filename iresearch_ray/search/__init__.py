@@ -3,8 +3,10 @@
 from iresearch_ray.search.filters import (  # noqa: F401
     AllFilter,
     AndFilter,
+    ColumnExistenceFilter,
     FuzzyFilter,
     GranularRangeFilter,
+    NgramSimilarityFilter,
     NotFilter,
     OrFilter,
     PhraseFilter,

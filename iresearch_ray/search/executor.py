@@ -90,6 +90,35 @@ class IndexReader:
                 total += int(seg.reader.df_array()[i])
         return total
 
+    def stored(self, global_docs: np.ndarray, columns: list[str]) -> pd.DataFrame:
+        """Fetch stored-field values for global doc ids (columnstore read —
+        reference columnstore lookup at materialization time)."""
+        global_docs = np.asarray(global_docs, dtype=np.int64)
+        parts = []
+        for seg in self.segments:
+            in_seg = ((global_docs > seg.base)
+                      & (global_docs <= seg.base + seg.reader.num_docs))
+            if not in_seg.any():
+                continue
+            local = global_docs[in_seg] - seg.base
+            tbl = seg.reader.columns_table
+            if tbl is None:
+                df = pd.DataFrame({c: pd.Series([None] * len(local))
+                                   for c in columns})
+            else:
+                df = tbl.take(local - 1).select(
+                    [c for c in columns if c in tbl.column_names]).to_pandas()
+                for c in columns:
+                    if c not in df.columns:
+                        df[c] = None
+            df.insert(0, "doc", global_docs[in_seg])
+            parts.append(df)
+        if not parts:
+            return pd.DataFrame({"doc": np.empty(0, dtype=np.int64),
+                                 **{c: [] for c in columns}})
+        out = pd.concat(parts, ignore_index=True)
+        return out.set_index("doc").loc[global_docs].reset_index()
+
     def key_of(self, global_doc: int) -> str:
         for seg in self.segments:
             if seg.base < global_doc <= seg.base + seg.reader.num_docs:

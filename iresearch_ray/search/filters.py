@@ -257,6 +257,28 @@ class _PreparedAll(Prepared):
         return docs, np.full(len(docs), self.dtype(self.boost), dtype=self.dtype)
 
 
+# -------------------------------------------------- column existence ----
+class ColumnExistenceFilter(Filter):
+    """Docs holding a stored column (reference by_column_existence,
+    core/search/column_existence_filter.cpp): constant boost score, like
+    the reference's filter-boost scoring of existence matches."""
+
+    def __init__(self, column: str, boost: float = 1.0):
+        self.column, self.boost = column, boost
+
+    def prepare(self, reader, scorer, df_map=None):
+        return _PreparedColumnExistence(self.column, self.boost, scorer.dtype)
+
+
+class _PreparedColumnExistence(Prepared):
+    def __init__(self, column, boost, dtype):
+        self.column, self.boost, self.dtype = column, boost, dtype
+
+    def execute(self, seg):
+        docs = seg.reader.column_docs(self.column)
+        return docs, np.full(len(docs), self.dtype(self.boost), dtype=self.dtype)
+
+
 # -------------------------------------------------------------- phrase ----
 class PhraseFilter(Filter):
     """Exact positional phrase over consecutive tokens (reference by_phrase,
@@ -311,6 +333,101 @@ class _PreparedPhrase(Prepared):
         u_docs, phrase_freq = np.unique(match_docs, return_counts=True)
         scores = self.sp.score(phrase_freq, seg.reader.doc_len[u_docs - 1], seg.tiny)
         return u_docs, scores
+
+
+# ---------------------------------------------------- ngram similarity ----
+class NgramSimilarityFilter(Filter):
+    """Docs whose longest positionally-ordered common ngram sequence with
+    the query covers >= ``threshold`` of the query's ngrams (reference
+    by_ngram_similarity, core/search/ngram_similarity_filter.cpp — LCS with
+    positional chaining, ngram_similarity_query.cpp).
+
+    ``ngrams``: the query's ngram sequence (produce with NgramAnalyzer).
+    Score = boost * (longest_chain / num_query_ngrams) — the similarity
+    ratio itself (documented deviation: the reference feeds the ratio into
+    its scorer stats; we score the ratio directly).
+    """
+
+    def __init__(self, ngrams, threshold: float = 0.7, boost: float = 1.0):
+        if not ngrams:
+            raise ValueError("empty ngram sequence")
+        if not (0.0 < threshold <= 1.0):
+            raise ValueError("threshold must be in (0, 1]")
+        self.ngrams = list(ngrams)
+        self.threshold = threshold
+        self.boost = boost
+
+    def terms_needed(self):
+        return set(self.ngrams)
+
+    def prepare(self, reader, scorer, df_map=None):
+        idx_maps = [{seg.id: seg.reader.lookup(t) for seg in reader.segments}
+                    for t in self.ngrams]
+        m = len(self.ngrams)
+        min_matches = max(1, int(np.ceil(self.threshold * m)))
+        return _PreparedNgramSim(idx_maps, m, min_matches, self.boost,
+                                 scorer.dtype)
+
+
+class _PreparedNgramSim(Prepared):
+    def __init__(self, idx_maps, m, min_matches, boost, dtype):
+        self.idx_maps = idx_maps
+        self.m = m
+        self.min_matches = min_matches
+        self.boost = boost
+        self.dtype = dtype
+
+    def execute(self, seg):
+        from bisect import bisect_left
+
+        occ_d, occ_p, occ_q = [], [], []
+        for qi, idxs in enumerate(self.idx_maps):
+            ti = idxs.get(seg.id, -1)
+            if ti < 0:
+                continue
+            docs, freqs, pos, _ = seg.reader.postings(ti, positions=True)
+            occ_d.append(np.repeat(docs.astype(np.int64), freqs))
+            occ_p.append(pos.astype(np.int64, copy=False))
+            occ_q.append(np.full(int(freqs.sum()), qi, dtype=np.int64))
+        if not occ_d:
+            return _empty(self.dtype)
+        d = np.concatenate(occ_d)
+        p = np.concatenate(occ_p)
+        q = np.concatenate(occ_q)
+        # prefilter: chain length <= distinct matched query indexes per doc
+        du, dinv = np.unique(d, return_inverse=True)
+        distinct = np.zeros(len(du), dtype=np.int64)
+        pair = dinv * np.int64(self.m) + q
+        upair = np.unique(pair)
+        np.add.at(distinct, upair // self.m, 1)
+        cand = np.flatnonzero(distinct >= self.min_matches)
+        if not len(cand):
+            return _empty(self.dtype)
+        keep = np.isin(dinv, cand)
+        d, p, q = d[keep], p[keep], q[keep]
+        # LCS via Hunt–Szymanski: sort by (doc, pos asc, qidx desc), then
+        # longest strictly-increasing subsequence of qidx per doc
+        order = np.lexsort((-q, p, d))
+        d, q = d[order], q[order]
+        bounds = np.r_[0, np.flatnonzero(d[1:] != d[:-1]) + 1, len(d)]
+        out_docs, out_scores = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            tails: list[int] = []
+            for x in q[s:e]:
+                i = bisect_left(tails, x)
+                if i == len(tails):
+                    tails.append(x)
+                else:
+                    tails[i] = x
+            chain = len(tails)
+            if chain >= self.min_matches:
+                out_docs.append(int(d[s]))
+                out_scores.append(chain / self.m)
+        if not out_docs:
+            return _empty(self.dtype)
+        docs = np.asarray(out_docs, dtype=np.int64)
+        scores = (np.asarray(out_scores) * self.boost).astype(self.dtype)
+        return docs, scores
 
 
 # ----------------------------------------------- dictionary expansions ----
