@@ -490,6 +490,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, OrFilter([TermFilter("spark"), TermFilter("window"),
                           TermFilter("dup")], min_match=2), with_counts=True),
         "phrase_search": lambda sf: _all_matches(sf, PhraseFilter(["batch", "batch"])),
+        "phrase_variadic": lambda sf: _all_matches(
+            sf, PhraseFilter([{"prefix": "st"}, "order"])),
         "prefix_search": lambda sf: _all_matches(sf, PrefixFilter("st"),
                                                  with_counts=True),
         "range_search": lambda sf: _all_matches(
@@ -579,6 +581,27 @@ SELECT ph.doc_id, round(
      * (({k}-{k}*{b}) + ({k}*{b}/(s.tot/s.n))*dl.dl)
      / ((({k}-{k}*{b}) + ({k}*{b}/(s.tot/s.n))*dl.dl) + ph.f), 4) AS score
 FROM ph JOIN dl ON ph.doc_id = dl.doc_id, d, stats s
+""",
+        "phrase_variadic": f"""
+{_TOK_CTE},
+stats AS (SELECT count(*)::DOUBLE AS n, sum(len(ts))::DOUBLE AS tot FROM tok),
+pos AS (SELECT doc_id, unnest(ts) AS w, generate_subscripts(ts, 1) AS p FROM tok),
+df0 AS (SELECT count(*)::DOUBLE AS v
+        FROM (SELECT DISTINCT doc_id, w FROM pos WHERE w LIKE 'st%')),
+df1 AS (SELECT count(DISTINCT doc_id)::DOUBLE AS v FROM pos WHERE w = 'order'),
+ph AS (SELECT a.doc_id, count(*) AS f
+       FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+       WHERE a.w LIKE 'st%' AND b.w = 'order' GROUP BY a.doc_id),
+idf AS (SELECT ln(1 + (s.n - LEAST(df0.v, s.n) + 0.5) / (LEAST(df0.v, s.n) + 0.5))
+             + ln(1 + (s.n - df1.v + 0.5) / (df1.v + 0.5)) AS v
+        FROM df0, df1, stats s),
+dl AS (SELECT doc_id, len(ts) AS dl FROM tok)
+SELECT ph.doc_id, round(
+   (({k}+1)*idf.v)
+   - (({k}+1)*idf.v)
+     * (({k}-{k}*{b}) + ({k}*{b}/(s.tot/s.n))*dl.dl)
+     / ((({k}-{k}*{b}) + ({k}*{b}/(s.tot/s.n))*dl.dl) + ph.f), 4) AS score
+FROM ph JOIN dl ON ph.doc_id = dl.doc_id, idf, stats s
 """,
         "column_existence": """
 SELECT doc_id, lang FROM documents WHERE lang IS NOT NULL ORDER BY doc_id

@@ -58,7 +58,8 @@ def _list_parquet(paths) -> list[str]:
     return sorted(files)
 
 
-def plan_segments(paths, target_docs: int = DEFAULT_TARGET_DOCS) -> list[dict]:
+def plan_segments(paths, target_docs: int = DEFAULT_TARGET_DOCS,
+                  segment_prefix: str = "seg-") -> list[dict]:
     """Deterministic segment specs from Parquet footers (metadata only).
 
     Row groups of one file are packed greedily up to ``target_docs`` rows;
@@ -84,7 +85,7 @@ def plan_segments(paths, target_docs: int = DEFAULT_TARGET_DOCS) -> list[dict]:
                           "num_rows": cur_rows})
     for ord_, s in enumerate(specs):
         s["segment_ord"] = ord_
-        s["segment_id"] = f"seg-{ord_:05d}"
+        s["segment_id"] = f"{segment_prefix}{ord_:05d}"
     return specs
 
 
@@ -206,7 +207,7 @@ def build_index(paths, index_dir: str, analyzer: str = "unicode",
                 key_column: str = "url", target_docs: int = DEFAULT_TARGET_DOCS,
                 concurrency: int | None = None, commit: bool = True,
                 use_actors: bool = False, cpus_per_task: int = 1,
-                store_columns: tuple = ()) -> dict:
+                store_columns: tuple = (), segment_prefix: str = "seg-") -> dict:
     """Build (or resume) an index over Parquet inputs; returns the manifest.
 
     ``cpus_per_task`` reserves that many CPUs per segment task — raise to 2
@@ -227,7 +228,7 @@ def build_index(paths, index_dir: str, analyzer: str = "unicode",
     import ray.data
 
     analyzer_opts = analyzer_opts or {}
-    specs = plan_segments(paths, target_docs)
+    specs = plan_segments(paths, target_docs, segment_prefix)
     if not specs:
         raise ValueError(f"no parquet inputs under {paths!r}")
     os.makedirs(index_dir, exist_ok=True)

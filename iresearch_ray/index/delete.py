@@ -43,15 +43,15 @@ def _write_mask(index_dir: str, segment_id: str, gen: int,
     return name
 
 
-def delete_by_filter(index_dir: str, flt, scorer=None,
-                     generation: int | None = None) -> dict:
-    """Mask every doc matching ``flt``; returns the new manifest."""
+def _mask_matches(index_dir: str, flt, gen: int, scorer=None,
+                  generation: int | None = None) -> tuple[list[dict], int]:
+    """Write updated per-segment masks for docs matching ``flt``; returns
+    (updated manifest entries, total masked docs) without committing."""
     from iresearch_ray.search.executor import IndexReader
     from iresearch_ray.search.scorers import BM25
 
     reader = IndexReader(index_dir, generation)
     man = reader.manifest
-    gen = man["generation"] + 1
     prep = flt.prepare(reader, scorer or BM25())
     new_segments = []
     n_deleted = 0
@@ -65,5 +65,42 @@ def delete_by_filter(index_dir: str, flt, scorer=None,
             e["num_deleted"] = int(len(merged))
         n_deleted += int(len(merged))
         new_segments.append(e)
+    return new_segments, n_deleted
+
+
+def delete_by_filter(index_dir: str, flt, scorer=None,
+                     generation: int | None = None) -> dict:
+    """Mask every doc matching ``flt``; returns the new manifest."""
+    man = manifest_mod.load(index_dir, generation)
+    gen = man["generation"] + 1
+    new_segments, n_deleted = _mask_matches(index_dir, flt, gen, scorer,
+                                            generation)
     return manifest_mod.commit(index_dir, new_segments, generation=gen,
                                extra={"total_deleted": n_deleted})
+
+
+def replace_by_filter(index_dir: str, flt, new_paths, *, analyzer: str,
+                      analyzer_opts: dict | None = None,
+                      text_column: str = "text", key_column: str = "url",
+                      target_docs: int | None = None, scorer=None,
+                      store_columns: tuple = ()) -> dict:
+    """Update-as-replace (reference documents_context::replace,
+    index_writer.hpp:278-295,325-354): atomically insert replacement docs
+    from ``new_paths`` AND mask every older doc matching ``flt`` — both
+    visible only from the single new manifest generation (readers of the
+    old generation see the pre-replace index)."""
+    from iresearch_ray.index.build import DEFAULT_TARGET_DOCS, build_index
+
+    man = manifest_mod.load(index_dir)
+    gen = man["generation"] + 1
+    masked_entries, n_deleted = _mask_matches(index_dir, flt, gen, scorer)
+    sub = build_index(new_paths, index_dir, analyzer=analyzer,
+                      analyzer_opts=analyzer_opts, text_column=text_column,
+                      key_column=key_column,
+                      target_docs=target_docs or DEFAULT_TARGET_DOCS,
+                      commit=False, store_columns=store_columns,
+                      segment_prefix=f"seg-r{gen}-")
+    return manifest_mod.commit(index_dir, masked_entries + sub["segments"],
+                               generation=gen,
+                               extra={"total_deleted": n_deleted,
+                                      "replaced": True})

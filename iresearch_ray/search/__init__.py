@@ -6,6 +6,7 @@ from iresearch_ray.search.filters import (  # noqa: F401
     ColumnExistenceFilter,
     FuzzyFilter,
     GranularRangeFilter,
+    NestedFilter,
     NgramSimilarityFilter,
     NotFilter,
     OrFilter,

@@ -280,34 +280,134 @@ class _PreparedColumnExistence(Prepared):
 
 
 # -------------------------------------------------------------- phrase ----
+def _phrase_parts(terms) -> list[dict]:
+    """Normalize phrase elements (reference by_phrase variadic parts,
+    core/search/phrase_filter.hpp:42-148): str -> exact term; list/set ->
+    any-of term set; dict -> {"term"|"any"|"prefix"|"wildcard"|"fuzzy"...}."""
+    parts = []
+    for p in terms:
+        if isinstance(p, str):
+            parts.append({"term": p})
+        elif isinstance(p, (list, tuple, set, frozenset)):
+            parts.append({"any": sorted(p)})
+        elif isinstance(p, dict):
+            if not ({"term", "any", "prefix", "wildcard", "fuzzy"} & set(p)):
+                raise ValueError(f"unknown phrase part {p!r}")
+            parts.append(p)
+        else:
+            raise TypeError(f"bad phrase part {p!r}")
+    return parts
+
+
 class PhraseFilter(Filter):
-    """Exact positional phrase over consecutive tokens (reference by_phrase,
-    fixed-term flavor, core/search/phrase_filter.hpp:42-148)."""
+    """Positional phrase over consecutive tokens (reference by_phrase,
+    core/search/phrase_filter.hpp:42-148).  Fixed flavor: all parts exact
+    terms (rank-identical scoring: per-term idfs summed into one stats
+    buffer, phrase_query.cpp).  Variadic flavor: a part may be an any-of
+    set, prefix, wildcard, or fuzzy probe; a variadic position's df is the
+    clamped sum of its matched terms' dfs (documented approximation of the
+    reference's per-variant term_collector union)."""
 
     def __init__(self, terms, boost: float = 1.0):
         if not terms:
             raise ValueError("empty phrase")
-        self.terms = list(terms)
+        self.parts = _phrase_parts(terms)
+        self.fixed = all(set(p) == {"term"} for p in self.parts)
+        self.terms = [p["term"] for p in self.parts] if self.fixed else []
         self.boost = boost
 
     def terms_needed(self):
-        return set(self.terms)
+        out = set(self.terms)
+        for p in self.parts:
+            out |= set(p.get("any", ()))
+        return out
+
+    @staticmethod
+    def _part_rows(part: dict, r) -> np.ndarray:
+        """Dictionary rows matched by one variadic part in one segment."""
+        if "term" in part:
+            i = r.lookup(part["term"])
+            return (np.array([i], dtype=np.int64) if i >= 0
+                    else np.empty(0, dtype=np.int64))
+        if "any" in part:
+            idxs = [r.lookup(t) for t in part["any"]]
+            return np.array(sorted(i for i in idxs if i >= 0), dtype=np.int64)
+        if "prefix" in part:
+            lo, hi = r.prefix_range(part["prefix"])
+            return np.arange(lo, hi, dtype=np.int64)
+        if "wildcard" in part:
+            return automaton.match_wildcard(r.terms, part["wildcard"])
+        if "fuzzy" in part:
+            rows, _ = automaton.match_fuzzy(
+                r.terms, part["fuzzy"], int(part.get("max_distance", 1)),
+                int(part.get("prefix_len", 0)))
+            return rows
+        raise ValueError(f"unknown phrase part {part!r}")
 
     def prepare(self, reader, scorer, df_map=None):
+        if self.fixed:
+            idf_sum = 0.0
+            idx_maps = []
+            for t in self.terms:
+                idxs = {seg.id: seg.reader.lookup(t) for seg in reader.segments}
+                if df_map is not None:
+                    df = df_map.get(t, 0)
+                else:
+                    df = sum(int(seg.reader.df_array()[i])
+                             for seg, i in ((s, idxs[s.id]) for s in reader.segments) if i >= 0)
+                idf_sum += scorer.idf(reader.stats.docs_with_field, df)
+                idx_maps.append(idxs)
+            prep = scorer.prepare(reader.stats, df=0, boost=self.boost,
+                                  idf_override=idf_sum)
+            return _PreparedPhrase(idx_maps, prep)
         idf_sum = 0.0
-        idx_maps = []
-        for t in self.terms:
-            idxs = {seg.id: seg.reader.lookup(t) for seg in reader.segments}
-            if df_map is not None:
-                df = df_map.get(t, 0)
-            else:
-                df = sum(int(seg.reader.df_array()[i])
-                         for seg, i in ((s, idxs[s.id]) for s in reader.segments) if i >= 0)
-            idf_sum += scorer.idf(reader.stats.docs_with_field, df)
-            idx_maps.append(idxs)
+        pos_rows = []
+        n_field = reader.stats.docs_with_field
+        for part in self.parts:
+            rows_by_seg: dict[str, np.ndarray] = {}
+            df_sum = 0
+            for seg in reader.segments:
+                rows = self._part_rows(part, seg.reader)
+                rows_by_seg[seg.id] = rows
+                if len(rows):
+                    df_sum += int(seg.reader.df_array()[rows].sum())
+            idf_sum += scorer.idf(n_field, min(df_sum, n_field))
+            pos_rows.append(rows_by_seg)
         prep = scorer.prepare(reader.stats, df=0, boost=self.boost,
                               idf_override=idf_sum)
-        return _PreparedPhrase(idx_maps, prep)
+        return _PreparedVarPhrase(pos_rows, prep)
+
+
+class _PreparedVarPhrase(Prepared):
+    """Variadic phrase: per position, UNION the matched terms' occurrence
+    keys, then intersect aligned (doc, start) keys across positions."""
+
+    def __init__(self, pos_rows, scorer_prep):
+        self.pos_rows = pos_rows
+        self.sp = scorer_prep
+
+    def execute(self, seg):
+        keys = None
+        for i, rows_by_seg in enumerate(self.pos_rows):
+            rows = rows_by_seg.get(seg.id)
+            if rows is None or len(rows) == 0:
+                return _empty(self.sp.dtype)
+            ks = []
+            for r in rows:
+                docs, freqs, pos, _ = seg.reader.postings(int(r), positions=True)
+                doc_per_occ = np.repeat(docs.astype(np.int64), freqs)
+                aligned = pos - i
+                ok = aligned >= 0
+                ks.append((doc_per_occ[ok] << np.int64(32)) | aligned[ok])
+            k = np.unique(np.concatenate(ks))  # variants may share a start
+            keys = k if keys is None else keys[np.isin(keys, k, assume_unique=True)]
+            if len(keys) == 0:
+                return _empty(self.sp.dtype)
+        match_docs = keys >> np.int64(32)
+        u_docs, phrase_freq = np.unique(match_docs, return_counts=True)
+        scores = self.sp.score(phrase_freq, seg.reader.doc_len[u_docs - 1],
+                               seg.tiny)
+        return u_docs, scores
 
 
 class _PreparedPhrase(Prepared):
@@ -333,6 +433,85 @@ class _PreparedPhrase(Prepared):
         u_docs, phrase_freq = np.unique(match_docs, return_counts=True)
         scores = self.sp.score(phrase_freq, seg.reader.doc_len[u_docs - 1], seg.tiny)
         return u_docs, scores
+
+
+# ------------------------------------------------- nested (block join) ----
+class NestedFilter(Filter):
+    """Parent/child block join (reference ByNestedFilter,
+    core/search/nested_filter.cpp; Lucene block-join layout): children are
+    indexed immediately BEFORE their parent doc in the same segment; a
+    matched child resolves to the nearest following parent (the reference's
+    prev_doc walked from the other side).
+
+    ``merge``: how child scores fold into the parent's score — 'sum', 'avg',
+    'max', 'min', or 'none' (constant boost).  ``min_children``: parent
+    matches only if at least this many of its children match.
+    """
+
+    def __init__(self, parent: Filter, child: Filter, merge: str = "sum",
+                 min_children: int = 1, boost: float = 1.0):
+        if merge not in ("sum", "avg", "max", "min", "none"):
+            raise ValueError(f"bad merge {merge!r}")
+        self.parent, self.child = parent, child
+        self.merge = merge
+        self.min_children = int(min_children)
+        self.boost = boost
+
+    def terms_needed(self):
+        return self.parent.terms_needed() | self.child.terms_needed()
+
+    def prepare(self, reader, scorer, df_map=None):
+        return _PreparedNested(self.parent.prepare(reader, scorer, df_map),
+                               self.child.prepare(reader, scorer, df_map),
+                               self.merge, self.min_children, self.boost,
+                               scorer.dtype)
+
+
+class _PreparedNested(Prepared):
+    def __init__(self, pp, cp, merge, min_children, boost, dtype):
+        self.pp, self.cp = pp, cp
+        self.merge, self.min_children = merge, min_children
+        self.boost, self.dtype = boost, dtype
+
+    def execute(self, seg):
+        parents, _ = self.pp.execute(seg)
+        if not len(parents):
+            return _empty(self.dtype)
+        cdocs, cscores = self.cp.execute(seg)
+        # children are non-parent docs; a parent doc matching the child
+        # filter is not its own child
+        if len(cdocs):
+            at = np.searchsorted(parents, cdocs)
+            is_parent = ((at < len(parents))
+                         & (parents[np.minimum(at, len(parents) - 1)] == cdocs))
+            cdocs, cscores = cdocs[~is_parent], cscores[~is_parent]
+        if not len(cdocs):
+            return _empty(self.dtype)
+        owner = np.searchsorted(parents, cdocs, side="left")
+        ok = owner < len(parents)  # trailing children with no parent drop
+        owner, cscores = owner[ok], cscores[ok]
+        if not len(owner):
+            return _empty(self.dtype)
+        u_own, counts = np.unique(owner, return_counts=True)
+        if self.merge == "sum" or self.merge == "avg":
+            agg = np.zeros(len(parents), dtype=np.float64)
+            np.add.at(agg, owner, cscores.astype(np.float64))
+            vals = agg[u_own]
+            if self.merge == "avg":
+                vals = vals / counts
+        elif self.merge == "max":
+            agg = np.full(len(parents), -np.inf)
+            np.maximum.at(agg, owner, cscores.astype(np.float64))
+            vals = agg[u_own]
+        elif self.merge == "min":
+            agg = np.full(len(parents), np.inf)
+            np.minimum.at(agg, owner, cscores.astype(np.float64))
+            vals = agg[u_own]
+        else:  # none
+            vals = np.full(len(u_own), self.boost, dtype=np.float64)
+        keep = counts >= self.min_children
+        return (parents[u_own[keep]].astype(np.int64),
+                vals[keep].astype(self.dtype))
 
 
 # ---------------------------------------------------- ngram similarity ----

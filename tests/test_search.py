@@ -256,3 +256,70 @@ def test_topk_wand_equals_all(index):
         b = s.search(TermFilter(term), k=10, mode="top")
         assert list(a["doc"]) == list(b["doc"]), term
         assert np.array_equal(a["score"].to_numpy(), b["score"].to_numpy())
+
+
+def _var_part_pred(part):
+    import re as _re
+
+    from iresearch_ray.search.automaton import levenshtein_distances, wildcard_to_regex
+
+    if isinstance(part, str):
+        return lambda w: w == part
+    if isinstance(part, (list, set, tuple)):
+        s = set(part)
+        return lambda w: w in s
+    if "prefix" in part:
+        return lambda w: w.startswith(part["prefix"])
+    if "wildcard" in part:
+        rx = wildcard_to_regex(part["wildcard"])
+        return lambda w: bool(rx.fullmatch(w))
+    if "fuzzy" in part:
+        d = part.get("max_distance", 1)
+        return lambda w: int(levenshtein_distances([w], part["fuzzy"], d)[0]) <= d
+    raise ValueError(part)
+
+
+def _oracle_var_phrase(texts, parts):
+    """doc_id -> phrase freq for the variadic phrase, brute force."""
+    ana = get_analyzer("ascii")
+    preds = [_var_part_pred(p) for p in parts]
+    out = {}
+    for doc_id, text in enumerate(texts, start=1):
+        toks = ana.tokens(text)
+        cnt = sum(1 for p in range(len(toks) - len(preds) + 1)
+                  if all(pred(toks[p + i]) for i, pred in enumerate(preds)))
+        if cnt:
+            out[doc_id] = cnt
+    return out
+
+
+@pytest.mark.parametrize("parts", [
+    [{"prefix": "abc"}, "ghi"],          # prefix at position 0
+    ["ref", ["name", "books"]],          # any-of set at position 1
+    [{"wildcard": "fu%y"}, {"prefix": ""}],   # wildcard then match-any-token
+    [{"fuzzy": "ref", "max_distance": 1}, "name"],
+])
+def test_variadic_phrase_vs_bruteforce(index, parts):
+    reader, oracle = index
+    t = synthesize_pages(N_DOCS)
+    texts = t["text"].to_pylist()
+    exp = _oracle_var_phrase(texts, parts)
+    docs, scores = _engine_matches(reader, PhraseFilter(parts))
+    assert list(docs) == sorted(exp)
+    # phrase freq drives tf: re-derive scores from the engine's own idf
+    if len(docs):
+        prep = PhraseFilter(parts).prepare(reader, BM25())
+        freqs = np.array([exp[int(d)] for d in docs])
+        dls = np.array([oracle.doc_len[int(d) - 1] for d in docs])
+        assert np.array_equal(scores, prep.sp.score(freqs, dls, True))
+
+
+def test_variadic_phrase_fixed_path_unchanged(index):
+    reader, _ = index
+    fixed = PhraseFilter(["ref", "name"]).prepare(reader, BM25())
+    assert hasattr(fixed, "idx_maps")  # fixed flavor keeps the exact-term path
+    var = PhraseFilter([["ref"], "name"]).prepare(reader, BM25())
+    d1, s1 = _engine_matches(reader, PhraseFilter(["ref", "name"]))
+    d2, s2 = _engine_matches(reader, PhraseFilter([["ref"], "name"]))
+    assert list(d1) == list(d2)
+    assert np.array_equal(s1, s2)  # single-variant set: same clamped df sum

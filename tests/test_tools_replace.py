@@ -1,0 +1,86 @@
+"""replace_by_filter (update-as-replace) + dump/convert utilities
+(reference index_writer replace semantics index_writer.hpp:278-295;
+utils/index-dump.cpp; utils/index-convert.cpp)."""
+
+import io
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from iresearch_ray.index.build import build_index
+from iresearch_ray.index.delete import replace_by_filter
+from iresearch_ray.search import BM25, IndexReader, IndexSearcher, TermFilter
+from iresearch_ray.sources.pages import write_pages
+from iresearch_ray.tools import convert_index, dump_index
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    base = tmp_path_factory.mktemp("toolsrep")
+    pages = str(base / "pages.parquet")
+    write_pages(pages, 300, row_group_size=50)
+    index_dir = str(base / "idx")
+    man = build_index(pages, index_dir, analyzer="ascii", target_docs=100)
+    return base, pages, index_dir, man
+
+
+def test_replace_by_filter(built):
+    base, pages, index_dir, man = built
+    old_matches = IndexSearcher(IndexReader(index_dir), BM25()).search(
+        TermFilter("mterm"), k=500)
+    n_old = len(old_matches)
+    assert n_old > 0
+    # replacements: new docs that all contain the replacement marker
+    repl = pa.table({
+        "url": [f"https://r/{i}" for i in range(5)],
+        "text": [f"replacement doc mterm fresh{i}" for i in range(5)],
+    })
+    repl_path = str(base / "repl.parquet")
+    pq.write_table(repl, repl_path)
+    man2 = replace_by_filter(index_dir, TermFilter("mterm"), repl_path,
+                             analyzer="ascii", target_docs=100)
+    assert man2["generation"] == man["generation"] + 1
+    assert man2["total_deleted"] >= n_old
+    r = IndexReader(index_dir)
+    res = IndexSearcher(r, BM25()).search(TermFilter("mterm"), k=500)
+    # ONLY the replacements match now
+    assert sorted(res["key"]) == [f"https://r/{i}" for i in range(5)]
+    # old generation: pre-replace view (MVCC)
+    res_old = IndexSearcher(IndexReader(index_dir, man["generation"]),
+                            BM25()).search(TermFilter("mterm"), k=500)
+    assert list(res_old["doc"]) == list(old_matches["doc"])
+
+
+def test_dump(built):
+    _, _, index_dir, _ = built
+    buf = io.StringIO()
+    dump_index(index_dir, term="hterm", out=buf)
+    s = buf.getvalue()
+    assert "generation" in s and "'hterm' df=" in s
+    buf2 = io.StringIO()
+    dump_index(index_dir, limit=3, out=buf2)
+    assert "more terms" in buf2.getvalue()
+
+
+def test_convert_rank_identical(built, tmp_path_factory):
+    _, _, index_dir, _ = built
+    dst = str(tmp_path_factory.mktemp("converted") / "idx2")
+    man_src = IndexReader(index_dir).manifest
+    man2 = convert_index(index_dir, dst, target_docs=10_000)
+    assert len(man2["segments"]) == 1  # repacked into one
+    # purges masks: converted index has fewer docs than pre-replace total
+    r2 = IndexReader(dst)
+    before = IndexSearcher(IndexReader(index_dir), BM25()).search(
+        TermFilter("hterm"), k=500)
+    after = IndexSearcher(r2, BM25()).search(TermFilter("hterm"), k=500)
+    assert sorted(after["key"]) == sorted(before["key"])
+
+
+def test_tools_cli(built, capsys):
+    from iresearch_ray.tools import main
+
+    _, _, index_dir, _ = built
+    assert main(["dump", "--index", index_dir, "--limit", "2"]) == 0
+    assert "segment" in capsys.readouterr().out
