@@ -367,6 +367,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (ray_docs(sf_dir).groupby("lang")
                 .aggregate(Count(alias_name="n_docs")).to_pandas())
 
+    def keyword_search(sf_dir):
+        from iresearch_ray.index.build import build_index
+        from iresearch_ray.search import IndexReader, TermFilter
+
+        key = _slug(sf_dir) + "_kw"
+        if key not in _READERS:
+            index_dir = os.path.join(_CACHE_ROOT, _slug(sf_dir), "index_kw")
+            src = os.path.join(sf_dir, "documents.parquet")
+            import pyarrow.parquet as pq
+
+            n = pq.ParquetFile(src).metadata.num_rows
+            build_index(src, index_dir, analyzer="keyword",
+                        text_column="source", key_column="doc_id",
+                        target_docs=max(32, math.ceil(n / 4)))
+            _READERS[key] = IndexReader(index_dir)
+        reader = _READERS[key]
+        prep = TermFilter("src3").prepare(reader, _scorer())
+        ids, scores = [], []
+        for seg in reader.segments:
+            docs, sc = prep.execute(seg)
+            if len(docs):
+                ids.append(np.array([int(k) for k in seg.reader.keys[docs - 1]],
+                                    dtype=np.int64))
+                scores.append(sc)
+        return pd.DataFrame({
+            "doc_id": np.concatenate(ids) if ids else np.empty(0, np.int64),
+            "score": np.round(np.concatenate(scores).astype(np.float64), 4)
+            if scores else pd.Series([], dtype=np.float64),
+        }).sort_values("doc_id").reset_index(drop=True)
+
+    def classify_labels(sf_dir):
+        from iresearch_ray.pipelines.classify import classify
+
+        out = classify(ray_docs(sf_dir), top_k=1).to_pandas()
+        return (pd.DataFrame({"doc_id": out["doc_id"].astype(np.int64),
+                              "label": [ls[0] for ls in out["labels"]]})
+                .sort_values("doc_id").reset_index(drop=True))
+
     def column_existence(sf_dir):
         from iresearch_ray.search import ColumnExistenceFilter
 
@@ -504,7 +542,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": top_terms,
         "numeric_range": numeric_range,
         "column_existence": column_existence,
+        "keyword_search": keyword_search,
         "delete_search": delete_search,
+        "classify_labels": classify_labels,        # rows-only (stub model)
         "ngram_similarity": ngram_similarity,      # rows-only (LCS chain)
         # --- text-analysis pipelines ---
         "doc_stats": doc_stats,
@@ -605,6 +645,12 @@ FROM ph JOIN dl ON ph.doc_id = dl.doc_id, idf, stats s
 """,
         "column_existence": """
 SELECT doc_id, lang FROM documents WHERE lang IS NOT NULL ORDER BY doc_id
+""",
+        "keyword_search": f"""
+WITH s AS (SELECT count(*)::DOUBLE AS n FROM documents),
+d AS (SELECT count(*)::DOUBLE AS df FROM documents WHERE source = 'src3')
+SELECT doc_id, round(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)), 4) AS score
+FROM documents, s, d WHERE source = 'src3' ORDER BY doc_id
 """,
         "delete_search": _sql_bm25(
             _sql_tf("batch"), "f > 0 AND fdel = 0",

@@ -157,3 +157,14 @@ class MinHashAnalyzer:
         return {"name": self.name, "inner": self.inner.config(),
                 "num_hashes": self.num_hashes, "shingle_k": self.shingle_k,
                 "seed": self.seed}
+
+
+def _make_minhash(inner: str = "unicode", inner_opts: dict | None = None, **o):
+    from iresearch_ray.analysis.tokenizers import get_analyzer
+
+    return MinHashAnalyzer(get_analyzer(inner, **(inner_opts or {})), **o)
+
+
+from iresearch_ray.analysis.tokenizers import register_analyzer  # noqa: E402
+
+register_analyzer("minhash", _make_minhash)

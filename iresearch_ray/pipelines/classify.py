@@ -1,0 +1,127 @@
+"""Model-inference analyzer stages: classification + nearest-neighbors.
+
+The analogues of the reference's fastText-backed analyzers
+(core/analysis/classification_stream.cpp:225-238 emits top-k predicted
+labels as tokens; nearest_neighbors_stream.cpp:204-217 emits each input
+token's k model neighbors).  fastText isn't available in this container,
+so the MODEL is stubbed behind an import-try with a deterministic fake —
+the Ray plumbing (model loaded once per actor in ``__init__``, vectorized
+batch inference in ``__call__``, actor-pool sizing) is real: swap
+``_fake_*`` for `fasttext.load_model(path)` calls and nothing else changes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from iresearch_ray.util import pool_size
+
+
+def _stable_hash(s: str) -> int:
+    h = np.uint64(1469598103934665603)
+    for b in s.encode():
+        h = np.uint64((int(h) ^ b) * 1099511628211 & 0xFFFFFFFFFFFFFFFF)
+    return int(h)
+
+
+class ClassifyBatch:
+    """Actor-pool stage: text -> top-k predicted label tokens.
+
+    Real deployment: ``__init__`` loads the fastText supervised model ONCE
+    per actor (the reference pools one model per indexing thread); the fake
+    predicts a deterministic label from a token-histogram hash.
+    """
+
+    def __init__(self, text_column: str = "text",
+                 labels: tuple = ("news", "sports", "tech", "other"),
+                 top_k: int = 1, model_path: str | None = None):
+        self.text_column = text_column
+        self.labels = list(labels)
+        self.top_k = int(top_k)
+        self.model = None
+        if model_path is not None:
+            try:
+                import fasttext  # noqa: F401 — not shipped in this container
+
+                self.model = fasttext.load_model(model_path)
+            except ImportError as e:
+                raise NotImplementedError(
+                    "fasttext unavailable; omit model_path to use the "
+                    "deterministic fake") from e
+
+    def _predict(self, text: str) -> list[str]:
+        if self.model is not None:
+            labels, _ = self.model.predict(text, k=self.top_k)
+            return [l.removeprefix("__label__") for l in labels]
+        h = _stable_hash(text)
+        n = len(self.labels)
+        return [self.labels[(h + i) % n] for i in range(min(self.top_k, n))]
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        preds = [self._predict(t or "") for t in b[self.text_column].to_pylist()]
+        return b.append_column(
+            "labels", pa.array(preds, type=pa.list_(pa.string())))
+
+
+class NearestNeighborsBatch:
+    """Actor-pool stage: each input token -> its k model neighbors as
+    tokens (reference nearest_neighbors_stream).  Fake: deterministic
+    pseudo-neighbors derived from the token hash."""
+
+    def __init__(self, text_column: str = "text", k: int = 2,
+                 model_path: str | None = None, analyzer: str = "ascii"):
+        from iresearch_ray.analysis import get_analyzer
+
+        self.text_column = text_column
+        self.k = int(k)
+        self.analyzer = get_analyzer(analyzer)
+        self.model = None
+        if model_path is not None:
+            try:
+                import fasttext  # noqa: F401
+
+                self.model = fasttext.load_model(model_path)
+            except ImportError as e:
+                raise NotImplementedError(
+                    "fasttext unavailable; omit model_path to use the "
+                    "deterministic fake") from e
+
+    def _neighbors(self, token: str) -> list[str]:
+        if self.model is not None:
+            return [w for _, w in
+                    self.model.get_nearest_neighbors(token, k=self.k)]
+        h = _stable_hash(token)
+        return [f"{token}~{(h >> (8 * i)) % 97:02d}" for i in range(self.k)]
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        out = []
+        for text in b[self.text_column].to_pylist():
+            toks = self.analyzer.tokens(text or "")
+            flat: list[str] = []
+            for t in toks:
+                flat.extend(self._neighbors(t))
+            out.append(flat)
+        return b.append_column(
+            "neighbor_tokens", pa.array(out, type=pa.list_(pa.string())))
+
+
+def classify(ds, text_column: str = "text", labels=("news", "sports", "tech",
+                                                    "other"),
+             top_k: int = 1, concurrency: int | None = None,
+             batch_size: int = 256):
+    return ds.map_batches(
+        ClassifyBatch,
+        fn_constructor_kwargs=dict(text_column=text_column,
+                                   labels=tuple(labels), top_k=top_k),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=pool_size(concurrency))
+
+
+def nearest_neighbors(ds, text_column: str = "text", k: int = 2,
+                      concurrency: int | None = None, batch_size: int = 256):
+    return ds.map_batches(
+        NearestNeighborsBatch,
+        fn_constructor_kwargs=dict(text_column=text_column, k=k),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=pool_size(concurrency))

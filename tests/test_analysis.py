@@ -107,3 +107,24 @@ def test_stem_and_text_analyzers():
     plain = get_analyzer("text", stemming=False)
     assert plain.tokens("Running dogs") == ["running", "dogs"]
     assert txt.config()["stopwords"] == ["of", "the"]
+
+
+def test_keyword_boolean_null_collation():
+    assert get_analyzer("keyword").tokens("Exact Value!") == ["Exact Value!"]
+    bo = get_analyzer("boolean")
+    assert bo.tokens(True) == ["$true"]
+    assert bo.tokens("no") == ["$false"]
+    assert bo.tokens(None) == ["$null"]
+    assert get_analyzer("null").tokens("anything") == ["$null"]
+    co = get_analyzer("collation")
+    assert co.tokens("Héllo") == ["hello"]
+    # collation keys are byte-comparable: accent-insensitive order
+    assert co.tokens("café")[0] < co.tokens("Caff")[0]
+
+
+def test_minhash_registered_and_stable():
+    a = get_analyzer("minhash", num_hashes=8)
+    t1 = a.tokens("the quick brown fox jumps over the lazy dog")
+    t2 = a.tokens("the quick brown fox jumps over the lazy dog")
+    assert t1 == t2 and len(t1) == 8
+    assert all(len(x) == 16 for x in t1)

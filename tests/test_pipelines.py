@@ -188,3 +188,29 @@ def test_multimodal_stub_raises():
     stage = multimodal.DecodeFeatureBatch(fake=None)
     with pytest.raises(NotImplementedError):
         stage._decode_stub(b"payload")
+
+
+def test_classify_and_neighbors_plumbing(ray_session, docs):
+    from iresearch_ray.pipelines.classify import classify, nearest_neighbors
+
+    out = (classify(docs, labels=("a", "b", "c"), top_k=2).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert {"doc_id", "labels"} <= set(out.columns)
+    assert all(len(ls) == 2 and set(ls) <= {"a", "b", "c"} for ls in out["labels"])
+    # deterministic across runs (sorted: block arrival order is not)
+    out2 = (classify(docs, labels=("a", "b", "c"), top_k=2).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    assert list(map(list, out["labels"])) == list(map(list, out2["labels"]))
+
+    nn = nearest_neighbors(docs.limit(20), k=2).to_pandas()
+    assert all(len(v) % 2 == 0 for v in nn["neighbor_tokens"])
+    assert any(len(v) > 0 for v in nn["neighbor_tokens"])
+
+
+def test_classify_model_path_raises_without_fasttext(ray_session):
+    import pytest as _pytest
+
+    from iresearch_ray.pipelines.classify import ClassifyBatch
+
+    with _pytest.raises(NotImplementedError):
+        ClassifyBatch(model_path="/nonexistent/model.bin")
