@@ -90,7 +90,8 @@ def plan_segments(paths, target_docs: int = DEFAULT_TARGET_DOCS,
 
 
 def _lineage(spec: dict, analyzer_cfg: dict, text_column: str, key_column: str,
-             store_columns: tuple = ()) -> dict:
+             store_columns: tuple = (), sort_by: str | None = None,
+             sort_descending: bool = False) -> dict:
     lin = {
         "file": os.path.basename(str(spec["file"])),
         "row_groups": [int(g) for g in spec["row_groups"]],
@@ -102,6 +103,8 @@ def _lineage(spec: dict, analyzer_cfg: dict, text_column: str, key_column: str,
     }
     if store_columns:
         lin["store_columns"] = list(store_columns)
+    if sort_by:
+        lin["sort_by"] = [sort_by, bool(sort_descending)]
     lin["hash"] = hashlib.sha256(
         json.dumps(lin, sort_keys=True).encode()).hexdigest()[:16]
     return lin
@@ -126,12 +129,15 @@ class BuildSegmentTask:
 
     def __init__(self, index_dir: str, analyzer_name: str, analyzer_opts: dict,
                  text_column: str, key_column: str,
-                 store_columns: tuple = ()):
+                 store_columns: tuple = (), sort_by: str | None = None,
+                 sort_descending: bool = False):
         self.index_dir = index_dir
         self.analyzer = get_analyzer(analyzer_name, **analyzer_opts)
         self.text_column = text_column
         self.key_column = key_column
         self.store_columns = tuple(store_columns)
+        self.sort_by = sort_by
+        self.sort_descending = bool(sort_descending)
 
     def __call__(self, batch: dict) -> dict:
         out = {"segment_id": [], "num_docs": [], "sum_doc_len": [], "num_terms": [],
@@ -153,7 +159,8 @@ class BuildSegmentTask:
     def build_one(self, spec: dict) -> dict:
         t0 = time.monotonic()
         lineage = _lineage(spec, self.analyzer.config(), self.text_column,
-                           self.key_column, self.store_columns)
+                           self.key_column, self.store_columns,
+                           self.sort_by, self.sort_descending)
         seg_dir = os.path.join(self.index_dir, spec["segment_id"])
         if _segment_done(self.index_dir, spec["segment_id"], lineage["hash"]):
             with open(os.path.join(seg_dir, META_FILE)) as f:
@@ -167,10 +174,27 @@ class BuildSegmentTask:
         import pyarrow as pa
 
         read_cols = list(dict.fromkeys(
-            [self.key_column, self.text_column, *self.store_columns]))
-        for rb in pf.iter_batches(batch_size=TOKENIZE_BATCH_ROWS,
+            [self.key_column, self.text_column, *self.store_columns,
+             *((self.sort_by,) if self.sort_by else ())]))
+        batches = pf.iter_batches(batch_size=TOKENIZE_BATCH_ROWS,
                                   row_groups=list(spec["row_groups"]),
-                                  columns=read_cols):
+                                  columns=read_cols)
+        if self.sort_by:
+            # "sorted index" (reference comparer, core/index/comparer.hpp:
+            # 31-44; doc-id remap on flush segment_writer.cpp:268-313):
+            # physically order THIS segment's docs by the sort field before
+            # dense doc-id assignment.  Bounded: a segment is at most
+            # target_docs rows (the reference likewise buffers the whole
+            # segment before its sorted flush).
+            import pyarrow.compute as pc
+
+            whole = pa.Table.from_batches(list(batches))
+            order = pc.sort_indices(whole, sort_keys=[
+                (self.sort_by,
+                 "descending" if self.sort_descending else "ascending")])
+            batches = whole.take(order).to_batches(
+                max_chunksize=TOKENIZE_BATCH_ROWS)
+        for rb in batches:
             keys = rb.column(self.key_column).cast(pa.string()).to_pylist()
             if arrow_fast:
                 writer.add_batch_coded(
@@ -182,7 +206,7 @@ class BuildSegmentTask:
             if self.store_columns:
                 writer.add_stored(pa.Table.from_batches([rb]).select(
                     list(self.store_columns)))
-        meta = writer.flush(self.index_dir)
+        meta = writer.flush(self.index_dir)  # lineage carries sort_by
         meta["_skipped"] = False
         meta["_wall_s"] = time.monotonic() - t0
         return meta
@@ -207,7 +231,9 @@ def build_index(paths, index_dir: str, analyzer: str = "unicode",
                 key_column: str = "url", target_docs: int = DEFAULT_TARGET_DOCS,
                 concurrency: int | None = None, commit: bool = True,
                 use_actors: bool = False, cpus_per_task: int = 1,
-                store_columns: tuple = (), segment_prefix: str = "seg-") -> dict:
+                store_columns: tuple = (), segment_prefix: str = "seg-",
+                sort_by: str | None = None,
+                sort_descending: bool = False) -> dict:
     """Build (or resume) an index over Parquet inputs; returns the manifest.
 
     ``cpus_per_task`` reserves that many CPUs per segment task — raise to 2
@@ -239,7 +265,8 @@ def build_index(paths, index_dir: str, analyzer: str = "unicode",
     ctor = dict(index_dir=index_dir, analyzer_name=analyzer,
                 analyzer_opts=analyzer_opts,
                 text_column=text_column, key_column=key_column,
-                store_columns=tuple(store_columns))
+                store_columns=tuple(store_columns), sort_by=sort_by,
+                sort_descending=sort_descending)
     if use_actors:
         stats_ds = ds.map_batches(
             BuildSegmentTask, fn_constructor_kwargs=ctor,

@@ -103,3 +103,47 @@ def test_lookup_and_ranges(built):
     assert [t for t in r.terms[lo:hi]] == [t for t in oracle.sorted_terms() if t.startswith("w00")]
     lo, hi = r.term_range("w0010", "w0020")
     assert all("w0010" <= t < "w0020" for t in r.terms[lo:hi])
+
+
+def test_sorted_index_build(ray_session, tmp_path_factory):
+    """Reference 'sorted index' (comparer.hpp:31-44): docs within each
+    segment physically ordered by a field, doc ids reassigned densely."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iresearch_ray.index.build import build_index
+    from iresearch_ray.index.segment import SegmentReader
+    from iresearch_ray.search import BM25, IndexReader, IndexSearcher, TermFilter
+
+    base = tmp_path_factory.mktemp("sorted")
+    rng = np.random.default_rng(3)
+    n = 200
+    prio = rng.permutation(n).astype(np.int64)
+    t = pa.table({
+        "url": [f"u{i:04d}" for i in range(n)],
+        "text": [f"word{i % 7} common probe" for i in range(n)],
+        "prio": prio,
+    })
+    path = str(base / "p.parquet")
+    pq.write_table(t, path, row_group_size=50)
+    index_dir = str(base / "idx")
+    man = build_index(path, index_dir, analyzer="ascii", target_docs=100,
+                      sort_by="prio", store_columns=("prio",))
+    reader = IndexReader(index_dir)
+    # within each segment, stored prio is ascending and doc ids dense
+    for seg in reader.segments:
+        vals = seg.reader.column("prio").to_numpy()
+        assert (np.diff(vals) > 0).all()
+    # resume honors the sort lineage (same sort -> skip)
+    man2 = build_index(path, index_dir, analyzer="ascii", target_docs=100,
+                       sort_by="prio", store_columns=("prio",))
+    assert man2["build_stats"]["segments_skipped"] == len(man2["segments"])
+    # different sort -> rebuild
+    man3 = build_index(path, index_dir, analyzer="ascii", target_docs=100,
+                       sort_by="prio", sort_descending=True,
+                       store_columns=("prio",))
+    assert man3["build_stats"]["segments_built"] == len(man3["segments"])
+    # queries still correct after reorder
+    res = IndexSearcher(IndexReader(index_dir), BM25()).search(
+        TermFilter("word3"), k=500)
+    assert sorted(res["key"]) == [f"u{i:04d}" for i in range(n) if i % 7 == 3]
