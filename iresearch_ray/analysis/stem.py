@@ -159,16 +159,35 @@ class StemAnalyzer(Analyzer):
 
 class TextAnalyzer(Analyzer):
     """Composite `text` analyzer: word split + case fold + stopword drop +
-    Porter stem — the shape of the reference text_token_stream pipeline
-    (segmentation -> normalize -> stopwords -> stem), minus ICU locale
-    machinery."""
+    Porter stem + optional edge n-grams — the shape of the reference
+    text_token_stream pipeline (segmentation -> normalize -> stopwords ->
+    stem -> edge ngrams, options text_token_stream.hpp:51-79), minus ICU
+    locale machinery.
+
+    ``min_gram``/``max_gram``: emit word-prefix n-grams of those lengths
+    for each (stemmed) token; ``preserve_original`` additionally emits the
+    token itself when longer than ``max_gram``.
+    """
 
     name = "text"
 
-    def __init__(self, stopwords=(), stemming: bool = True, kind: str = "unicode"):
+    def __init__(self, stopwords=(), stemming: bool = True,
+                 kind: str = "unicode", min_gram: int = 0, max_gram: int = 0,
+                 preserve_original: bool = True):
         self.tokenizer = RegexTokenizer(kind=kind)
         self.stopwords = frozenset(stopwords)
         self.stemming = stemming
+        self.min_gram, self.max_gram = int(min_gram), int(max_gram)
+        if self.min_gram and not self.max_gram:
+            self.max_gram = self.min_gram
+        self.preserve_original = bool(preserve_original)
+
+    def _edge_ngrams(self, tok: str) -> list[str]:
+        out = [tok[:n] for n in range(self.min_gram,
+                                      min(self.max_gram, len(tok)) + 1)]
+        if self.preserve_original and len(tok) > self.max_gram:
+            out.append(tok)
+        return out or ([tok] if self.preserve_original else [])
 
     def tokens(self, text: str) -> list[str]:
         toks = self.tokenizer.tokens(text)
@@ -176,11 +195,15 @@ class TextAnalyzer(Analyzer):
             toks = [t for t in toks if t not in self.stopwords]
         if self.stemming:
             toks = [porter_stem(t) for t in toks]
+        if self.min_gram:
+            toks = [g for t in toks for g in self._edge_ngrams(t)]
         return toks
 
     def config(self) -> dict:
         return {"name": self.name, "stopwords": sorted(self.stopwords),
                 "stemming": self.stemming,
+                "min_gram": self.min_gram, "max_gram": self.max_gram,
+                "preserve_original": self.preserve_original,
                 "tokenizer": self.tokenizer.config()}
 
 

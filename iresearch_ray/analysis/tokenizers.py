@@ -102,6 +102,21 @@ class RegexTokenizer(Analyzer):
             text = text.lower()
         return self._pat.findall(text)
 
+    def tokens_with_offsets(self, text: str):
+        """(tokens, starts, ends) — char offsets into the ORIGINAL text
+        (reference OFFS index feature; ours recomputes offsets lazily for
+        top-k docs instead of storing them per posting — see
+        search/highlight.py for the scale rationale)."""
+        low = text.lower() if self.lowercase else text
+        toks, starts, ends = [], [], []
+        for m in self._pat.finditer(low):
+            toks.append(m.group())
+            starts.append(m.start())
+            ends.append(m.end())
+        import numpy as np
+
+        return toks, np.asarray(starts, dtype=np.int64), np.asarray(ends, dtype=np.int64)
+
     def config(self) -> dict:
         return {"name": self.name, "kind": self.kind, "lowercase": self.lowercase}
 

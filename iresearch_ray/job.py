@@ -1,0 +1,127 @@
+"""Cluster job entry point — the ``ray job submit`` surface.
+
+The north-rule launch story: the whole pipeline (build → consolidate →
+query) runs as a Ray job against a fixed-size cluster:
+
+    ray job submit --working-dir . -- \
+        python -m iresearch_ray.job build --input 's3://bucket/pages/*.parquet' \
+            --index-dir /shared/index --target-docs 50000 --analyzer segmentation
+
+    ray job submit --working-dir . -- \
+        python -m iresearch_ray.job query --index-dir /shared/index \
+            --term hterm --k 10 --distributed
+
+Owns its Ray session (CLI only — the library never calls ray.init):
+``address='auto'`` inside a cluster/job, falling back to a local session
+outside one.  Build is resumable: re-submitting the same job skips
+completed segments by lineage (the reference's two-phase commit +
+recovery, index_writer.cpp:2606-2720).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _ray_init() -> bool:
+    """Init Ray if nobody has; returns True iff this call owns the session."""
+    import ray
+
+    if ray.is_initialized():
+        return False
+    try:
+        ray.init(address="auto", ignore_reinit_error=True,
+                 logging_level="ERROR")
+    except Exception:
+        ray.init(address="local", ignore_reinit_error=True,
+                 include_dashboard=False, logging_level="ERROR")
+    return True
+
+
+def cmd_build(a) -> dict:
+    from iresearch_ray.index.build import build_index
+    from iresearch_ray.index.merge import consolidate
+
+    t0 = time.monotonic()
+    man = build_index(a.input, a.index_dir, analyzer=a.analyzer,
+                      analyzer_opts=json.loads(a.analyzer_opts),
+                      text_column=a.text_column, key_column=a.key_column,
+                      target_docs=a.target_docs,
+                      cpus_per_task=a.cpus_per_task,
+                      store_columns=tuple(a.store or ()))
+    build_s = time.monotonic() - t0
+    out = {"generation": man["generation"], "num_docs": man["num_docs"],
+           "segments": len(man["segments"]),
+           "build_stats": man.get("build_stats", {}), "build_s": build_s}
+    if a.consolidate_target:
+        t1 = time.monotonic()
+        man2 = consolidate(a.index_dir, a.consolidate_target)
+        out.update(consolidated_generation=man2["generation"],
+                   consolidated_segments=len(man2["segments"]),
+                   consolidate_s=time.monotonic() - t1)
+    return out
+
+
+def cmd_query(a) -> dict:
+    from iresearch_ray.search import BM25, IndexReader, IndexSearcher, TermFilter
+
+    flt = TermFilter(a.term)
+    t0 = time.monotonic()
+    if a.distributed:
+        from iresearch_ray.search.distributed import DistributedSearcher
+
+        s = DistributedSearcher(a.index_dir, scorer=BM25())
+        df = s.search(flt, k=a.k)
+    else:
+        df = IndexSearcher(IndexReader(a.index_dir), BM25()).search(
+            flt, k=a.k, mode="top" if a.wand else "all")
+    wall = time.monotonic() - t0
+    return {"term": a.term, "k": a.k, "wall_s": wall,
+            "hits": [{"doc": int(r.doc), "key": str(r.key),
+                      "score": float(r.score)} for r in df.itertuples()]}
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="iresearch_ray.job")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--input", required=True, nargs="+")
+    b.add_argument("--index-dir", required=True)
+    b.add_argument("--analyzer", default="segmentation")
+    b.add_argument("--analyzer-opts", default="{}")
+    b.add_argument("--text-column", default="text")
+    b.add_argument("--key-column", default="url")
+    b.add_argument("--target-docs", type=int, default=50_000)
+    b.add_argument("--cpus-per-task", type=int, default=1)
+    b.add_argument("--store", nargs="*", default=None,
+                   help="columns to keep in the segment columnstore")
+    b.add_argument("--consolidate-target", type=int, default=0,
+                   help="if set, tier-merge segments up to this many docs")
+
+    q = sub.add_parser("query")
+    q.add_argument("--index-dir", required=True)
+    q.add_argument("--term", required=True)
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--wand", action="store_true")
+    q.add_argument("--distributed", action="store_true",
+                   help="segment-group query actors instead of driver scan")
+
+    a = ap.parse_args(argv)
+    owns = _ray_init()
+    try:
+        out = cmd_build(a) if a.cmd == "build" else cmd_query(a)
+    finally:
+        if owns:
+            import ray
+
+            ray.shutdown()
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

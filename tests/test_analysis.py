@@ -128,3 +128,17 @@ def test_minhash_registered_and_stable():
     t2 = a.tokens("the quick brown fox jumps over the lazy dog")
     assert t1 == t2 and len(t1) == 8
     assert all(len(x) == 16 for x in t1)
+
+
+def test_text_edge_ngrams():
+    a = get_analyzer("text", stemming=False, min_gram=2, max_gram=3)
+    # "hello" -> he, hel + original (longer than max_gram)
+    assert a.tokens("hello") == ["he", "hel", "hello"]
+    # token shorter than max_gram: no duplicate original
+    assert a.tokens("hi") == ["hi"]
+    b = get_analyzer("text", stemming=False, min_gram=2, max_gram=3,
+                     preserve_original=False)
+    assert b.tokens("hello") == ["he", "hel"]
+    # min_gram alone implies max_gram = min_gram
+    c = get_analyzer("text", stemming=False, min_gram=3)
+    assert c.tokens("hello") == ["hel", "hello"]

@@ -1,0 +1,41 @@
+"""ray-job entry point: build -> consolidate -> query, resumable
+(the north rule's `ray job submit` launch surface)."""
+
+import json
+
+import pytest
+
+from iresearch_ray.job import main
+from iresearch_ray.sources.pages import write_pages
+
+
+@pytest.fixture(scope="module")
+def pages(tmp_path_factory):
+    base = tmp_path_factory.mktemp("job")
+    p = str(base / "pages.parquet")
+    write_pages(p, 300, row_group_size=100)
+    return base, p
+
+
+def test_job_build_query_resume(ray_session, pages, capsys):
+    base, p = pages
+    idx = str(base / "idx")
+    assert main(["build", "--input", p, "--index-dir", idx,
+                 "--target-docs", "100", "--analyzer", "ascii",
+                 "--consolidate-target", "300"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["num_docs"] == 300
+    assert out["build_stats"]["segments_built"] == 3
+    assert out["consolidated_segments"] == 1
+
+    # resubmit: resume skips everything (lineage)
+    assert main(["build", "--input", p, "--index-dir", idx,
+                 "--target-docs", "100", "--analyzer", "ascii"]) == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["build_stats"]["segments_skipped"] == 3
+
+    assert main(["query", "--index-dir", idx, "--term", "hterm",
+                 "--k", "5", "--wand"]) == 0
+    q = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(q["hits"]) == 5
+    assert all(h["score"] >= q["hits"][-1]["score"] for h in q["hits"])
