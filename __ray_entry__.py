@@ -367,6 +367,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (ray_docs(sf_dir).groupby("lang")
                 .aggregate(Count(alias_name="n_docs")).to_pandas())
 
+    def term_search_tfidf(sf_dir):
+        from iresearch_ray.search import TFIDF, TermFilter
+
+        reader = _index_reader(sf_dir)
+        prep = TermFilter("batch").prepare(
+            reader, TFIDF(with_norms=True, dtype=np.float64))
+        ids, scores = [], []
+        for seg in reader.segments:
+            docs, sc = prep.execute(seg)
+            if len(docs):
+                keys = seg.reader.keys[docs - 1]
+                ids.append(np.array([_doc_id(k) for k in keys], dtype=np.int64))
+                scores.append(sc)
+        return pd.DataFrame({
+            "doc_id": np.concatenate(ids) if ids else np.empty(0, np.int64),
+            "score": np.round(np.concatenate(scores).astype(np.float64), 4)
+            if scores else pd.Series([], dtype=np.float64),
+        }).sort_values("doc_id").reset_index(drop=True)
+
     def keyword_search(sf_dir):
         from iresearch_ray.index.build import build_index
         from iresearch_ray.search import IndexReader, TermFilter
@@ -520,6 +539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- engine-backed fulltext (index build + query execution) ---
         "term_postings": term_postings,
         "term_search": lambda sf: _all_matches(sf, TermFilter("batch")),
+        "term_search_tfidf": term_search_tfidf,
         "term_topk": lambda sf: _topk(sf, TermFilter("batch"), k=10),
         "term_topk_wand": lambda sf: _topk(sf, TermFilter("the"), k=10, mode="top"),
         "bool_and_search": lambda sf: _all_matches(
@@ -576,6 +596,17 @@ SELECT doc_id, {_sql_tf('batch')} AS tf FROM tok
 WHERE {_sql_tf('batch')} > 0
 """,
         "term_search": _sql_bm25(_sql_tf("batch"), "f > 0"),
+        "term_search_tfidf": f"""
+{_TOK_CTE},
+stats AS (SELECT count(*)::DOUBLE AS n FROM tok),
+tf AS (SELECT doc_id, {_sql_tf("batch")} AS f, len(ts) AS dl FROM tok),
+m AS (SELECT * FROM tf WHERE f > 0),
+d AS (SELECT count(*)::DOUBLE AS df FROM m)
+SELECT m.doc_id,
+       round(sqrt(m.f) * (ln((s.n + 1) / (d.df + 1)) + 1)
+             / sqrt(greatest(m.dl, 1)), 4) AS score
+FROM m, d, stats s
+""",
         "term_topk": _sql_bm25(_sql_tf("batch"), "f > 0") +
         " ORDER BY score DESC, doc_id LIMIT 10",
         "term_topk_wand": _sql_bm25(_sql_tf("the"), "f > 0") +

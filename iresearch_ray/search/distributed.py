@@ -68,13 +68,37 @@ def _make_group_actor():
                     out[t] = total
             return out
 
-        def execute_topk(self, flt, scorer, df_map: dict, k: int):
+        def execute_topk(self, flt, scorer, df_map: dict, k: int,
+                         mode: str = "all", threshold: float = float("-inf")):
+            """``mode='top'`` + a driver-supplied score threshold: block-max
+            WAND pruning inside the actor (single-term filters), with the
+            threshold tightening across this group's segments — the
+            reference's cross-segment score_threshold feedback
+            (utils/index-search.cpp:701-740) stretched over actors."""
+            from iresearch_ray.search.executor import _wand_term
+            from iresearch_ray.search.filters import _PreparedTerm
+
             prep = flt.prepare(self, scorer, df_map=df_map)
             docs_l, scores_l, keys_l = [], [], []
+            kept = 0
             for seg in self.segments:
-                docs, scores = seg.apply_mask(*prep.execute(seg))
+                # WAND only on unmasked segments: a masked doc's score must
+                # not establish a pruning threshold
+                if (mode == "top" and isinstance(prep, _PreparedTerm)
+                        and seg.mask is None):
+                    raw = _wand_term(prep, seg, k, threshold)
+                else:
+                    raw = prep.execute(seg)
+                docs, scores = seg.apply_mask(*raw)
                 if not len(docs):
                     continue
+                kept += len(docs)
+                if mode == "top" and kept >= k and len(scores):
+                    all_s = np.concatenate(scores_l + [scores]) \
+                        if scores_l else scores
+                    if len(all_s) >= k:
+                        threshold = max(threshold, float(
+                            np.partition(all_s, len(all_s) - k)[len(all_s) - k]))
                 if len(docs) > k:
                     top = np.argpartition(scores, len(scores) - k)[len(scores) - k:]
                     top = top[np.lexsort((docs[top], -scores[top]))]
@@ -120,7 +144,12 @@ class DistributedSearcher:
         self.actors = [Actor.remote(index_dir, man.get("generation"), g, field_stats)
                        for g in groups]
 
-    def search(self, flt, k: int = 10) -> pd.DataFrame:
+    def search(self, flt, k: int = 10, mode: str = "all") -> pd.DataFrame:
+        """``mode='top'``: two-wave block-max WAND — the first (pilot) group
+        establishes a k-th-score threshold, broadcast to the remaining
+        groups which prune blocks below it (the reference's shared
+        score_threshold, spread across actors; results stay identical to
+        mode='all' because the bound is conservative)."""
         import ray
 
         from iresearch_ray.search.filters import _ExpansionFilter
@@ -135,8 +164,19 @@ class DistributedSearcher:
         for part in parts:
             for t, d in part.items():
                 df_map[t] = df_map.get(t, 0) + d
-        results = ray.get([a.execute_topk.remote(flt, self.scorer, df_map, k)
-                           for a in self.actors])
+        if mode == "top" and len(self.actors) > 1:
+            pilot = ray.get(self.actors[0].execute_topk.remote(
+                flt, self.scorer, df_map, k, "top"))
+            thr = (float(np.sort(pilot[1])[-k]) if len(pilot[1]) >= k
+                   else float("-inf"))
+            rest = ray.get([a.execute_topk.remote(flt, self.scorer, df_map,
+                                                  k, "top", thr)
+                            for a in self.actors[1:]])
+            results = [pilot, *rest]
+        else:
+            results = ray.get([a.execute_topk.remote(flt, self.scorer,
+                                                     df_map, k, mode)
+                               for a in self.actors])
         docs = np.concatenate([r[0] for r in results])
         scores = np.concatenate([r[1] for r in results])
         keys = [k_ for r in results for k_ in r[2]]

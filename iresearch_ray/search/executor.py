@@ -145,7 +145,8 @@ class IndexSearcher:
         cand_scores: list[np.ndarray] = []
         threshold = -np.inf
         for seg in self.reader.segments:
-            if mode == "top" and isinstance(prep, _PreparedTerm):
+            if (mode == "top" and isinstance(prep, _PreparedTerm)
+                    and seg.mask is None):  # masked scores must not prune
                 docs, scores = _wand_term(prep, seg, k, threshold)
             else:
                 docs, scores = prep.execute(seg)

@@ -50,3 +50,15 @@ def test_distributed_equals_local(dist, name, make):
     assert np.allclose(a["score"].to_numpy(), b["score"].to_numpy(),
                        rtol=0, atol=0), name  # exact: expansions collect
     # global dfs via the extra round, same as local prepare
+
+
+def test_distributed_wand_equals_all(dist):
+    """Two-wave threshold-shared WAND returns the same top-k as full scan."""
+    searcher, driver_results = dist
+    from iresearch_ray.search import TermFilter
+
+    for term in ("hterm", "mterm"):
+        a = searcher.search(TermFilter(term), k=10, mode="all")
+        t = searcher.search(TermFilter(term), k=10, mode="top")
+        assert list(a["doc"]) == list(t["doc"])
+        assert np.array_equal(a["score"].to_numpy(), t["score"].to_numpy())
