@@ -408,6 +408,26 @@ class SegmentReader:
             self._terms_np = np.asarray(self.terms_table["term"].to_pylist(), dtype=object)
         return self._terms_np
 
+    @property
+    def term_chars(self):
+        """(char_matrix int32 [n_terms x max_len], term_lens int64) — cached
+        vectorized views of the dictionary for automaton/fuzzy matching
+        (the query-side per-segment state the reference keeps in its
+        long-lived readers).  Built with one numpy unicode view, no
+        per-term Python work."""
+        if getattr(self, "_term_chars", None) is None:
+            t = self.terms
+            if len(t) == 0:
+                self._term_chars = (np.empty((0, 0), dtype=np.int32),
+                                    np.empty(0, dtype=np.int64))
+            else:
+                u = t.astype("U")  # U<maxlen>, NUL-padded
+                width = u.dtype.itemsize // 4
+                mat = u.view(np.uint32).reshape(len(t), width).astype(np.int32)
+                lens = np.char.str_len(u).astype(np.int64)
+                self._term_chars = (mat, lens)
+        return self._term_chars
+
     def _load_docmap(self):
         t = pq.read_table(os.path.join(self.dir, DOCMAP_FILE))
         self._doc_len = t["doc_len"].to_numpy()

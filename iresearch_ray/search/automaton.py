@@ -60,6 +60,34 @@ def match_wildcard(terms: np.ndarray, pattern: str) -> np.ndarray:
     return np.array([i for i in range(lo, hi) if m(terms[i])], dtype=np.int64)
 
 
+def levenshtein_from_matrix(mat: np.ndarray, lens: np.ndarray, probe: str,
+                            max_d: int) -> np.ndarray:
+    """Edit distances from a prebuilt (char_matrix, lens) dictionary view —
+    the zero-Python-per-term fast path (matrix cached per segment reader).
+    Rows longer than len(probe)+max_d must be prefiltered by the caller."""
+    n = len(lens)
+    big = max_d + 1
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    width = int(lens.max())
+    mat = mat[:, :width].astype(np.int64, copy=False)
+    pch = np.frombuffer(probe.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    m = len(pch)
+    prev = np.broadcast_to(np.arange(width + 1, dtype=np.int64),
+                           (n, width + 1)).copy()
+    for i in range(1, m + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        sub_cost = (mat != pch[i - 1]).astype(np.int64)
+        for j in range(1, width + 1):
+            cur[:, j] = np.minimum(
+                np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1),
+                prev[:, j - 1] + sub_cost[:, j - 1])
+        prev = cur
+    d = prev[np.arange(n), lens]
+    return np.minimum(d, big)
+
+
 def levenshtein_distances(terms: list[str] | np.ndarray, probe: str,
                           max_d: int) -> np.ndarray:
     """Edit distance of every term to `probe`, vectorized across terms.

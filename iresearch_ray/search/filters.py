@@ -642,8 +642,16 @@ class _ExpansionFilter(Filter):
         matches = {seg.id: self._match(seg.reader) for seg in reader.segments}
         if df_map is not None:
             df_by_term: dict[str, int] = dict(df_map)
-        else:
-            df_by_term = self.expand_dfs(reader)
+        else:  # derive dfs from the matches just computed (no second scan)
+            df_by_term = defaultdict(int)
+            for seg in reader.segments:
+                rows = matches[seg.id]
+                if len(rows):
+                    terms = seg.reader.terms[rows]
+                    dfs = seg.reader.df_array()[rows]
+                    for t, d in zip(terms, dfs):
+                        df_by_term[t] += int(d)
+            df_by_term = dict(df_by_term)
         scored = set(df_by_term)
         if self.scored_terms_limit is not None and len(scored) > self.scored_terms_limit:
             best = sorted(df_by_term.items(), key=lambda kv: (-kv[1], kv[0]))
@@ -825,11 +833,12 @@ class FuzzyFilter(_ExpansionFilter):
         self.term = term
         self.max_distance = max_distance
         self.prefix_len = prefix_len
-        self._dist_cache: dict[str, bool] = {}  # term -> within distance?
-        # segments share most of their vocabulary, so distances computed for
-        # one segment's dictionary answer the others nearly for free
 
     def _match(self, r):
+        """Fully vectorized: length prefilter then banded DP over the
+        segment's CACHED char matrix (r.term_chars) — no per-term Python
+        work at query time (the reference's parametric-DFA-over-FST walk
+        traded for numpy sweeps over the resident dictionary)."""
         terms = r.terms
         if self.prefix_len:
             prefix = self.term[:self.prefix_len]
@@ -837,16 +846,14 @@ class FuzzyFilter(_ExpansionFilter):
             hi = int(np.searchsorted(terms, prefix + "\U0010FFFF", side="right"))
         else:
             lo, hi = 0, len(terms)
-        window = terms[lo:hi]
-        cache = self._dist_cache
-        new_idx = [i for i, t in enumerate(window) if t not in cache]
-        if new_idx:
-            new_terms = window[new_idx]
-            d = automaton.levenshtein_distances(new_terms, self.term,
-                                                self.max_distance)
-            ok = d <= self.max_distance
-            for t, o in zip(new_terms, ok):
-                cache[t] = bool(o)
-        hit = np.fromiter((cache[t] for t in window), dtype=bool,
-                          count=len(window))
-        return np.flatnonzero(hit) + lo
+        if hi <= lo:
+            return np.empty(0, dtype=np.int64)
+        mat, lens = r.term_chars
+        lens_w = lens[lo:hi]
+        feas = np.flatnonzero(np.abs(lens_w - len(self.term))
+                              <= self.max_distance)
+        if not len(feas):
+            return np.empty(0, dtype=np.int64)
+        d = automaton.levenshtein_from_matrix(mat[lo:hi][feas], lens_w[feas],
+                                              self.term, self.max_distance)
+        return lo + feas[d <= self.max_distance]
