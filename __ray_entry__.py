@@ -424,6 +424,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               "label": [ls[0] for ls in out["labels"]]})
                 .sort_values("doc_id").reset_index(drop=True))
 
+    def multifield_and(sf_dir):
+        from iresearch_ray.index.multifield import (
+            Fielded, MultiFieldReader, MultiFieldSearcher, build_multifield,
+        )
+        from iresearch_ray.search import AndFilter, TermFilter
+
+        key = _slug(sf_dir) + "_mf"
+        if key not in _READERS:
+            index_dir = os.path.join(_CACHE_ROOT, _slug(sf_dir), "index_mf")
+            src = os.path.join(sf_dir, "documents.parquet")
+            import pyarrow.parquet as pq
+
+            n = pq.ParquetFile(src).metadata.num_rows
+            build_multifield(src, index_dir, fields={
+                "text": {"analyzer": "ascii"},
+                "source": {"analyzer": "keyword"},
+            }, key_column="doc_id", target_docs=max(32, math.ceil(n / 4)))
+            _READERS[key] = MultiFieldReader(index_dir, default_field="text")
+        reader = _READERS[key]
+        flt = AndFilter([Fielded("text", TermFilter("batch")),
+                         Fielded("source", TermFilter("src3"))])
+        prep = flt.prepare(reader, _scorer())
+        ids, scores = [], []
+        for seg in reader.segments:
+            docs, sc = prep.execute(seg)
+            if len(docs):
+                ids.append(np.array([int(k) for k in seg.reader.keys[docs - 1]],
+                                    dtype=np.int64))
+                scores.append(sc)
+        return pd.DataFrame({
+            "doc_id": np.concatenate(ids) if ids else np.empty(0, np.int64),
+            "score": np.round(np.concatenate(scores).astype(np.float64), 4)
+            if scores else pd.Series([], dtype=np.float64),
+        }).sort_values("doc_id").reset_index(drop=True)
+
     def column_existence(sf_dir):
         from iresearch_ray.search import ColumnExistenceFilter
 
@@ -561,6 +596,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_dictionary": term_dictionary,
         "top_terms": top_terms,
         "numeric_range": numeric_range,
+        "multifield_and": multifield_and,
         "column_existence": column_existence,
         "keyword_search": keyword_search,
         "delete_search": delete_search,
@@ -676,6 +712,20 @@ FROM ph JOIN dl ON ph.doc_id = dl.doc_id, idf, stats s
 """,
         "column_existence": """
 SELECT doc_id, lang FROM documents WHERE lang IS NOT NULL ORDER BY doc_id
+""",
+        "multifield_and": f"""
+{_TOK_CTE},
+stats AS (SELECT count(*)::DOUBLE AS n, sum(len(ts))::DOUBLE AS tot FROM tok),
+tf AS (SELECT t.doc_id, {_sql_tf('batch')} AS f, len(t.ts) AS dl, d.source
+       FROM tok t JOIN documents d ON t.doc_id = d.doc_id),
+dft AS (SELECT count(*)::DOUBLE AS v FROM tf WHERE f > 0),
+dfs AS (SELECT count(*)::DOUBLE AS v FROM documents WHERE source = 'src3'),
+m AS (SELECT * FROM tf WHERE f > 0 AND source = 'src3')
+SELECT m.doc_id, round(
+   (({k}+1) * ln(1 + (s.n - dft.v + 0.5)/(dft.v + 0.5))) * m.f
+     / ((({k}-{k}*{b}) + ({k}*{b}/(s.tot/s.n))*m.dl) + m.f)
+   + ln(1 + (s.n - dfs.v + 0.5)/(dfs.v + 0.5)), 4) AS score
+FROM m, dft, dfs, stats s
 """,
         "keyword_search": f"""
 WITH s AS (SELECT count(*)::DOUBLE AS n FROM documents),

@@ -1,0 +1,81 @@
+"""Multi-field indexes: aligned per-field sub-indexes, per-field stats,
+cross-field boolean queries (reference multi-field docs,
+utils/index-put.cpp:145-232; per-field collectors bm25.cpp:209-243)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from iresearch_ray.index.multifield import (
+    Fielded,
+    MultiFieldReader,
+    MultiFieldSearcher,
+    build_multifield,
+)
+from iresearch_ray.search import AndFilter, BM25, PhraseFilter, TermFilter
+
+N = 240
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    base = tmp_path_factory.mktemp("mf")
+    titles = [f"title{'x' if i % 2 else 'y'} common" for i in range(N)]
+    bodies = [f"body text row{i % 4} shared" for i in range(N)]
+    t = pa.table({"url": [f"u{i:04d}" for i in range(N)],
+                  "title": titles, "body": bodies})
+    path = str(base / "p.parquet")
+    pq.write_table(t, path, row_group_size=60)
+    index_dir = str(base / "idx")
+    root = build_multifield(path, index_dir, fields={
+        "title": {"analyzer": "ascii"},
+        "body": {"analyzer": "ascii"},
+    }, target_docs=120)
+    assert root["num_docs"] == N
+    return index_dir, titles, bodies
+
+
+def test_default_field_and_routing(built):
+    index_dir, titles, bodies = built
+    r = MultiFieldReader(index_dir, default_field="body")
+    s = MultiFieldSearcher(r, BM25())
+    res = s.search(TermFilter("row1"), k=N)
+    assert len(res) == sum(1 for i in range(N) if i % 4 == 1)
+    res_t = s.search(Fielded("title", TermFilter("titlex")), k=N)
+    assert len(res_t) == sum(1 for i in range(N) if i % 2 == 1)
+    # term present only in the OTHER field does not leak
+    assert len(s.search(TermFilter("titlex"), k=N)) == 0
+
+
+def test_cross_field_boolean(built):
+    index_dir, _, _ = built
+    r = MultiFieldReader(index_dir, default_field="body")
+    s = MultiFieldSearcher(r, BM25())
+    flt = AndFilter([Fielded("title", TermFilter("titlex")),
+                     Fielded("body", TermFilter("row1"))])
+    res = s.search(flt, k=N)
+    want = [i for i in range(N) if i % 2 == 1 and i % 4 == 1]
+    assert sorted(int(k[1:]) for k in res["key"]) == want
+
+
+def test_per_field_stats_differ(built):
+    index_dir, _, _ = built
+    r = MultiFieldReader(index_dir)
+    assert r.field("title").stats.total_tokens != r.field("body").stats.total_tokens
+    # scores computed with the FIELD's own avgdl: title idf/avgdl
+    s = MultiFieldSearcher(r, BM25())
+    res = s.search(Fielded("title", TermFilter("common")), k=5)
+    scorer = BM25()
+    tr = r.field("title")
+    sp = scorer.prepare(tr.stats, tr.df("common"))
+    dl = np.array([2] * len(res))  # every title has 2 tokens
+    assert np.allclose(res["score"], sp.score(np.ones(len(res)), dl, True))
+
+
+def test_phrase_in_field(built):
+    index_dir, _, _ = built
+    r = MultiFieldReader(index_dir, default_field="title")
+    s = MultiFieldSearcher(r, BM25())
+    res = s.search(Fielded("body", PhraseFilter(["body", "text"])), k=N)
+    assert len(res) == N
