@@ -39,10 +39,22 @@ def ensure_pages(n_docs: int) -> str:
 
 
 def query_set():
+    """Reference task categories (scripts/iresearch-benchmark.tasks) over
+    the synthetic corpus: planted terms give {High,Med,Low}Term exact
+    cardinalities; Or4High / Or6High4Med2Low / MinMatch2High2Med use the
+    corpus's naturally-frequent Zipf vocabulary words.  The NGram
+    categories live in the ngram_similarity driver query + tests (they
+    need the 2-gram index, which this latency bench does not build)."""
     from iresearch_ray.search import (
         AndFilter, FuzzyFilter, OrFilter, PhraseFilter, PrefixFilter,
         TermFilter, WildcardFilter,
     )
+    from iresearch_ray.sources.pages import _vocab
+
+    v = _vocab()
+    high = [str(w) for w in v[:6]]        # Zipf head: near-ubiquitous
+    med = [str(w) for w in v[40:44]]
+    low = [str(w) for w in v[800:802]]
 
     return {
         "HighTerm": lambda: TermFilter("hterm"),
@@ -60,6 +72,11 @@ def query_set():
         "Wildcard": lambda: WildcardFilter("abc%"),
         "Fuzzy1": lambda: FuzzyFilter("fuzzy", max_distance=1),
         "Fuzzy2": lambda: FuzzyFilter("fuzzy", max_distance=2),
+        "Or4High": lambda: OrFilter([TermFilter(w) for w in high[:4]]),
+        "Or6High4Med2Low": lambda: OrFilter(
+            [TermFilter(w) for w in high[:6] + med[:4] + low[:2]]),
+        "MinMatch2High2Med": lambda: OrFilter(
+            [TermFilter(w) for w in high[:2] + med[:2]], min_match=2),
     }
 
 

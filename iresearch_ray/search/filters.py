@@ -37,24 +37,27 @@ def _empty(dtype):
 
 
 def union_sum(docs_list, scores_list, counts_needed=False, dtype=np.float32):
-    """Union posting arrays, summing scores per doc (stable child order)."""
-    docs_list = [d for d in docs_list if len(d)]
-    if not docs_list:
+    """Union posting arrays, summing scores per doc (stable child order).
+
+    Dense accumulator over segment-local doc ids — O(n_postings), no sort
+    (doc ids are dense 1..num_docs per segment, so the accumulator is
+    small).  Each child's docs are unique, so fancy-index += applies each
+    child once and the per-doc addition order is child order — bitwise
+    identical to the reference's heap-union accumulation."""
+    pairs = [(d, s) for d, s in zip(docs_list, scores_list) if len(d)]
+    if not pairs:
         out = _empty(dtype)
         return (*out, np.empty(0, dtype=np.int64)) if counts_needed else out
-    docs = np.concatenate(docs_list)
-    scores = np.concatenate([s for s in scores_list if len(s)]).astype(dtype, copy=False)
-    order = np.argsort(docs, kind="stable")
-    docs, scores = docs[order], scores[order]
-    new = np.empty(len(docs), dtype=bool)
-    new[0] = True
-    new[1:] = docs[1:] != docs[:-1]
-    starts = np.flatnonzero(new)
-    u_docs = docs[starts]
-    u_scores = np.add.reduceat(scores, starts).astype(dtype, copy=False)
+    m = max(int(d[-1]) for d, _ in pairs)  # docs sorted ascending per child
+    acc = np.zeros(m + 1, dtype=dtype)
+    cnt = np.zeros(m + 1, dtype=np.int64)
+    for d, s in pairs:
+        acc[d] += s.astype(dtype, copy=False)
+        cnt[d] += 1
+    u_docs = np.flatnonzero(cnt).astype(np.int64)
+    u_scores = acc[u_docs]
     if counts_needed:
-        counts = np.diff(np.r_[starts, len(docs)])
-        return u_docs, u_scores, counts
+        return u_docs, u_scores, cnt[u_docs]
     return u_docs, u_scores
 
 
