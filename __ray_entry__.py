@@ -505,6 +505,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
             if scores else pd.Series([], dtype=np.float64),
         }).sort_values("doc_id").reset_index(drop=True)
 
+    def window_tumbling(sf_dir):
+        import ray.data
+
+        from iresearch_ray.pipelines.windows import tumbling_aggregate
+
+        ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                   columns=["ts", "event_type", "value"])
+        out = tumbling_aggregate(ds, window_minutes=60).to_pandas()
+        return pd.DataFrame({
+            "bucket": out["bucket"].astype(np.int64),
+            "event_type": out["event_type"],
+            "n": out["n"].astype(np.int64),
+            "sum_value": np.round(out["sum_value"].astype(np.float64), 2),
+        }).sort_values(["bucket", "event_type"]).reset_index(drop=True)
+
+    def window_sessions(sf_dir):
+        import ray.data
+
+        from iresearch_ray.pipelines.windows import sessionize
+
+        ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                   columns=["event_id", "ts", "user_id", "value"])
+        out = sessionize(ds, gap_minutes=30).to_pandas()
+        return pd.DataFrame({
+            "user_id": out["user_id"].astype(np.int64),
+            "session_id": out["session_id"].astype(np.int64),
+            "n_events": out["n_events"].astype(np.int64),
+            "sum_value": np.round(out["sum_value"].astype(np.float64), 2),
+        }).sort_values(["user_id", "session_id"]).reset_index(drop=True)
+
     def dedup_exact(sf_dir):
         return dedup.exact_dedup_groups(ray_docs(sf_dir)).to_pandas()
 
@@ -609,6 +639,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_by_source": token_count_by_source,
         "lang_distribution": lang_distribution,
         # --- dedup pipelines ---
+        "window_tumbling": window_tumbling,
+        "window_sessions": window_sessions,
         "dedup_exact": dedup_exact,
         "dedup_fingerprint": dedup_fingerprint,
         "minhash_pairs": minhash_pairs,            # rows-only
@@ -780,6 +812,27 @@ SELECT source, sum(len(ts))::BIGINT AS total_tokens FROM tok GROUP BY source
 """,
         "lang_distribution": """
 SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang
+""",
+        "window_tumbling": """
+SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS bucket,
+       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "window_sessions": """
+WITH o AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM o)
+SELECT user_id, session_id, count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM s GROUP BY 1, 2 ORDER BY 1, 2
 """,
         "dedup_exact": """
 SELECT md5(text) AS text_hash, count(*)::BIGINT AS dup_count,

@@ -1,0 +1,74 @@
+"""Windowed aggregates over event streams (training-data pipeline extras).
+
+The reference is batch/MVCC with no streaming operators (SURVEY.md §2.9),
+but a large-scale data pipeline needs time-window aggregation; these are
+the Ray-Data-native constructions:
+
+- ``tumbling_aggregate``: fixed windows via the partial-aggregate pattern —
+  bucket + combine INSIDE ``map_batches`` (one row per (bucket, type) per
+  batch), then a small global ``groupby().aggregate`` over the partials.
+  The shuffle moves pre-reduced rows, not events.
+- ``sessionize``: per-key gap sessions via ``groupby(key).map_groups`` —
+  the partitioning assumption is one user's events fit one group (true
+  for web-scale user activity; a pathological single-key skew would need
+  key salting + session-stitching across salt buckets).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _bucket_partial(batch: pa.Table, unit_us: int) -> pa.Table:
+    import pyarrow.compute as pc
+
+    ts = batch["ts"].cast(pa.int64())
+    bucket = pc.multiply(pc.divide(ts, unit_us), unit_us)
+    t = pa.table({
+        "bucket": bucket,
+        "event_type": batch["event_type"],
+        "n": pa.array(np.ones(len(ts), dtype=np.int64)),
+        "sum_value": batch["value"],
+    })
+    return t.group_by(["bucket", "event_type"]).aggregate(
+        [("n", "sum"), ("sum_value", "sum")]).rename_columns(
+        ["bucket", "event_type", "n", "sum_value"])
+
+
+def tumbling_aggregate(ds, window_minutes: int = 60):
+    """(bucket_start_us, event_type) -> (n events, sum value)."""
+    from ray.data.aggregate import Sum
+
+    unit_us = window_minutes * 60 * 1_000_000
+    partial = ds.map_batches(lambda b: _bucket_partial(b, unit_us),
+                             batch_format="pyarrow")
+    return (partial.groupby(["bucket", "event_type"])
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("sum_value", alias_name="sum_value")))
+
+
+def _sessions_of_group(df: pd.DataFrame, gap_us: int) -> pd.DataFrame:
+    df = df.sort_values(["ts", "event_id"])
+    ts = df["ts"].astype("int64").to_numpy()
+    new = np.ones(len(ts), dtype=np.int64)
+    if len(ts) > 1:
+        new[1:] = (np.diff(ts) > gap_us).astype(np.int64)
+    sid = np.cumsum(new)
+    out = pd.DataFrame({"session_id": sid, "value": df["value"].to_numpy()})
+    g = out.groupby("session_id", sort=True)["value"].agg(["count", "sum"])
+    return pd.DataFrame({
+        "user_id": np.repeat(df["user_id"].iloc[0], len(g)),
+        "session_id": g.index.to_numpy(),
+        "n_events": g["count"].to_numpy().astype(np.int64),
+        "sum_value": g["sum"].to_numpy(),
+    })
+
+
+def sessionize(ds, gap_minutes: int = 30):
+    """Per-user gap-based sessions: (user_id, session ordinal) ->
+    (n_events, sum value)."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    return ds.groupby("user_id").map_groups(
+        lambda df: _sessions_of_group(df, gap_us), batch_format="pandas")

@@ -214,3 +214,40 @@ def test_classify_model_path_raises_without_fasttext(ray_session):
 
     with _pytest.raises(NotImplementedError):
         ClassifyBatch(model_path="/nonexistent/model.bin")
+
+
+def test_windows_tumbling_and_sessions(ray_session):
+    import duckdb
+
+    from iresearch_ray.pipelines.windows import sessionize, tumbling_aggregate
+
+    ds = ray.data.read_parquet(f"{SF}/events.parquet")
+    tb = (tumbling_aggregate(ds, window_minutes=120).to_pandas()
+          .sort_values(["bucket", "event_type"]).reset_index(drop=True))
+    con = duckdb.connect()
+    want = con.execute(f"""
+        SELECT (epoch_us(ts) // 7200000000) * 7200000000 AS bucket,
+               event_type, count(*) AS n, sum(value) AS sum_value
+        FROM read_parquet('{SF}/events.parquet') GROUP BY 1,2 ORDER BY 1,2
+    """).df()
+    assert len(tb) == len(want)
+    assert (tb["n"].to_numpy() == want["n"].to_numpy()).all()
+    assert np.allclose(tb["sum_value"], want["sum_value"])
+
+    se = (sessionize(ds, gap_minutes=45).to_pandas()
+          .sort_values(["user_id", "session_id"]).reset_index(drop=True))
+    wants = con.execute(f"""
+        WITH o AS (SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 45 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+             FROM read_parquet('{SF}/events.parquet')
+             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM o)
+        SELECT user_id, session_id, count(*) AS n_events, sum(value) AS sum_value
+        FROM s GROUP BY 1,2 ORDER BY 1,2
+    """).df()
+    assert len(se) == len(wants)
+    assert (se["n_events"].to_numpy() == wants["n_events"].to_numpy()).all()
+    assert np.allclose(se["sum_value"], wants["sum_value"])
