@@ -114,6 +114,51 @@ def convert_index(src_dir: str, dst_dir: str, target_docs: int,
                                extra={"converted_from": os.path.abspath(src_dir)})
 
 
+def purge_unreferenced(index_dir: str, keep_generations: int = 1) -> dict:
+    """Remove segment directories and docmask files unreferenced by the
+    newest ``keep_generations`` manifests (reference directory_cleaner,
+    core/store/directory_cleaner.cpp; remove_all_unreferenced in
+    utils/index-put.cpp:529).  Readers of retained generations are
+    unaffected; older generation manifests are deleted too."""
+    import glob as _glob
+    import re as _re
+    import shutil
+
+    gens = sorted(
+        int(m.group(1))
+        for p in _glob.glob(os.path.join(index_dir, "index_*.json"))
+        if (m := _re.search(r"index_(\d+)\.json$", p)))
+    if not gens:
+        raise FileNotFoundError(f"no manifests in {index_dir}")
+    keep = set(gens[-max(1, keep_generations):])
+    referenced_segments: set[str] = set()
+    referenced_masks: set[tuple[str, str]] = set()
+    for g in keep:
+        man = manifest_mod.load(index_dir, g)
+        for e in man["segments"]:
+            referenced_segments.add(e["segment_id"])
+            if e.get("docmask"):
+                referenced_masks.add((e["segment_id"], e["docmask"]))
+    removed = {"segments": [], "manifests": [], "masks": []}
+    for name in sorted(os.listdir(index_dir)):
+        path = os.path.join(index_dir, name)
+        if os.path.isdir(path) and name not in referenced_segments:
+            shutil.rmtree(path)
+            removed["segments"].append(name)
+        elif (m := _re.match(r"index_(\d+)\.json$", name)) \
+                and int(m.group(1)) not in keep:
+            os.unlink(path)
+            removed["manifests"].append(name)
+    # docmask files inside retained segments but from dropped generations
+    for sid in referenced_segments:
+        seg_dir = os.path.join(index_dir, sid)
+        for name in sorted(os.listdir(seg_dir)):
+            if name.startswith("docmask-") and (sid, name) not in referenced_masks:
+                os.unlink(os.path.join(seg_dir, name))
+                removed["masks"].append(f"{sid}/{name}")
+    return removed
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="iresearch_ray.tools")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -127,9 +172,15 @@ def main(argv=None) -> int:
     c.add_argument("--dst", required=True)
     c.add_argument("--target-docs", type=int, required=True)
     c.add_argument("--generation", type=int, default=None)
+    p = sub.add_parser("purge")
+    p.add_argument("--index", required=True)
+    p.add_argument("--keep-generations", type=int, default=1)
     a = ap.parse_args(argv)
     if a.cmd == "dump":
         dump_index(a.index, a.generation, a.term, a.limit)
+    elif a.cmd == "purge":
+        removed = purge_unreferenced(a.index, a.keep_generations)
+        print(json.dumps(removed))
     else:
         man = convert_index(a.src, a.dst, a.target_docs, a.generation)
         print(json.dumps({"generation": man["generation"],

@@ -98,3 +98,31 @@ def test_analyzer_change_invalidates_resume(built, ray_session):
     pages, index_dir, _ = built
     man = build_index(pages, index_dir, analyzer="unicode", target_docs=100)
     assert man["build_stats"]["segments_built"] == 6  # different lineage hash
+
+
+def test_incremental_commit_appends_segments(ray_session, tmp_path_factory):
+    """Reference multi-commit semantics (index_writer commit generations):
+    appending a new input file builds ONLY its segments and commits a new
+    generation; existing segments resume-skip (no re-tokenization)."""
+    from iresearch_ray.search import TermFilter as TF
+
+    base = tmp_path_factory.mktemp("incr")
+    p1, p2 = str(base / "a.parquet"), str(base / "b.parquet")
+    write_pages(p1, 200, row_group_size=50)
+    write_pages(p2, 100, row_group_size=50, seed=7)
+    index_dir = str(base / "idx")
+
+    man1 = build_index(p1, index_dir, analyzer="ascii", target_docs=100)
+    n1 = len(man1["segments"])
+    hits1 = len(_results(index_dir, TF("hterm"), k=500))
+
+    man2 = build_index([p1, p2], index_dir, analyzer="ascii", target_docs=100)
+    assert man2["generation"] == man1["generation"] + 1
+    assert man2["build_stats"]["segments_skipped"] == n1  # old: untouched
+    assert man2["build_stats"]["segments_built"] == len(man2["segments"]) - n1
+    assert man2["num_docs"] == 300
+
+    hits2 = len(_results(index_dir, TF("hterm"), k=500))
+    assert hits2 > hits1
+    # old generation still serves the pre-append view (MVCC)
+    assert len(_results(index_dir, TF("hterm"), man1["generation"], k=500)) == hits1

@@ -84,3 +84,38 @@ def test_tools_cli(built, capsys):
     _, _, index_dir, _ = built
     assert main(["dump", "--index", index_dir, "--limit", "2"]) == 0
     assert "segment" in capsys.readouterr().out
+
+
+def test_purge_unreferenced(ray_session, tmp_path_factory):
+    import os
+
+    from iresearch_ray.index.delete import delete_by_filter
+    from iresearch_ray.index.merge import consolidate
+    from iresearch_ray.tools import purge_unreferenced
+
+    base = tmp_path_factory.mktemp("purge")
+    pages = str(base / "p.parquet")
+    write_pages(pages, 200, row_group_size=50)
+    idx = str(base / "idx")
+    man1 = build_index(pages, idx, analyzer="ascii", target_docs=100)  # gen1
+    delete_by_filter(idx, TermFilter("mterm"))                         # gen2
+    man3 = consolidate(idx, target_docs=300)                           # gen3
+    before = IndexSearcher(IndexReader(idx), BM25()).search(
+        TermFilter("hterm"), k=300)
+
+    removed = purge_unreferenced(idx, keep_generations=1)
+    # old segments + old manifests + superseded masks gone
+    assert set(removed["segments"]) == {s["segment_id"]
+                                        for s in man1["segments"]}
+    assert sorted(removed["manifests"]) == ["index_1.json", "index_2.json"]
+    # current generation unaffected
+    after = IndexSearcher(IndexReader(idx), BM25()).search(
+        TermFilter("hterm"), k=300)
+    assert list(before["doc"]) == list(after["doc"])
+    assert len(IndexSearcher(IndexReader(idx), BM25()).search(
+        TermFilter("mterm"), k=10)) == 0
+    # old generation really is gone
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        IndexReader(idx, man1["generation"])
