@@ -302,10 +302,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     from iresearch_ray.pipelines import ann, dedup, multimodal, textstats
 
-    def ray_docs(sf_dir):
+    def ray_docs(sf_dir, columns=None):
+        """Column-pruned read: only the columns a pipeline touches leave
+        storage (at 100 TB an unpruned read is the bug)."""
         import ray.data
 
-        return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+        return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                     columns=columns)
 
     def term_postings(sf_dir):
         reader = _index_reader(sf_dir)
@@ -347,24 +350,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pd.DataFrame({"doc_id": out})
 
     def doc_stats(sf_dir):
-        out = textstats.quality_stats(ray_docs(sf_dir)).to_pandas()
+        out = textstats.quality_stats(ray_docs(sf_dir, ["doc_id", "text"])).to_pandas()
         return out[["doc_id", "n_tokens", "n_unique_tokens"]]
 
     def quality(sf_dir):
-        out = textstats.quality_stats(ray_docs(sf_dir)).to_pandas()
+        out = textstats.quality_stats(ray_docs(sf_dir, ["doc_id", "text"])).to_pandas()
         return out[["doc_id", "n_tokens", "stopword_ratio", "mean_token_len"]]
 
     def langid_q(sf_dir):
-        out = textstats.langid(ray_docs(sf_dir)).to_pandas()
+        out = textstats.langid(ray_docs(sf_dir, ["doc_id", "text"])).to_pandas()
         return out[["doc_id", "lang_pred"]]
 
     def token_count_by_source(sf_dir):
-        return textstats.token_count_by(ray_docs(sf_dir), "source").to_pandas()
+        return textstats.token_count_by(ray_docs(sf_dir, ["doc_id", "text", "source"]), "source").to_pandas()
 
     def lang_distribution(sf_dir):
         from ray.data.aggregate import Count
 
-        return (ray_docs(sf_dir).groupby("lang")
+        return (ray_docs(sf_dir, ["lang"]).groupby("lang")
                 .aggregate(Count(alias_name="n_docs")).to_pandas())
 
     def term_search_tfidf(sf_dir):
@@ -419,7 +422,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def classify_labels(sf_dir):
         from iresearch_ray.pipelines.classify import classify
 
-        out = classify(ray_docs(sf_dir), top_k=1).to_pandas()
+        out = classify(ray_docs(sf_dir, ["doc_id", "text"]), top_k=1).to_pandas()
         return (pd.DataFrame({"doc_id": out["doc_id"].astype(np.int64),
                               "label": [ls[0] for ls in out["labels"]]})
                 .sort_values("doc_id").reset_index(drop=True))
@@ -536,16 +539,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         }).sort_values(["user_id", "session_id"]).reset_index(drop=True)
 
     def dedup_exact(sf_dir):
-        return dedup.exact_dedup_groups(ray_docs(sf_dir)).to_pandas()
+        return dedup.exact_dedup_groups(ray_docs(sf_dir, ["doc_id", "text"])).to_pandas()
 
     def dedup_fingerprint(sf_dir):
-        return dedup.fingerprint_dedup_groups(ray_docs(sf_dir)).to_pandas()
+        return dedup.fingerprint_dedup_groups(ray_docs(sf_dir, ["doc_id", "text"])).to_pandas()
 
     def minhash_pairs(sf_dir):
-        return dedup.minhash_lsh_pairs(ray_docs(sf_dir), threshold=0.9).to_pandas()
+        return dedup.minhash_lsh_pairs(ray_docs(sf_dir, ["doc_id", "text"]), threshold=0.9).to_pandas()
 
     def simhash_q(sf_dir):
-        return dedup.simhash_groups(ray_docs(sf_dir)).to_pandas()
+        return dedup.simhash_groups(ray_docs(sf_dir, ["doc_id", "text"])).to_pandas()
 
     def fingerprints_q(sf_dir):
         import pyarrow.parquet as pq

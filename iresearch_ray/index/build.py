@@ -293,8 +293,78 @@ def build_index(paths, index_dir: str, analyzer: str = "unicode",
         "tokens": int(sum(r["tokens"] for r in rows)),
     }
     if commit:
+        skipped_ids = {str(r["segment_id"]) for r in rows if r["skipped"]}
+        segments = _carry_forward(index_dir, segments, skipped_ids)
         return manifest_mod.commit(index_dir, segments, extra={"build_stats": build_stats})
     return {"segments": segments, "build_stats": build_stats}
+
+
+def _carry_forward(index_dir: str, planned: list[dict],
+                   skipped_ids: set) -> list[dict]:
+    """Merge the planned segment list with the previous manifest generation
+    so an incremental commit never loses prior state (the reference's
+    index_writer commits are append-only: removals, consolidations, and
+    replacements all survive later commits — index_writer.cpp flush_all
+    stages 1-2):
+
+    - a planned segment that resume-SKIPPED and exists in the previous
+      manifest keeps its previous entry (doc masks survive);
+    - planned segments fully covered by a previous consolidated segment
+      are replaced by that merged entry, at the first constituent's
+      position (doc order stable);
+    - previous entries not derivable from the planned inputs (replacement
+      segments, earlier appends) are carried over at the end.
+    """
+    prev_gen = manifest_mod.latest_generation(index_dir)
+    if prev_gen is None:
+        return planned
+    prev = manifest_mod.load(index_dir, prev_gen)
+    prev_by_id = {e["segment_id"]: e for e in prev["segments"]}
+    # constituents of previous consolidated segments (mask suffix stripped)
+    source_to_merged: dict[str, str] = {}
+    merged_cover: dict[str, list[str]] = {}
+    for e in prev["segments"]:
+        meta_path = os.path.join(index_dir, e["segment_id"], META_FILE)
+        try:
+            with open(meta_path) as f:
+                lineage = json.load(f).get("lineage", {})
+        except FileNotFoundError:
+            continue
+        srcs = [s.split(":", 1)[0] for s in lineage.get("merged_from", [])]
+        if srcs:
+            merged_cover[e["segment_id"]] = srcs
+            for s in srcs:
+                source_to_merged[s] = e["segment_id"]
+
+    planned_ids = {e["segment_id"] for e in planned}
+    out: list[dict] = []
+    consumed: set[str] = set()
+    emitted: set[str] = set()
+    for e in planned:
+        sid = e["segment_id"]
+        if sid in consumed:
+            continue
+        if sid in prev_by_id and sid in skipped_ids:
+            out.append(prev_by_id[sid])  # keeps docmask / num_deleted
+            emitted.add(sid)
+            continue
+        rep = source_to_merged.get(sid)
+        if (rep and sid in skipped_ids
+                and all(c in planned_ids and c in skipped_ids
+                        for c in merged_cover[rep])):
+            out.append(prev_by_id[rep])
+            emitted.add(rep)
+            consumed.update(merged_cover[rep])
+            continue
+        out.append(e)
+        emitted.add(sid)
+    for e in prev["segments"]:  # replacements / earlier appends
+        sid = e["segment_id"]
+        if sid in emitted or sid in planned_ids or sid in merged_cover:
+            continue
+        if os.path.isdir(os.path.join(index_dir, sid)):
+            out.append(e)
+    return out
 
 
 def term_stats_dataset(index_dir: str, generation: int | None = None):

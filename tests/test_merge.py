@@ -126,3 +126,48 @@ def test_incremental_commit_appends_segments(ray_session, tmp_path_factory):
     assert hits2 > hits1
     # old generation still serves the pre-append view (MVCC)
     assert len(_results(index_dir, TF("hterm"), man1["generation"], k=500)) == hits1
+
+
+def test_carry_forward_masks_and_merges(ray_session, tmp_path_factory):
+    """A later build commit must not lose prior state (reference
+    index_writer commits are append-only): doc masks survive, consolidated
+    segments stay consolidated, replacement segments stay."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iresearch_ray.index.delete import delete_by_filter, replace_by_filter
+    from iresearch_ray.search import TermFilter as TF
+
+    base = tmp_path_factory.mktemp("carry")
+    p1, p2 = str(base / "a.parquet"), str(base / "b.parquet")
+    write_pages(p1, 200, row_group_size=50)
+    write_pages(p2, 100, row_group_size=50, seed=11)
+    idx = str(base / "idx")
+    build_index(p1, idx, analyzer="ascii", target_docs=100)          # gen1
+    delete_by_filter(idx, TF("mterm"))                               # gen2
+    man3 = consolidate(idx, target_docs=400)                         # gen3
+    repl = pa.table({"url": ["https://r/1"], "text": ["only replacement mterm"]})
+    pq.write_table(repl, str(base / "r.parquet"))
+    replace_by_filter(idx, TF("lterm"), str(base / "r.parquet"),
+                      analyzer="ascii")                              # gen4
+
+    man5 = build_index([p1, p2], idx, analyzer="ascii", target_docs=100)  # gen5
+    ids = [e["segment_id"] for e in man5["segments"]]
+    # consolidated segment survived (original constituents not resurrected)
+    assert any(i.startswith("seg-m") for i in ids)
+    assert not any(i in ("seg-00000", "seg-00001") for i in ids)
+    # replacement segment survived
+    assert any(i.startswith("seg-r") for i in ids)
+
+    r = IndexReader(idx)
+    s = IndexSearcher(r, BM25())
+    # original mterm docs were purged at consolidation; the replacement doc
+    # and the appended seed-11 docs are the only mterm matches now
+    from iresearch_ray.sources.pages import synthesize_pages
+    appended = set(synthesize_pages(100, seed=11)["url"].to_pylist())
+    got = set(s.search(TF("mterm"), k=500)["key"])
+    assert "https://r/1" in got
+    assert got - {"https://r/1"} <= appended
+    # lterm mask (gen4) survived on the consolidated segment
+    lterm_hits = set(s.search(TF("lterm"), k=500)["key"])
+    assert lterm_hits <= appended
