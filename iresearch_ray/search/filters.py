@@ -84,6 +84,16 @@ class Prepared:
         raise NotImplementedError
 
 
+
+def _isin_sorted(keys: np.ndarray, k: np.ndarray) -> np.ndarray:
+    """Membership of sorted ``keys`` in sorted ``k`` via searchsorted —
+    no re-sort (np.isin would sort both again)."""
+    if not len(k):
+        return np.zeros(len(keys), dtype=bool)
+    at = np.searchsorted(k, keys)
+    return (at < len(k)) & (k[np.minimum(at, len(k) - 1)] == keys)
+
+
 # ---------------------------------------------------------------- term ----
 class TermFilter(Filter):
     """Exact term match (reference by_term, core/search/term_filter.cpp)."""
@@ -403,7 +413,7 @@ class _PreparedVarPhrase(Prepared):
                 ok = aligned >= 0
                 ks.append((doc_per_occ[ok] << np.int64(32)) | aligned[ok])
             k = np.unique(np.concatenate(ks))  # variants may share a start
-            keys = k if keys is None else keys[np.isin(keys, k, assume_unique=True)]
+            keys = k if keys is None else keys[_isin_sorted(keys, k)]
             if len(keys) == 0:
                 return _empty(self.sp.dtype)
         match_docs = keys >> np.int64(32)
@@ -428,8 +438,8 @@ class _PreparedPhrase(Prepared):
             doc_per_occ = np.repeat(docs.astype(np.int64), freqs)
             aligned = pos - i
             ok = aligned >= 0
-            k = (doc_per_occ[ok] << np.int64(32)) | aligned[ok]
-            keys = k if keys is None else keys[np.isin(keys, k, assume_unique=True)]
+            k = (doc_per_occ[ok] << np.int64(32)) | aligned[ok]  # sorted
+            keys = k if keys is None else keys[_isin_sorted(keys, k)]
             if keys is None or len(keys) == 0:
                 return _empty(self.sp.dtype)
         match_docs = (keys >> np.int64(32))
@@ -788,8 +798,8 @@ class _PreparedSamePosition(Prepared):
                 return _empty(self.sp.dtype)
             docs, freqs, pos, _ = seg.reader.postings(ti, positions=True)
             doc_per_occ = np.repeat(docs.astype(np.int64), freqs)
-            k = (doc_per_occ << np.int64(32)) | pos
-            keys = k if keys is None else keys[np.isin(keys, k, assume_unique=True)]
+            k = (doc_per_occ << np.int64(32)) | pos  # sorted (doc-major)
+            keys = k if keys is None else keys[_isin_sorted(keys, k)]
             if len(keys) == 0:
                 return _empty(self.sp.dtype)
         match_docs = keys >> np.int64(32)
