@@ -61,13 +61,17 @@ def query_set():
         "MedTerm": lambda: TermFilter("mterm"),
         "LowTerm": lambda: TermFilter("lterm"),
         "HighTermWand": lambda: TermFilter("hterm"),  # mode=top below
+        "AndHighHigh": lambda: AndFilter([TermFilter("hterm"), TermFilter(high[0])]),
         "AndHighMed": lambda: AndFilter([TermFilter("hterm"), TermFilter("mterm")]),
         "AndHighLow": lambda: AndFilter([TermFilter("hterm"), TermFilter("lterm")]),
+        "OrHighHigh": lambda: OrFilter([TermFilter("hterm"), TermFilter(high[0])]),
         "OrHighMed": lambda: OrFilter([TermFilter("hterm"), TermFilter("mterm")]),
         "OrHighLow": lambda: OrFilter([TermFilter("hterm"), TermFilter("lterm")]),
         "MinMatch2of3": lambda: OrFilter([TermFilter("hterm"), TermFilter("mterm"),
                                           TermFilter("lterm")], min_match=2),
-        "Phrase": lambda: PhraseFilter(["ref", "name"]),
+        "HighPhrase": lambda: PhraseFilter([str(v[0]), str(v[1])]),  # head words
+        "MedPhrase": lambda: PhraseFilter(["ref", "name"]),      # planted 2%
+        "LowPhrase": lambda: PhraseFilter(["books", "id"]),      # planted 0.5%
         "Prefix3": lambda: PrefixFilter("abc"),
         "Wildcard": lambda: WildcardFilter("abc%"),
         "Fuzzy1": lambda: FuzzyFilter("fuzzy", max_distance=1),
@@ -96,6 +100,21 @@ def _warm_workers(ncpus: int) -> None:
 
     ray.data.from_items([{"i": i} for i in range(ncpus * 4)]) \
         .map_batches(_imp, batch_size=1, num_cpus=1).materialize()
+
+
+def ngram_query_set():
+    """{High,Med,Low}NGram categories (reference *NGram tasks): ngram
+    similarity over the 3-gram index, probe df tier set by the planted
+    term each probe's grams come from."""
+    from iresearch_ray.analysis import NgramAnalyzer
+    from iresearch_ray.search import NgramSimilarityFilter
+
+    ng = NgramAnalyzer(min_gram=3, max_gram=3)
+    return {
+        "HighNGram": lambda: NgramSimilarityFilter(ng.tokens("hterm"), 0.8),
+        "MedNGram": lambda: NgramSimilarityFilter(ng.tokens("mterm"), 0.8),
+        "LowNGram": lambda: NgramSimilarityFilter(ng.tokens("lterm"), 0.8),
+    }
 
 
 def run_bench(ncpus: int) -> dict:
@@ -143,11 +162,21 @@ def run_bench(ncpus: int) -> dict:
 
         reader = IndexReader(index_dir)
         searcher = IndexSearcher(reader, BM25())
+        # 3-gram index for the *NGram categories: built once into the
+        # persistent bench cache (resume makes later runs free)
+        ngram_dir = os.path.join(BENCH_CACHE, f"idx_ngram_{n_docs}")
+        build_index(pages, ngram_dir, analyzer="ngram",
+                    analyzer_opts={"min_gram": 3, "max_gram": 3},
+                    target_docs=max(1000, n_docs // 64), cpus_per_task=cpt)
+        ngram_searcher = IndexSearcher(IndexReader(ngram_dir), BM25())
         qs = query_set()
+        nqs = ngram_query_set()
         # warm: load dictionaries once (cold parquet decode excluded from p50,
         # mirroring the reference's warmed mmap runs)
         for name, make in qs.items():
             searcher.search(make(), k=100)
+        for name, make in nqs.items():
+            ngram_searcher.search(make(), k=100)
         lat: dict[str, float] = {}
         repeats = 3
         for name, make in qs.items():
@@ -158,10 +187,17 @@ def run_bench(ncpus: int) -> dict:
                 searcher.search(make(), k=100, mode=mode)
                 times.append(time.monotonic() - q0)
             lat[name] = statistics.median(times)
+        for name, make in nqs.items():
+            times = []
+            for _ in range(repeats):
+                q0 = time.monotonic()
+                ngram_searcher.search(make(), k=100)
+                times.append(time.monotonic() - q0)
+            lat[name] = statistics.median(times)
         query_total = sum(lat.values())
         total = build_s + query_total
         return {
-            "metric": "index-build + 14-category query set (synthetic pages)",
+            "metric": "index-build + 24-category reference query set (synthetic pages)",
             "value": round(total, 3),
             "unit": "sec",
             "queries": {"build": round(build_s, 3),
