@@ -3,9 +3,11 @@
 Scale notes (designed for 100 TB corpora):
 - exact/fingerprint dedup shuffle only (hash, doc_id) pairs — one small
   groupby per corpus, never the document payloads;
-- MinHash-LSH shuffles (band, band_hash, doc_id, signature) rows —
-  signature is 64*8 bytes/doc; candidate verification happens inside the
-  band groups (signature Jaccard estimate), so no second pass over text;
+- MinHash-LSH: one count-only shuffle of light (band, band_hash) keys
+  finds colliding buckets; a broadcast membership filter then keeps only
+  the colliding sketch rows (volume = candidate set, not corpus) for
+  vectorized signature-Jaccard verification — no per-bucket UDF calls and
+  no second pass over text;
 - SimHash groups by the 64-bit sketch (exact-bucket flavor).
 """
 
@@ -95,12 +97,20 @@ class MinHashBatch:
         sigs = minhash_signatures(hashes, offsets, self.num_hashes)
         bh = band_hashes(sigs, self.bands)
         n, B = len(texts), self.bands
-        sig_rows = np.repeat(sigs.view(np.int64), B, axis=0)  # one copy per band row
+        sig_bytes = np.ascontiguousarray(sigs).view(np.uint8).reshape(n, -1)
+        # fixed-width binary signatures (one blob per band row): no Python
+        # list rows, shuffle-friendly
+        width = sig_bytes.shape[1]
+        flat = np.repeat(sig_bytes, B, axis=0).reshape(-1)
+        offs = np.arange(0, (n * B + 1) * width, width, dtype=np.int32)
+        sig_col = pa.BinaryArray.from_buffers(
+            pa.binary(), n * B, [None, pa.py_buffer(offs.tobytes()),
+                                 pa.py_buffer(flat.tobytes())])
         return pa.table({
             self.id_column: pa.array(np.repeat(ids, B)),
             "band": pa.array(np.tile(np.arange(B, dtype=np.int64), n)),
             "band_hash": pa.array(bh.reshape(-1).view(np.int64)),
-            "signature": pa.array(list(sig_rows), type=pa.list_(pa.int64())),
+            "signature": sig_col,
         })
 
 
@@ -110,38 +120,76 @@ def minhash_lsh_pairs(ds, text_column: str = "text", id_column: str = "doc_id",
                       threshold: float = 0.8, concurrency: int | None = None):
     """Near-duplicate candidate pairs via MinHash + LSH banding.
 
-    map_batches(sketch) -> explode to (band, band_hash) keys -> groupby the
-    band key -> within each bucket, pairwise signature-Jaccard estimate ->
-    pairs with est >= threshold, deduped across bands.
+    map_batches(sketch) -> count-only groupby finds buckets with >= 2
+    docs -> broadcast membership filter keeps only colliding rows ->
+    pairwise signature-Jaccard estimate per bucket -> pairs with
+    est >= threshold, max-deduped across bands.
     Returns Dataset(id_a, id_b, est_jaccard) with id_a < id_b.
     """
+    import ray
+    import ray.data
+
     sk = ds.map_batches(
         MinHashBatch, fn_constructor_kwargs=dict(
             text_column=text_column, id_column=id_column, analyzer=analyzer,
             num_hashes=num_hashes, bands=bands, shingle_k=shingle_k),
         batch_format="pyarrow", concurrency=pool_size(concurrency))
+    # sketches are tiny vs the corpus (signature + band keys per doc):
+    # materialize once so the count pass and the membership filter don't
+    # re-tokenize the corpus (at scale: checkpoint this to parquet)
+    sk = sk.materialize()
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    # per-group map_groups over ~n_docs*bands tiny buckets pays Ray's
+    # per-group UDF cost on EVERY bucket; near-dup collisions are rare, so
+    # instead: (1) a count-only shuffle of the light (band, band_hash)
+    # projection finds hot buckets, (2) a broadcast membership filter keeps
+    # only colliding rows — data volume = candidate set, not corpus —
+    # (3) vectorized pairing on the (output-sized) survivors.
+    from ray.data.aggregate import Count
+
+    counts = (sk.select_columns(["band", "band_hash"])
+              .groupby(["band", "band_hash"])
+              .aggregate(Count(alias_name="n")))
+    hot = counts.filter(lambda r: r["n"] >= 2).take_all()
+    if not hot:
+        return ray.data.from_pandas(
+            pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                          "id_b": pd.Series([], dtype=np.int64),
+                          "est_jaccard": pd.Series([], dtype=np.float64)}))
+    hot_keys = {(int(r["band"]), int(r["band_hash"])) for r in hot}
+    hot_ref = ray.put(hot_keys)
+
+    def keep_hot(b: pa.Table) -> pa.Table:
+        keys = ray.get(hot_ref)
+        band = b["band"].to_numpy()
+        bh = b["band_hash"].to_numpy()
+        mask = np.fromiter(((int(x), int(y)) in keys
+                            for x, y in zip(band, bh)),
+                           dtype=bool, count=len(band))
+        return b.filter(pa.array(mask))
+
+    cand = sk.map_batches(keep_hot, batch_format="pyarrow").to_pandas()
+    out_a, out_b, out_j = [], [], []
+    for (_, _), g in cand.groupby(["band", "band_hash"], sort=True):
         if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+            continue
         g = g.sort_values(id_column)
         ids = g[id_column].to_numpy()
-        sigs = np.stack(g["signature"].to_numpy())
-        out_a, out_b, out_j = [], [], []
+        sigs = np.stack([np.frombuffer(s, dtype=np.uint64)
+                         for s in g["signature"]])
         for i in range(len(ids)):
             eq = (sigs[i + 1:] == sigs[i]).mean(axis=1)
             hit = np.flatnonzero(eq >= threshold)
             out_a.extend([ids[i]] * len(hit))
             out_b.extend(ids[i + 1 + hit])
             out_j.extend(eq[hit])
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "est_jaccard": out_j})
-
-    pairs = sk.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas")
-    from ray.data.aggregate import Max
-
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Max("est_jaccard", alias_name="est_jaccard"))
+    pairs = pd.DataFrame({"id_a": np.asarray(out_a, dtype=np.int64),
+                          "id_b": np.asarray(out_b, dtype=np.int64),
+                          "est_jaccard": np.asarray(out_j, dtype=np.float64)})
+    if len(pairs):
+        pairs = (pairs.groupby(["id_a", "id_b"], as_index=False)
+                 ["est_jaccard"].max())
+    return ray.data.from_pandas(pairs)
 
 
 def simhash_groups(ds, text_column: str = "text", id_column: str = "doc_id",
