@@ -427,6 +427,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               "label": [ls[0] for ls in out["labels"]]})
                 .sort_values("doc_id").reset_index(drop=True))
 
+    def same_position_search(sf_dir):
+        from iresearch_ray.search import SamePositionFilter
+
+        # word analyzers emit one token per position, so a same-position
+        # match across DIFFERENT terms needs position-overlapping token
+        # streams (synonym-style analyzers); with itself the filter reduces
+        # to tf-with-doubled-idf, which the SQL oracle reproduces exactly —
+        # the cross-term path is covered by tests/test_numeric_and_extras
+        return _all_matches(sf_dir, SamePositionFilter(["batch", "batch"]))
+
     def multifield_and(sf_dir):
         from iresearch_ray.index.multifield import (
             Fielded, MultiFieldReader, MultiFieldSearcher, build_multifield,
@@ -618,6 +628,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search": lambda sf: _all_matches(sf, PhraseFilter(["batch", "batch"])),
         "phrase_variadic": lambda sf: _all_matches(
             sf, PhraseFilter([{"prefix": "st"}, "order"])),
+        "same_position_search": same_position_search,
         "prefix_search": lambda sf: _all_matches(sf, PrefixFilter("st"),
                                                  with_counts=True),
         "range_search": lambda sf: _all_matches(
@@ -747,6 +758,17 @@ FROM ph JOIN dl ON ph.doc_id = dl.doc_id, idf, stats s
 """,
         "column_existence": """
 SELECT doc_id, lang FROM documents WHERE lang IS NOT NULL ORDER BY doc_id
+""",
+        "same_position_search": f"""
+{_TOK_CTE},
+stats AS (SELECT count(*)::DOUBLE AS n, sum(len(ts))::DOUBLE AS tot FROM tok),
+tf AS (SELECT doc_id, {_sql_tf('batch')} AS f, len(ts) AS dl FROM tok),
+m AS (SELECT * FROM tf WHERE f > 0),
+d AS (SELECT count(*)::DOUBLE AS df FROM m)
+SELECT m.doc_id, round(
+   (({k}+1)*(2*ln(1+(s.n-d.df+0.5)/(d.df+0.5)))) * m.f
+   / ((({k}-{k}*{b}) + ({k}*{b}/(s.tot/s.n))*m.dl) + m.f), 4) AS score
+FROM m, d, stats s
 """,
         "multifield_and": f"""
 {_TOK_CTE},

@@ -13,11 +13,11 @@ docmaps in memory across queries):
    its top-k candidates (bounded: k rows per group cross the wire).
 4. the driver merges candidate sets into the final top-k.
 
-Dictionary-expansion filters (prefix/range/wildcard/fuzzy) also work: each
-actor expands against its own dictionaries in ``execute`` (their per-term
-stats stay group-local — matching reference behavior only when a term's df
-distribution is even across groups; exact global expansion stats would add
-one more round-trip, noted as future work).
+Dictionary-expansion filters (prefix/range/wildcard/fuzzy) get EXACT
+global stats: the ``expand_dfs`` collect round has every actor report its
+groups' matched term -> local df, the driver sums them into the global
+``df_map``, and execution scores each matched term with its global df —
+the same collect/sum the reference's term_collector performs.
 """
 
 from __future__ import annotations
