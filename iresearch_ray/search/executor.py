@@ -170,7 +170,12 @@ class IndexSearcher:
         scores = np.concatenate(cand_scores)
         order = np.lexsort((docs, -scores))[:k]
         docs, scores = docs[order], scores[order]
-        keys = [self.reader.key_of(int(d)) for d in docs]
+        # vectorized global-doc -> key: one searchsorted over segment bases
+        segs = self.reader.segments
+        bases = np.array([s.base for s in segs], dtype=np.int64)
+        at = np.searchsorted(bases, docs, side="right") - 1
+        keys = [segs[a].reader.keys[d - bases[a] - 1]
+                for a, d in zip(at, docs)]
         return pd.DataFrame({"doc": docs, "key": keys,
                              "score": scores.astype(np.float64)})
 
