@@ -173,7 +173,9 @@ class IndexSearcher:
         # vectorized global-doc -> key: one searchsorted over segment bases
         segs = self.reader.segments
         bases = np.array([s.base for s in segs], dtype=np.int64)
-        at = np.searchsorted(bases, docs, side="right") - 1
+        # segment i owns global docs (base, base+num]; doc-1 lands in
+        # [base, base+num) so side='right' picks the owner exactly
+        at = np.searchsorted(bases, docs - 1, side="right") - 1
         keys = [segs[a].reader.keys[d - bases[a] - 1]
                 for a, d in zip(at, docs)]
         return pd.DataFrame({"doc": docs, "key": keys,
