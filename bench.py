@@ -77,6 +77,9 @@ def query_set():
         "Fuzzy1": lambda: FuzzyFilter("fuzzy", max_distance=1),
         "Fuzzy2": lambda: FuzzyFilter("fuzzy", max_distance=2),
         "Or4High": lambda: OrFilter([TermFilter(w) for w in high[:4]]),
+        "Or4HighWand": lambda: OrFilter([TermFilter(w) for w in high[:4]]),
+        "OrHighMedWand": lambda: OrFilter([TermFilter("hterm"),
+                                           TermFilter("mterm")]),
         "Or6High4Med2Low": lambda: OrFilter(
             [TermFilter(w) for w in high[:6] + med[:4] + low[:2]]),
         "MinMatch2High2Med": lambda: OrFilter(

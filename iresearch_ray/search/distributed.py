@@ -75,8 +75,8 @@ def _make_group_actor():
             threshold tightening across this group's segments — the
             reference's cross-segment score_threshold feedback
             (utils/index-search.cpp:701-740) stretched over actors."""
-            from iresearch_ray.search.executor import _wand_term
-            from iresearch_ray.search.filters import _PreparedTerm
+            from iresearch_ray.search.executor import _wand_term, _wand_union
+            from iresearch_ray.search.filters import _PreparedTerm, _PreparedUnion
 
             prep = flt.prepare(self, scorer, df_map=df_map)
             docs_l, scores_l, keys_l = [], [], []
@@ -87,6 +87,11 @@ def _make_group_actor():
                 if (mode == "top" and isinstance(prep, _PreparedTerm)
                         and seg.mask is None):
                     raw = _wand_term(prep, seg, k, threshold)
+                elif (mode == "top" and isinstance(prep, _PreparedUnion)
+                        and seg.mask is None
+                        and all(isinstance(c, _PreparedTerm)
+                                for c in prep.children)):
+                    raw = _wand_union(prep, seg, threshold)
                 else:
                     raw = prep.execute(seg)
                 docs, scores = seg.apply_mask(*raw)

@@ -25,7 +25,7 @@ import pandas as pd
 
 from iresearch_ray.index import manifest as manifest_mod
 from iresearch_ray.index.segment import SegmentReader
-from iresearch_ray.search.filters import _PreparedTerm
+from iresearch_ray.search.filters import _PreparedTerm, _PreparedUnion
 from iresearch_ray.search.scorers import BM25, FieldStats
 
 
@@ -148,6 +148,11 @@ class IndexSearcher:
             if (mode == "top" and isinstance(prep, _PreparedTerm)
                     and seg.mask is None):  # masked scores must not prune
                 docs, scores = _wand_term(prep, seg, k, threshold)
+            elif (mode == "top" and isinstance(prep, _PreparedUnion)
+                    and seg.mask is None
+                    and all(isinstance(c, _PreparedTerm)
+                            for c in prep.children)):
+                docs, scores = _wand_union(prep, seg, threshold)
             else:
                 docs, scores = prep.execute(seg)
             docs, scores = seg.apply_mask(docs, scores)
@@ -180,6 +185,122 @@ class IndexSearcher:
                 for a, d in zip(at, docs)]
         return pd.DataFrame({"doc": docs, "key": keys,
                              "score": scores.astype(np.float64)})
+
+
+def _wand_union(prep, seg: SegmentView,
+                threshold: float) -> tuple[np.ndarray, np.ndarray]:
+    """Block-max pruning for a UNION of term children (reference
+    wanderator under disjunctions; MaxScore-flavored bound): a block of
+    child c is skipped when ``ub_block + sum(other children's max block
+    ub) <= threshold`` — any doc confined to skipped blocks in every child
+    that contains it is then provably <= threshold.  Surviving candidate
+    docs are re-scored EXACTLY: every child decodes the blocks holding a
+    candidate (targeted seek via the skip last_doc array), so returned
+    scores are identical to the full scan's."""
+    from iresearch_ray.search.filters import union_sum
+
+    kids = prep.children
+    dtype = prep.dtype
+    infos: list[dict | None] = []
+    for c in kids:
+        i = c.idx_by_seg.get(seg.id, -1)
+        if i < 0:
+            infos.append(None)
+            continue
+        sk = seg.reader.skips(i)
+        if sk is None or len(sk["last_doc"]) < 8:
+            docs, freqs = seg.reader.postings(i)
+            docs = docs.astype(np.int64, copy=False)
+            scores = c.sp.score(freqs, seg.reader.doc_len[docs - 1], seg.tiny)
+            infos.append({"full": (docs, scores),
+                          "max_ub": float(scores.max()) if len(scores) else 0.0})
+        else:
+            ub = c.sp.score(sk["max_freq"],
+                            np.zeros(len(sk["max_freq"]), dtype=np.int64),
+                            seg.tiny)
+            infos.append({"sk": sk, "i": i, "ub": ub, "prep": c,
+                          "max_ub": float(ub.max())})
+    live = [x for x in infos if x is not None]
+    if not live:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=dtype)
+    tot = sum(x["max_ub"] for x in live)
+
+    child_data: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    decoded: dict[int, np.ndarray] = {}
+    parts = []
+    for ci, x in enumerate(infos):
+        if x is None:
+            continue
+        if "full" in x:
+            child_data[ci] = x["full"]
+            parts.append(x["full"][0])
+        else:
+            need = x["ub"] > (threshold - (tot - x["max_ub"]))
+            if need.mean() > 0.5:
+                # pruning degenerates (head terms / loose threshold): one
+                # whole-blob varint pass beats per-block decodes
+                docs, freqs = seg.reader.postings(x["i"])
+                docs = docs.astype(np.int64, copy=False)
+                scores = x["prep"].sp.score(freqs,
+                                            seg.reader.doc_len[docs - 1],
+                                            seg.tiny)
+                infos[ci] = x = {"full": (docs, scores),
+                                 "max_ub": x["max_ub"]}
+                child_data[ci] = x["full"]
+                parts.append(docs)
+                continue
+            decoded[ci] = need
+            docs, freqs = seg.reader.decode_blocks(x["i"], need)
+            child_data[ci] = (docs.astype(np.int64, copy=False), freqs)
+            parts.append(child_data[ci][0])
+    if not decoded:  # every child fully decoded -> plain exact union
+        docs_l = [child_data[ci][0] for ci, x in enumerate(infos) if x]
+        scores_l = [child_data[ci][1] for ci, x in enumerate(infos) if x]
+        docs, scores, counts = union_sum(docs_l, scores_l,
+                                         counts_needed=True, dtype=dtype)
+        if prep.min_match > 1:
+            keep = counts >= prep.min_match
+            docs, scores = docs[keep], scores[keep]
+        return docs, scores
+    cand = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+    if not len(cand):
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=dtype)
+    # exact re-score: decode any block that holds a candidate
+    for ci, x in enumerate(infos):
+        if x is None or "full" in x:
+            continue
+        blk = np.searchsorted(x["sk"]["last_doc"], cand, side="left")
+        blk = blk[blk < len(x["sk"]["last_doc"])]
+        need_extra = np.zeros(len(x["sk"]["last_doc"]), dtype=bool)
+        need_extra[np.unique(blk)] = True
+        extra = need_extra & ~decoded[ci]
+        if extra.any():
+            d2, f2 = seg.reader.decode_blocks(x["i"], extra)
+            d0, f0 = child_data[ci]
+            docs = np.concatenate([d0, d2.astype(np.int64, copy=False)])
+            freqs = np.concatenate([f0, f2])
+            o = np.argsort(docs, kind="stable")
+            child_data[ci] = (docs[o], freqs[o])
+    docs_l, scores_l = [], []
+    for ci, x in enumerate(infos):
+        if x is None:
+            continue
+        docs, payload = child_data[ci]
+        if "full" in x:
+            scores = payload
+        else:
+            scores = x["prep"].sp.score(payload, seg.reader.doc_len[docs - 1],
+                                        seg.tiny)
+        at = np.searchsorted(cand, docs)
+        member = (at < len(cand)) & (cand[np.minimum(at, len(cand) - 1)] == docs)
+        docs_l.append(docs[member])
+        scores_l.append(scores[member])
+    docs, scores, counts = union_sum(docs_l, scores_l, counts_needed=True,
+                                     dtype=dtype)
+    if prep.min_match > 1:
+        keep = counts >= prep.min_match
+        docs, scores = docs[keep], scores[keep]
+    return docs, scores
 
 
 def _wand_term(prep: _PreparedTerm, seg: SegmentView, k: int,

@@ -62,3 +62,15 @@ def test_distributed_wand_equals_all(dist):
         t = searcher.search(TermFilter(term), k=10, mode="top")
         assert list(a["doc"]) == list(t["doc"])
         assert np.array_equal(a["score"].to_numpy(), t["score"].to_numpy())
+
+
+def test_distributed_wand_union_equals_all(dist):
+    searcher, _ = dist
+    from iresearch_ray.search import OrFilter, TermFilter
+
+    flt = lambda: OrFilter([TermFilter("hterm"), TermFilter("mterm"),
+                            TermFilter("lterm")], min_match=2)
+    a = searcher.search(flt(), k=10, mode="all")
+    t = searcher.search(flt(), k=10, mode="top")
+    assert list(a["doc"]) == list(t["doc"])
+    assert np.array_equal(a["score"].to_numpy(), t["score"].to_numpy())

@@ -323,3 +323,22 @@ def test_variadic_phrase_fixed_path_unchanged(index):
     d2, s2 = _engine_matches(reader, PhraseFilter([["ref"], "name"]))
     assert list(d1) == list(d2)
     assert np.array_equal(s1, s2)  # single-variant set: same clamped df sum
+
+
+@pytest.mark.parametrize("make", [
+    lambda: OrFilter([TermFilter("hterm"), TermFilter("mterm")]),
+    lambda: OrFilter([TermFilter("hterm"), TermFilter("lterm"),
+                      TermFilter("mterm")]),
+    lambda: OrFilter([TermFilter("hterm"), TermFilter("mterm"),
+                      TermFilter("lterm")], min_match=2),
+    lambda: TermsFilter(["hterm", "mterm"], boosts=[2.0, 1.0]),
+])
+def test_topk_wand_union_equals_all(index, make):
+    """Block-max WAND for disjunctions: identical top-k + exact scores."""
+    reader, _ = index
+    s = IndexSearcher(reader, BM25())
+    a = s.search(make(), k=10, mode="all")
+    t = s.search(make(), k=10, mode="top")
+    assert list(a["doc"]) == list(t["doc"])
+    assert np.array_equal(a["score"].to_numpy(), t["score"].to_numpy())
+    assert list(a["key"]) == list(t["key"])
