@@ -427,6 +427,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               "label": [ls[0] for ls in out["labels"]]})
                 .sort_values("doc_id").reset_index(drop=True))
 
+    def term_topk_distributed(sf_dir):
+        """Same ranking contract as term_topk, but through the
+        segment-group ACTOR pool (df collect -> broadcast -> per-group
+        top-k -> driver merge) — puts the distributed path under the
+        same DuckDB oracle as the driver scan."""
+        from iresearch_ray.search.distributed import DistributedSearcher
+
+        reader = _index_reader(sf_dir)  # ensures the index exists
+        s = DistributedSearcher(reader.index_dir, num_groups=2,
+                                scorer=_scorer())
+        try:
+            raw = s.search(TermFilter("batch"), k=30)
+        finally:
+            s.close()
+        df = pd.DataFrame({"doc_id": [_doc_id(x) for x in raw["key"]],
+                           "score": np.round(raw["score"].to_numpy(), 4)})
+        return (df.sort_values(["score", "doc_id"], ascending=[False, True])
+                .head(10).reset_index(drop=True))
+
     def same_position_search(sf_dir):
         from iresearch_ray.search import SamePositionFilter
 
@@ -620,6 +639,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_search_tfidf": term_search_tfidf,
         "term_topk": lambda sf: _topk(sf, TermFilter("batch"), k=10),
         "term_topk_wand": lambda sf: _topk(sf, TermFilter("the"), k=10, mode="top"),
+        "term_topk_distributed": term_topk_distributed,
         "bool_and_search": lambda sf: _all_matches(
             sf, AndFilter([TermFilter("batch"), TermFilter("stream")])),
         "bool_or_minmatch": lambda sf: _all_matches(
@@ -690,6 +710,8 @@ SELECT m.doc_id,
 FROM m, d, stats s
 """,
         "term_topk": _sql_bm25(_sql_tf("batch"), "f > 0") +
+        " ORDER BY score DESC, doc_id LIMIT 10",
+        "term_topk_distributed": _sql_bm25(_sql_tf("batch"), "f > 0") +
         " ORDER BY score DESC, doc_id LIMIT 10",
         "term_topk_wand": _sql_bm25(_sql_tf("the"), "f > 0") +
         " ORDER BY score DESC, doc_id LIMIT 10",
