@@ -402,7 +402,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             n = pq.ParquetFile(src).metadata.num_rows
             build_index(src, index_dir, analyzer="keyword",
                         text_column="source", key_column="doc_id",
-                        target_docs=max(32, math.ceil(n / 4)))
+                        target_docs=max(32, math.ceil(n / 4)),
+                        sort_by="n_chars", store_columns=("n_chars",))
             _READERS[key] = IndexReader(index_dir)
         reader = _READERS[key]
         prep = TermFilter("src3").prepare(reader, _scorer())
@@ -445,6 +446,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
                            "score": np.round(raw["score"].to_numpy(), 4)})
         return (df.sort_values(["score", "doc_id"], ascending=[False, True])
                 .head(10).reset_index(drop=True))
+
+    def sorted_topk(sf_dir):
+        from iresearch_ray.search.stored import topk_by_sorted_field
+
+        keyword_search(sf_dir)  # ensures the sorted keyword index exists
+        reader = _READERS[_slug(sf_dir) + "_kw"]
+        top = topk_by_sorted_field(reader, "n_chars", k=10, descending=True)
+        return pd.DataFrame({
+            "doc_id": np.array([int(k) for k in top["key"]], dtype=np.int64),
+            "n_chars": top["n_chars"].astype(np.int64),
+        })
+
+    def filtered_agg(sf_dir):
+        from iresearch_ray.search import TermFilter as TF
+        from iresearch_ray.search.stored import aggregate_stored
+
+        keyword_search(sf_dir)
+        reader = _READERS[_slug(sf_dir) + "_kw"]
+        out = aggregate_stored(reader, TF("src3"), "n_chars",
+                               aggs=("count", "sum", "avg"))
+        return pd.DataFrame({"n_docs": [int(out["count"])],
+                             "sum_chars": [int(out["sum"])],
+                             "avg_chars": [round(out["avg"], 4)]})
 
     def same_position_search(sf_dir):
         from iresearch_ray.search import SamePositionFilter
@@ -649,6 +673,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_variadic": lambda sf: _all_matches(
             sf, PhraseFilter([{"prefix": "st"}, "order"])),
         "same_position_search": same_position_search,
+        "sorted_topk": sorted_topk,
+        "filtered_agg": filtered_agg,
         "prefix_search": lambda sf: _all_matches(sf, PrefixFilter("st"),
                                                  with_counts=True),
         "range_search": lambda sf: _all_matches(
@@ -805,6 +831,15 @@ SELECT m.doc_id, round(
      / ((({k}-{k}*{b}) + ({k}*{b}/(s.tot/s.n))*m.dl) + m.f)
    + ln(1 + (s.n - dfs.v + 0.5)/(dfs.v + 0.5)), 4) AS score
 FROM m, dft, dfs, stats s
+""",
+        "sorted_topk": """
+SELECT doc_id, n_chars FROM documents
+ORDER BY n_chars DESC, doc_id LIMIT 10
+""",
+        "filtered_agg": """
+SELECT count(*) AS n_docs, sum(n_chars) AS sum_chars,
+       round(avg(n_chars), 4) AS avg_chars
+FROM documents WHERE source = 'src3'
 """,
         "keyword_search": f"""
 WITH s AS (SELECT count(*)::DOUBLE AS n FROM documents),
