@@ -15,7 +15,6 @@ from __future__ import annotations
 from iresearch_ray.analysis.tokenizers import (
     Analyzer,
     RegexTokenizer,
-    StopwordsAnalyzer,
     register_analyzer,
 )
 

@@ -107,14 +107,28 @@ class RegexTokenizer(Analyzer):
         (reference OFFS index feature; ours recomputes offsets lazily for
         top-k docs instead of storing them per posting — see
         search/highlight.py for the scale rationale)."""
+        import numpy as np
+
         low = text.lower() if self.lowercase else text
+        if len(low) != len(text):
+            # rare: case-folding changed the length (e.g. 'İ' -> 'i̇');
+            # build a low-index -> original-index map so offsets stay
+            # anchored to the ORIGINAL text
+            back = []
+            for i, ch in enumerate(text):
+                back.extend([i] * len(ch.lower()))
+            toks, starts, ends = [], [], []
+            for m in self._pat.finditer(low):
+                toks.append(m.group())
+                starts.append(back[m.start()])
+                ends.append(back[m.end() - 1] + 1)
+            return (toks, np.asarray(starts, dtype=np.int64),
+                    np.asarray(ends, dtype=np.int64))
         toks, starts, ends = [], [], []
         for m in self._pat.finditer(low):
             toks.append(m.group())
             starts.append(m.start())
             ends.append(m.end())
-        import numpy as np
-
         return toks, np.asarray(starts, dtype=np.int64), np.asarray(ends, dtype=np.int64)
 
     def config(self) -> dict:

@@ -320,7 +320,11 @@ def _carry_forward(index_dir: str, planned: list[dict],
         return planned
     prev = manifest_mod.load(index_dir, prev_gen)
     prev_by_id = {e["segment_id"]: e for e in prev["segments"]}
-    # constituents of previous consolidated segments (mask suffix stripped)
+    # TRANSITIVE constituents of previous consolidated segments: the
+    # merge/convert path records source_leaves (original leaf segment ids)
+    # so coverage resolves across multiple consolidation generations even
+    # after intermediate merged segments were purged; older segments
+    # without source_leaves fall back to one-level merged_from
     source_to_merged: dict[str, str] = {}
     merged_cover: dict[str, list[str]] = {}
     for e in prev["segments"]:
@@ -330,8 +334,9 @@ def _carry_forward(index_dir: str, planned: list[dict],
                 lineage = json.load(f).get("lineage", {})
         except FileNotFoundError:
             continue
-        srcs = [s.split(":", 1)[0] for s in lineage.get("merged_from", [])]
-        if srcs:
+        srcs = lineage.get("source_leaves") or [
+            s.split(":", 1)[0] for s in lineage.get("merged_from", [])]
+        if srcs and srcs != [e["segment_id"]]:
             merged_cover[e["segment_id"]] = srcs
             for s in srcs:
                 source_to_merged[s] = e["segment_id"]

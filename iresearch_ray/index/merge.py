@@ -238,13 +238,20 @@ def merge_run(index_dir: str, segment_ids: list[str], out_id: str,
         else:
             masks.append(None)
     terms_tbl, docmap, stats, columns_tbl = merge_segment_tables(readers, masks)
+    # transitive leaf lineage: resolvable even after intermediate merged
+    # segments are purged (directory cleaner)
+    leaves: list[str] = []
+    for r in readers:
+        prior = r.meta.get("lineage", {}).get("source_leaves")
+        leaves.extend(prior if prior else [r.segment_id])
     meta = {
         "format_version": FORMAT_VERSION,
         "segment_id": out_id,
         **stats,
         "analyzer": readers[0].meta.get("analyzer", {}),
         "analyzer_hash": readers[0].meta.get("analyzer_hash", ""),
-        "lineage": {"merged_from": lineage_key},
+        "lineage": {"merged_from": lineage_key,
+                    "source_leaves": sorted(set(leaves))},
         "counters": {
             "docs_tokenized": 0,  # merge re-tokenizes nothing
             "tokens_emitted": 0,

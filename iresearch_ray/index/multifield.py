@@ -141,7 +141,9 @@ class MultiFieldSearcher(IndexSearcher):
     def search(self, flt, k: int = 10, mode: str = "all") -> pd.DataFrame:
         if not isinstance(flt, Fielded) and not _has_fielded(flt):
             flt = Fielded(self.reader.default_field, flt)
-        return super().search(flt, k=k, mode="all")
+        # mode forwards; _FieldBound wrappers execute unpruned today, so
+        # 'top' is behavior-identical until field-bound WAND lands
+        return super().search(flt, k=k, mode=mode)
 
 
 def _has_fielded(flt) -> bool:

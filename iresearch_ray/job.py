@@ -74,7 +74,7 @@ def cmd_query(a) -> dict:
         from iresearch_ray.search.distributed import DistributedSearcher
 
         s = DistributedSearcher(a.index_dir, scorer=BM25())
-        df = s.search(flt, k=a.k)
+        df = s.search(flt, k=a.k, mode="top" if a.wand else "all")
     else:
         df = IndexSearcher(IndexReader(a.index_dir), BM25()).search(
             flt, k=a.k, mode="top" if a.wand else "all")

@@ -87,6 +87,13 @@ class MinHashBatch:
     def __call__(self, b: pa.Table) -> pa.Table:
         texts = b[self.text_column].to_pylist()
         ids = b[self.id_column].to_numpy()
+        if not texts:  # empty block (empty row group / upstream filter)
+            return pa.table({
+                self.id_column: pa.array([], type=b[self.id_column].type),
+                "band": pa.array([], type=pa.int64()),
+                "band_hash": pa.array([], type=pa.int64()),
+                "signature": pa.array([], type=pa.binary()),
+            })
         all_shingles: list[str] = []
         offsets = np.zeros(len(texts) + 1, dtype=np.int64)
         for i, t in enumerate(texts):

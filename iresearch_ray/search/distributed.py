@@ -102,8 +102,9 @@ def _make_group_actor():
                     all_s = np.concatenate(scores_l + [scores]) \
                         if scores_l else scores
                     if len(all_s) >= k:
-                        threshold = max(threshold, float(
-                            np.partition(all_s, len(all_s) - k)[len(all_s) - k]))
+                        threshold = max(threshold, float(np.nextafter(
+                            np.partition(all_s, len(all_s) - k)[len(all_s) - k],
+                            -np.inf)))
                 if len(docs) > k:
                     top = np.argpartition(scores, len(scores) - k)[len(scores) - k:]
                     top = top[np.lexsort((docs[top], -scores[top]))]
@@ -172,8 +173,10 @@ class DistributedSearcher:
         if mode == "top" and len(self.actors) > 1:
             pilot = ray.get(self.actors[0].execute_topk.remote(
                 flt, self.scorer, df_map, k, "top"))
-            thr = (float(np.sort(pilot[1])[-k]) if len(pilot[1]) >= k
-                   else float("-inf"))
+            # one ulp below the pilot's k-th score so cross-group ties
+            # (broken by doc id at the merge) are never pruned
+            thr = (float(np.nextafter(np.sort(pilot[1])[-k], -np.inf))
+                   if len(pilot[1]) >= k else float("-inf"))
             rest = ray.get([a.execute_topk.remote(flt, self.scorer, df_map,
                                                   k, "top", thr)
                             for a in self.actors[1:]])

@@ -166,7 +166,11 @@ class IndexSearcher:
             cand_scores.append(scores)
             all_s = np.concatenate(cand_scores)
             if len(all_s) >= k:
-                threshold = float(np.partition(all_s, len(all_s) - k)[len(all_s) - k])
+                # one ulp below the k-th score: docs TIED with the k-th must
+                # not be pruned (the final merge breaks ties by doc id)
+                threshold = float(np.nextafter(
+                    np.partition(all_s, len(all_s) - k)[len(all_s) - k],
+                    -np.inf))
         if not cand_docs:
             return pd.DataFrame({"doc": np.empty(0, dtype=np.int64),
                                  "key": pd.Series([], dtype=object),
@@ -337,8 +341,9 @@ def _wand_term(prep: _PreparedTerm, seg: SegmentView, k: int,
         kept += len(docs)
         if kept >= k:
             all_s = np.concatenate(out_scores)
-            threshold = max(threshold,
-                            float(np.partition(all_s, len(all_s) - k)[len(all_s) - k]))
+            threshold = max(threshold, float(np.nextafter(
+                np.partition(all_s, len(all_s) - k)[len(all_s) - k],
+                -np.inf)))
     if not out_docs:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=dtype)
     docs = np.concatenate(out_docs)

@@ -49,15 +49,33 @@ def union_sum(docs_list, scores_list, counts_needed=False, dtype=np.float32):
         out = _empty(dtype)
         return (*out, np.empty(0, dtype=np.int64)) if counts_needed else out
     m = max(int(d[-1]) for d, _ in pairs)  # docs sorted ascending per child
-    acc = np.zeros(m + 1, dtype=dtype)
-    cnt = np.zeros(m + 1, dtype=np.int64)
-    for d, s in pairs:
-        acc[d] += s.astype(dtype, copy=False)
-        cnt[d] += 1
-    u_docs = np.flatnonzero(cnt).astype(np.int64)
-    u_scores = acc[u_docs]
+    n_post = sum(len(d) for d, _ in pairs)
+    if n_post * 8 >= m:  # dense enough for the accumulator to win
+        acc = np.zeros(m + 1, dtype=dtype)
+        cnt = np.zeros(m + 1, dtype=np.int64)
+        for d, s in pairs:
+            acc[d] += s.astype(dtype, copy=False)
+            cnt[d] += 1
+        u_docs = np.flatnonzero(cnt).astype(np.int64)
+        u_scores = acc[u_docs]
+        if counts_needed:
+            return u_docs, u_scores, cnt[u_docs]
+        return u_docs, u_scores
+    # sparse: postings << segment size (e.g. rare terms in a consolidated
+    # multi-million-doc segment) — O(n log n) merge beats an O(segment)
+    # zeroed allocation; stable sort keeps per-doc addition in child order
+    docs = np.concatenate([d for d, _ in pairs])
+    scores = np.concatenate([s for _, s in pairs]).astype(dtype, copy=False)
+    order = np.argsort(docs, kind="stable")
+    docs, scores = docs[order], scores[order]
+    new = np.empty(len(docs), dtype=bool)
+    new[0] = True
+    new[1:] = docs[1:] != docs[:-1]
+    starts = np.flatnonzero(new)
+    u_docs = docs[starts]
+    u_scores = np.add.reduceat(scores, starts).astype(dtype, copy=False)
     if counts_needed:
-        return u_docs, u_scores, cnt[u_docs]
+        return u_docs, u_scores, np.diff(np.r_[starts, len(docs)])
     return u_docs, u_scores
 
 

@@ -19,7 +19,7 @@ import pandas as pd
 
 
 def highlight(reader, global_docs, terms, analyzer,
-              text_column: str = "text") -> pd.DataFrame:
+              text_column: str = "text", _texts=None) -> pd.DataFrame:
     """Spans of ``terms`` in each doc: DataFrame(doc, term, start, end).
 
     ``reader``: IndexReader whose index stored ``text_column``;
@@ -29,8 +29,9 @@ def highlight(reader, global_docs, terms, analyzer,
     if not hasattr(analyzer, "tokens_with_offsets"):
         raise TypeError(f"analyzer {analyzer!r} has no offset support")
     want = set(terms)
-    texts = reader.stored(np.asarray(global_docs, dtype=np.int64),
-                          [text_column])
+    texts = (_texts if _texts is not None else
+             reader.stored(np.asarray(global_docs, dtype=np.int64),
+                           [text_column]))
     rows = {"doc": [], "term": [], "start": [], "end": []}
     for doc, text in zip(texts["doc"], texts[text_column]):
         if text is None:
@@ -50,9 +51,10 @@ def highlight_snippets(reader, global_docs, terms, analyzer,
                        tag_open: str = "<em>", tag_close: str = "</em>",
                        ) -> pd.DataFrame:
     """One tagged snippet per doc around its first match."""
-    spans = highlight(reader, global_docs, terms, analyzer, text_column)
     texts = reader.stored(np.asarray(global_docs, dtype=np.int64),
                           [text_column])
+    spans = highlight(reader, global_docs, terms, analyzer, text_column,
+                      _texts=texts)
     text_by_doc = dict(zip(texts["doc"], texts[text_column]))
     out = {"doc": [], "snippet": []}
     for doc, grp in spans.groupby("doc", sort=True):

@@ -85,7 +85,11 @@ def aggregate_stored(reader, flt, column: str, aggs=("count", "sum", "avg"),
         col = seg.reader.column(column)
         if col is None:
             raise ValueError(f"{column!r} not stored in segment {seg.id}")
-        vals = col.take(docs - 1).to_numpy(zero_copy_only=False).astype(np.float64)
+        taken = col.take(docs - 1)
+        valid = ~np.asarray(taken.is_null())
+        vals = taken.to_numpy(zero_copy_only=False).astype(np.float64)[valid]
+        if not len(vals):
+            continue  # docs lacking the field don't count (null = absent)
         n_total += len(vals)
         s_total += float(vals.sum())
         mn = min(mn, float(vals.min()))

@@ -99,6 +99,10 @@ def convert_index(src_dir: str, dst_dir: str, target_docs: int,
             "analyzer": readers[0].meta.get("analyzer", {}),
             "analyzer_hash": readers[0].meta.get("analyzer_hash", ""),
             "lineage": {"converted_from": [e["segment_id"] for e in run],
+                        "source_leaves": sorted({
+                            leaf for r in readers for leaf in
+                            (r.meta.get("lineage", {}).get("source_leaves")
+                             or [r.segment_id])}),
                         "src": os.path.abspath(src_dir),
                         "src_generation": man["generation"]},
             "counters": {"docs_tokenized": 0, "tokens_emitted": 0,

@@ -142,3 +142,18 @@ def test_text_edge_ngrams():
     # min_gram alone implies max_gram = min_gram
     c = get_analyzer("text", stemming=False, min_gram=3)
     assert c.tokens("hello") == ["hel", "hello"]
+
+
+def test_offsets_survive_length_changing_casefold():
+    # 'İ' (U+0130) lowercases to 2 codepoints; offsets must still index
+    # the ORIGINAL text (review finding: highlight spans were shifted)
+    a = get_analyzer("unicode")
+    text = "İstanbul batch here"
+    toks, starts, ends = a.tokens_with_offsets(text)
+    assert "batch" in toks
+    i = toks.index("batch")
+    assert text[starts[i]:ends[i]] == "batch"
+    # fast path still exact
+    toks2, s2, e2 = a.tokens_with_offsets("plain batch text")
+    j = toks2.index("batch")
+    assert "plain batch text"[s2[j]:e2[j]] == "batch"

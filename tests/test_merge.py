@@ -171,3 +171,33 @@ def test_carry_forward_masks_and_merges(ray_session, tmp_path_factory):
     # lterm mask (gen4) survived on the consolidated segment
     lterm_hits = set(s.search(TF("lterm"), k=500)["key"])
     assert lterm_hits <= appended
+
+
+def test_carry_forward_two_level_consolidation(ray_session, tmp_path_factory):
+    """Finding from review: a resumed no-op build after a SECOND
+    consolidation must keep the second-level merged segment (transitive
+    source_leaves lineage), not resurrect constituents."""
+    from iresearch_ray.index.delete import delete_by_filter
+    from iresearch_ray.search import TermFilter as TF
+
+    base = tmp_path_factory.mktemp("carry2")
+    p1, p2 = str(base / "a.parquet"), str(base / "b.parquet")
+    write_pages(p1, 200, row_group_size=50)
+    write_pages(p2, 100, row_group_size=50, seed=13)
+    idx = str(base / "idx")
+    build_index(p1, idx, analyzer="ascii", target_docs=50)     # 4 segs
+    consolidate(idx, target_docs=200)                          # m1
+    delete_by_filter(idx, TF("mterm"))
+    build_index([p1, p2], idx, analyzer="ascii", target_docs=50)  # + b segs
+    man = consolidate(idx, target_docs=400)                    # m2 over all
+    assert len(man["segments"]) == 1
+    m2 = man["segments"][0]["segment_id"]
+    deleted_before = IndexSearcher(IndexReader(idx), BM25()).search(
+        TF("mterm"), k=500)
+
+    # resubmit the same (no-op) build: manifest must still be [m2]
+    man2 = build_index([p1, p2], idx, analyzer="ascii", target_docs=50)
+    assert [e["segment_id"] for e in man2["segments"]] == [m2]
+    assert man2["num_docs"] == man["num_docs"]
+    after = IndexSearcher(IndexReader(idx), BM25()).search(TF("mterm"), k=500)
+    assert list(after["doc"]) == list(deleted_before["doc"])
