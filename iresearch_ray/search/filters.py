@@ -452,13 +452,13 @@ class _PreparedPhrase(Prepared):
             ti = idxs.get(seg.id, -1)
             if ti < 0:
                 return _empty(self.sp.dtype)
-            docs, freqs, pos, run_offs = seg.reader.postings(ti, positions=True)
+            docs, freqs, pos, _ = seg.reader.postings(ti, positions=True)
             doc_per_occ = np.repeat(docs.astype(np.int64), freqs)
             aligned = pos - i
             ok = aligned >= 0
             k = (doc_per_occ[ok] << np.int64(32)) | aligned[ok]  # sorted
             keys = k if keys is None else keys[_isin_sorted(keys, k)]
-            if keys is None or len(keys) == 0:
+            if len(keys) == 0:
                 return _empty(self.sp.dtype)
         match_docs = (keys >> np.int64(32))
         u_docs, phrase_freq = np.unique(match_docs, return_counts=True)
