@@ -67,8 +67,9 @@ def cmd_build(a) -> dict:
 
 def cmd_query(a) -> dict:
     from iresearch_ray.search import BM25, IndexReader, IndexSearcher, TermFilter
+    from iresearch_ray.search.query_parser import parse_query
 
-    flt = TermFilter(a.term)
+    flt = parse_query(a.query) if a.query else TermFilter(a.term)
     t0 = time.monotonic()
     if a.distributed:
         from iresearch_ray.search.distributed import DistributedSearcher
@@ -79,7 +80,7 @@ def cmd_query(a) -> dict:
         df = IndexSearcher(IndexReader(a.index_dir), BM25()).search(
             flt, k=a.k, mode="top" if a.wand else "all")
     wall = time.monotonic() - t0
-    return {"term": a.term, "k": a.k, "wall_s": wall,
+    return {"query": a.query or a.term, "k": a.k, "wall_s": wall,
             "hits": [{"doc": int(r.doc), "key": str(r.key),
                       "score": float(r.score)} for r in df.itertuples()]}
 
@@ -104,7 +105,11 @@ def main(argv=None) -> int:
 
     q = sub.add_parser("query")
     q.add_argument("--index-dir", required=True)
-    q.add_argument("--term", required=True)
+    g = q.add_mutually_exclusive_group(required=True)
+    g.add_argument("--term")
+    g.add_argument("--query",
+                   help="Lucene-ish query string: terms, \"phrases\", "
+                        "pre*, fuzz~1, [a TO b], OR, -exclusions, ^boost")
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--wand", action="store_true")
     q.add_argument("--distributed", action="store_true",

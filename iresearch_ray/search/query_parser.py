@@ -1,0 +1,113 @@
+"""Minimal Lucene-flavored query-string parser -> filter tree.
+
+The reference builds filter trees in code per benchmark category
+(utils/index-search.cpp:241-424); user-facing deployments (ArangoDB)
+expose a query language.  This is the small, deterministic middle:
+
+    hello world          -> And(term, term)
+    "ref name"           -> PhraseFilter
+    "ref name"~same      -> SamePositionFilter
+    pre*                 -> PrefixFilter
+    wi%card / mid*dle    -> WildcardFilter (* and % both wildcard)
+    fuzzy~1              -> FuzzyFilter(max_distance=1)
+    [aaa TO bbb]         -> RangeFilter
+    a OR b OR c          -> OrFilter
+    a OR b AND c         -> And binds tighter than Or
+    -bad good            -> NotFilter(And(good), And(bad))
+    term^2.5             -> boost
+
+Whitespace tokenizes; terms are analyzed literally (caller lowercases to
+match the index analyzer if needed).
+"""
+
+from __future__ import annotations
+
+import re
+
+from iresearch_ray.search.filters import (
+    AndFilter,
+    FuzzyFilter,
+    NotFilter,
+    OrFilter,
+    PhraseFilter,
+    PrefixFilter,
+    RangeFilter,
+    SamePositionFilter,
+    TermFilter,
+    WildcardFilter,
+)
+
+_TOKEN_RE = re.compile(r'"[^"]*"(?:~same)?(?:\^[\d.]+)?|\[[^\]]+\]|\S+')
+
+
+def _leaf(tok: str):
+    boost = 1.0
+    m = re.search(r"\^([\d.]+)$", tok)
+    if m and not tok.startswith("["):
+        boost = float(m.group(1))
+        tok = tok[: m.start()]
+    if tok.startswith('"'):
+        same = tok.endswith("~same")
+        body = tok[1:-6] if same else tok[1:-1]
+        words = body.split()
+        if not words:
+            raise ValueError("empty phrase")
+        return (SamePositionFilter(words, boost=boost) if same
+                else PhraseFilter(words, boost=boost))
+    if tok.startswith("[") and tok.endswith("]"):
+        m2 = re.fullmatch(r"\[\s*(\S+)\s+TO\s+(\S+)\s*\]", tok)
+        if not m2:
+            raise ValueError(f"bad range {tok!r}")
+        lo, hi = (None if v == "*" else v for v in m2.groups())
+        return RangeFilter(lo, hi, include_hi=True, boost=boost)
+    m3 = re.fullmatch(r"(\S+)~(\d)", tok)
+    if m3:
+        return FuzzyFilter(m3.group(1), max_distance=int(m3.group(2)),
+                           boost=boost)
+    if "*" in tok or "%" in tok or "_" in tok:
+        pat = tok.replace("*", "%")
+        if pat.endswith("%") and not any(c in pat[:-1] for c in "%_"):
+            return PrefixFilter(pat[:-1], boost=boost)
+        return WildcardFilter(pat, boost=boost)
+    if not tok:
+        raise ValueError("empty term")
+    return TermFilter(tok, boost=boost)
+
+
+def parse_query(q: str):
+    """Parse a query string into a Filter tree (see module docstring)."""
+    toks = _TOKEN_RE.findall(q.strip())
+    if not toks:
+        raise ValueError("empty query")
+    # split on OR (lowest precedence); within a clause AND-combine, with
+    # leading '-' marking exclusions
+    clauses: list[list[str]] = [[]]
+    for t in toks:
+        if t.upper() == "OR":
+            if not clauses[-1]:
+                raise ValueError("dangling OR")
+            clauses.append([])
+        elif t.upper() == "AND":
+            continue  # AND is the implicit default
+        else:
+            clauses[-1].append(t)
+    if not clauses[-1]:
+        raise ValueError("dangling OR")
+
+    def build_clause(parts: list[str]):
+        pos, neg = [], []
+        for p in parts:
+            if p.startswith("-") and len(p) > 1 and not p.startswith("-["):
+                neg.append(_leaf(p[1:]))
+            else:
+                pos.append(_leaf(p))
+        if not pos:
+            raise ValueError("clause needs at least one positive term")
+        node = pos[0] if len(pos) == 1 else AndFilter(pos)
+        if neg:
+            node = NotFilter(node, neg[0] if len(neg) == 1
+                             else OrFilter(neg))
+        return node
+
+    nodes = [build_clause(c) for c in clauses]
+    return nodes[0] if len(nodes) == 1 else OrFilter(nodes)

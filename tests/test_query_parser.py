@@ -1,0 +1,61 @@
+"""Query-string parser -> filter tree; end-to-end through the searcher."""
+
+import numpy as np
+import pytest
+
+from iresearch_ray.search import (
+    AndFilter, FuzzyFilter, NotFilter, OrFilter, PhraseFilter, PrefixFilter,
+    RangeFilter, SamePositionFilter, TermFilter, WildcardFilter,
+)
+from iresearch_ray.search.query_parser import parse_query
+
+
+def test_parse_shapes():
+    assert isinstance(parse_query("hello"), TermFilter)
+    q = parse_query("hello world")
+    assert isinstance(q, AndFilter) and len(q.children) == 2
+    assert isinstance(parse_query('"ref name"'), PhraseFilter)
+    assert isinstance(parse_query('"a b"~same'), SamePositionFilter)
+    assert isinstance(parse_query("pre*"), PrefixFilter)
+    assert isinstance(parse_query("mi*dle"), WildcardFilter)
+    f = parse_query("fuzzy~2")
+    assert isinstance(f, FuzzyFilter) and f.max_distance == 2
+    r = parse_query("[aaa TO bbb]")
+    assert isinstance(r, RangeFilter) and r.lo == "aaa" and r.hi == "bbb"
+    assert parse_query("[* TO zzz]").lo is None
+    o = parse_query("a OR b OR c")
+    assert isinstance(o, OrFilter) and len(o.children) == 3
+    n = parse_query("good -bad")
+    assert isinstance(n, NotFilter)
+    assert isinstance(n.positive, TermFilter) and n.positive.term == "good"
+    assert n.negative.term == "bad"
+    mixed = parse_query('x y OR "p q" -z')
+    assert isinstance(mixed, OrFilter) and len(mixed.children) == 2
+    b = parse_query("hello^2.5")
+    assert b.boost == 2.5
+
+
+def test_parse_errors():
+    for bad in ("", "OR a", "a OR", "-only", '""', "[a TO]"):
+        with pytest.raises(ValueError):
+            parse_query(bad)
+
+
+def test_parser_end_to_end(ray_session, tmp_path_factory):
+    from iresearch_ray.index.build import build_index
+    from iresearch_ray.search import BM25, IndexReader, IndexSearcher
+    from iresearch_ray.sources.pages import write_pages
+
+    base = tmp_path_factory.mktemp("qp")
+    pages = str(base / "p.parquet")
+    write_pages(pages, 300, row_group_size=100)
+    idx = str(base / "idx")
+    build_index(pages, idx, analyzer="ascii", target_docs=150)
+    s = IndexSearcher(IndexReader(idx), BM25())
+    a = s.search(parse_query('hterm -mterm OR "ref name"'), k=20)
+    b = s.search(NotFilter(TermFilter("hterm"), TermFilter("mterm")), k=300)
+    assert len(a) > 0
+    # parsed tree equals hand-built tree on the simple sub-case
+    p1 = s.search(parse_query("hterm -mterm"), k=300)
+    assert list(p1["doc"]) == list(b["doc"])
+    assert np.array_equal(p1["score"].to_numpy(), b["score"].to_numpy())
