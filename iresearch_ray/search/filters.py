@@ -210,6 +210,8 @@ class _PreparedAnd(Prepared):
         self.dtype = dtype
 
     def execute(self, seg):
+        if all(isinstance(c, _PreparedTerm) for c in self.children):
+            return self._execute_terms(seg)
         res = [c.execute(seg) for c in self.children]
         common = None
         for docs, _ in res:
@@ -220,6 +222,55 @@ class _PreparedAnd(Prepared):
         for docs, scores in res:
             pos = np.searchsorted(docs, common)
             total = total + scores[pos].astype(self.dtype, copy=False)
+        return common, total
+
+    def _execute_terms(self, seg):
+        """Cost-ordered leapfrog for all-term conjunctions (reference
+        conjunction.hpp:97-260, cost sort boolean_filter.cpp:416): iterate
+        children by ascending df; a wide child decodes ONLY the 128-posting
+        blocks that can contain the current common set (targeted seek via
+        skip last_doc) instead of its whole list.  Exact: docs outside the
+        smallest list can never match the conjunction."""
+        idxs = [c.idx_by_seg.get(seg.id, -1) for c in self.children]
+        if any(i < 0 for i in idxs):
+            return _empty(self.dtype)
+        dfa = seg.reader.df_array()
+        order = np.argsort([int(dfa[i]) for i in idxs], kind="stable")
+        posts: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        common = None
+        for pos in order:
+            i = idxs[pos]
+            sk = seg.reader.skips(i)
+            mask = None
+            # targeted decode pays only on LONG lists (consolidated
+            # multi-million-doc segments): below ~64 blocks the mask
+            # bookkeeping costs more than one whole-blob pass
+            if (common is not None and sk is not None
+                    and len(sk["last_doc"]) >= 64
+                    and len(common) * 16 < int(dfa[i])):
+                blk = np.searchsorted(sk["last_doc"], common, side="left")
+                blk = blk[blk < len(sk["last_doc"])]
+                mask = np.zeros(len(sk["last_doc"]), dtype=bool)
+                mask[np.unique(blk)] = True
+                if mask.mean() > 0.25:
+                    # candidates touch most blocks: one whole-blob pass
+                    # beats per-block decodes (same trap as union WAND)
+                    mask = None
+            if mask is not None:
+                docs, freqs = seg.reader.decode_blocks(i, mask)
+            else:
+                docs, freqs = seg.reader.postings(i)
+            docs = docs.astype(np.int64, copy=False)
+            posts[pos] = (docs, freqs)
+            common = docs if common is None else common[_isin_sorted(common, docs)]
+            if not len(common):
+                return _empty(self.dtype)
+        total = np.zeros(len(common), dtype=self.dtype)
+        dls = seg.reader.doc_len[common - 1]
+        for pos, c in enumerate(self.children):  # child order: score parity
+            docs, freqs = posts[pos]
+            at = np.searchsorted(docs, common)
+            total = total + c.sp.score(freqs[at], dls, seg.tiny)
         return common, total
 
 
