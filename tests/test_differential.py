@@ -1,0 +1,129 @@
+"""Randomized differential testing: random filter TREES executed by the
+engine vs a brute-force Python evaluator over the same corpus (the
+reference's CheckQuery strategy, filter_test_case_base.hpp:379-404,
+generalized to arbitrary boolean compositions)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from iresearch_ray.analysis import get_analyzer
+from iresearch_ray.index.build import build_index
+from iresearch_ray.search import (
+    AndFilter,
+    BM25,
+    FuzzyFilter,
+    IndexReader,
+    IndexSearcher,
+    NotFilter,
+    OrFilter,
+    PhraseFilter,
+    PrefixFilter,
+    TermFilter,
+    WildcardFilter,
+)
+from iresearch_ray.search.automaton import levenshtein_distances, wildcard_to_regex
+
+N_DOCS = 250
+N_TREES = 60
+
+
+@pytest.fixture(scope="module")
+def corpus(ray_session, tmp_path_factory):
+    rng = np.random.default_rng(99)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsi", "zeta", "eta",
+             "theta", "iota", "kappa", "alphax", "alpzz", "beeta"]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(3, 25)))
+             for _ in range(N_DOCS)]
+    base = tmp_path_factory.mktemp("diff")
+    path = str(base / "p.parquet")
+    pq.write_table(pa.table({"url": [f"u{i:04d}" for i in range(N_DOCS)],
+                             "text": texts}), path, row_group_size=60)
+    idx = str(base / "idx")
+    build_index(path, idx, analyzer="ascii", target_docs=80)
+    ana = get_analyzer("ascii")
+    toks = [ana.tokens(t) for t in texts]
+    return IndexReader(idx), toks, vocab
+
+
+def _brute(flt, toks) -> set:
+    """Doc-id set (1-based, global) matched by a filter, brute force."""
+    if isinstance(flt, TermFilter):
+        return {i + 1 for i, ts in enumerate(toks) if flt.term in ts}
+    if isinstance(flt, PrefixFilter):
+        return {i + 1 for i, ts in enumerate(toks)
+                if any(t.startswith(flt.prefix) for t in ts)}
+    if isinstance(flt, WildcardFilter):
+        rx = wildcard_to_regex(flt.pattern)
+        return {i + 1 for i, ts in enumerate(toks)
+                if any(rx.fullmatch(t) for t in ts)}
+    if isinstance(flt, FuzzyFilter):
+        def near(t):
+            return int(levenshtein_distances([t], flt.term,
+                                             flt.max_distance)[0]) <= flt.max_distance
+        return {i + 1 for i, ts in enumerate(toks)
+                if any(near(t) for t in set(ts))}
+    if isinstance(flt, PhraseFilter):
+        words = flt.terms
+        return {i + 1 for i, ts in enumerate(toks)
+                if any(ts[p:p + len(words)] == words
+                       for p in range(len(ts) - len(words) + 1))}
+    if isinstance(flt, AndFilter):
+        sets = [_brute(c, toks) for c in flt.children]
+        return set.intersection(*sets) if sets else set()
+    if isinstance(flt, OrFilter):
+        sets = [_brute(c, toks) for c in flt.children]
+        if flt.min_match <= 1:
+            return set.union(*sets)
+        from collections import Counter
+
+        cnt = Counter(d for s in sets for d in s)
+        return {d for d, n in cnt.items() if n >= flt.min_match}
+    if isinstance(flt, NotFilter):
+        return _brute(flt.positive, toks) - _brute(flt.negative, toks)
+    raise TypeError(flt)
+
+
+def _random_tree(rng, vocab, depth=0):
+    kind = rng.choice(["term", "term", "prefix", "wildcard", "fuzzy",
+                       "phrase", "and", "or", "not"]
+                      if depth < 3 else ["term", "prefix", "phrase"])
+    if kind == "term":
+        return TermFilter(str(rng.choice(vocab + ["missingterm"])))
+    if kind == "prefix":
+        return PrefixFilter(str(rng.choice(["al", "be", "ze", "q"])))
+    if kind == "wildcard":
+        return WildcardFilter(str(rng.choice(["%eta", "al%", "%pp%", "z_ta"])))
+    if kind == "fuzzy":
+        return FuzzyFilter(str(rng.choice(["alpha", "beeta", "zeta"])),
+                           max_distance=int(rng.integers(1, 3)))
+    if kind == "phrase":
+        n = int(rng.integers(2, 4))
+        return PhraseFilter([str(w) for w in rng.choice(vocab, size=n)])
+    if kind == "and":
+        return AndFilter([_random_tree(rng, vocab, depth + 1)
+                          for _ in range(rng.integers(2, 4))])
+    if kind == "or":
+        n = int(rng.integers(2, 5))
+        mm = int(rng.integers(1, n + 1)) if rng.random() < 0.3 else 1
+        return OrFilter([_random_tree(rng, vocab, depth + 1)
+                         for _ in range(n)], min_match=mm)
+    return NotFilter(_random_tree(rng, vocab, depth + 1),
+                     _random_tree(rng, vocab, depth + 1))
+
+
+def test_random_trees_match_bruteforce(corpus):
+    reader, toks, vocab = corpus
+    s = IndexSearcher(reader, BM25())
+    rng = np.random.default_rng(7)
+    checked = 0
+    for t in range(N_TREES):
+        flt = _random_tree(rng, vocab)
+        want = _brute(flt, toks)
+        got = set()
+        for seg, docs, _ in s.execute(flt):
+            got.update(int(d) + seg.base for d in docs)
+        assert got == want, f"tree #{t}: {flt!r}\n missing={want-got}\n extra={got-want}"
+        checked += 1
+    assert checked == N_TREES
