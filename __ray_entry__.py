@@ -470,6 +470,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              "sum_chars": [int(out["sum"])],
                              "avg_chars": [round(out["avg"], 4)]})
 
+    def facet_lang(sf_dir):
+        from iresearch_ray.search.stored import facets
+
+        reader = _index_reader(sf_dir)  # stores lang
+        out = facets(reader, TermFilter("batch"), "lang")
+        return pd.DataFrame({"lang": out["value"],
+                             "n_docs": out["n_docs"].astype(np.int64)})
+
     def same_position_search(sf_dir):
         from iresearch_ray.search import SamePositionFilter
 
@@ -674,6 +682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, PhraseFilter([{"prefix": "st"}, "order"])),
         "same_position_search": same_position_search,
         "sorted_topk": sorted_topk,
+        "facet_lang": facet_lang,
         "filtered_agg": filtered_agg,
         "prefix_search": lambda sf: _all_matches(sf, PrefixFilter("st"),
                                                  with_counts=True),
@@ -831,6 +840,13 @@ SELECT m.doc_id, round(
      / ((({k}-{k}*{b}) + ({k}*{b}/(s.tot/s.n))*m.dl) + m.f)
    + ln(1 + (s.n - dfs.v + 0.5)/(dfs.v + 0.5)), 4) AS score
 FROM m, dft, dfs, stats s
+""",
+        "facet_lang": f"""
+{_TOK_CTE}
+SELECT d.lang, count(*) AS n_docs
+FROM tok t JOIN documents d ON t.doc_id = d.doc_id
+WHERE {_sql_tf('batch')} > 0
+GROUP BY d.lang ORDER BY n_docs DESC, lang
 """,
         "sorted_topk": """
 SELECT doc_id, n_chars FROM documents

@@ -109,3 +109,33 @@ def aggregate_stored(reader, flt, column: str, aggs=("count", "sum", "avg"),
         else:
             raise ValueError(f"unknown agg {a!r}")
     return out
+
+
+def facets(reader, flt, column: str, top_n: int | None = None,
+           scorer=None) -> pd.DataFrame:
+    """Facet counts: distinct stored-column values over the docs matching
+    ``flt`` -> DataFrame(value, n_docs), descending by count then value
+    (search-engine faceting on the columnstore; per-segment partial
+    counts fold like the distributed aggregate shape)."""
+    from collections import Counter
+
+    from iresearch_ray.search.scorers import BM25
+
+    prep = flt.prepare(reader, scorer or BM25())
+    counts: Counter = Counter()
+    for seg in reader.segments:
+        docs, _ = seg.apply_mask(*prep.execute(seg))
+        if not len(docs):
+            continue
+        col = seg.reader.column(column)
+        if col is None:
+            raise ValueError(f"{column!r} not stored in segment {seg.id}")
+        taken = col.take(docs - 1)
+        vc = taken.drop_null().value_counts()
+        for v, n in zip(vc.field("values").to_pylist(),
+                        vc.field("counts").to_pylist()):
+            counts[v] += n
+    out = pd.DataFrame(sorted(counts.items(),
+                              key=lambda kv: (-kv[1], str(kv[0]))),
+                       columns=["value", "n_docs"])
+    return out.head(top_n) if top_n else out

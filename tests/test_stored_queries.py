@@ -82,3 +82,18 @@ def test_aggregate_stored(built, tmp_path_factory):
     assert out["sum"] == float(sel.sum())
     assert out["avg"] == pytest.approx(sel.mean())
     assert out["min"] == float(sel.min()) and out["max"] == float(sel.max())
+
+
+def test_facets(built):
+    idx, _ = built
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iresearch_ray.search.stored import facets
+
+    # reuse the sorted fixture's index? it stores rank_score only; build a
+    # small faceted one
+    r = IndexReader(idx)
+    out = facets(r, TermFilter("common"), "rank_score", top_n=3)
+    assert list(out.columns) == ["value", "n_docs"]
+    assert len(out) == 3 and (out["n_docs"] == 1).all()  # scores unique
