@@ -1,0 +1,87 @@
+"""End-to-end ingest: raw HTML pages Dataset -> extracted text -> exact
+dedup -> staged Parquet -> segment index.
+
+The north-star flow in one call, each stage the scale-correct shape:
+
+1. extraction is a per-batch Arrow transform (byte-identical text per
+   url by construction — `sources.pages.extract_text_batch`);
+2. dedup drops exact duplicates by content hash: the groupby ships only
+   (hash, id) pairs, and the DROP set (duplicates minus the kept min-id
+   doc) is broadcast via `ray.put` — output-sized, not corpus-sized;
+3. the cleaned stream stages to partitioned Parquet (one file per block,
+   deterministic order), because segment specs derive from Parquet
+   footers — this is what makes the subsequent build RESUMABLE: a
+   re-submitted ingest skips both the staging write (if present) and
+   every completed segment;
+4. `build_index` over the staged files.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from iresearch_ray.index.build import build_index
+from iresearch_ray.sources.pages import extract_text_batch
+
+
+def ingest(ds, work_dir: str, *, analyzer: str = "ascii",
+           analyzer_opts: dict | None = None, dedup: bool = True,
+           key_column: str = "url", target_docs: int = 50_000,
+           store_columns: tuple = (), **build_kw) -> dict:
+    """Run the full pipeline; returns the index manifest plus counters."""
+    import ray
+    import ray.data
+
+    from iresearch_ray.pipelines.dedup import exact_dedup_groups
+
+    staged = os.path.join(work_dir, "staged")
+    index_dir = os.path.join(work_dir, "index")
+    n_dropped = 0
+
+    if not os.path.isdir(staged) or not os.listdir(staged):
+        extracted = ds.map_batches(extract_text_batch, batch_format="pyarrow")
+        if dedup:
+            groups = exact_dedup_groups(extracted, id_column=key_column)
+            dup_groups = groups.filter(lambda r: r["dup_count"] > 1).take_all()
+            keep = {g["keep_id"] for g in dup_groups}
+            # drop-set = duplicate members minus each group's survivor;
+            # needs member ids, which exact_dedup aggregates away — rebuild
+            # them from a second hash pass filtered to duplicated hashes
+            # (both passes ship only (hash, id) pairs)
+            dup_hashes = {g["text_hash"] for g in dup_groups}
+            if dup_hashes:
+                import hashlib
+
+                hashes_ref = ray.put(dup_hashes)
+                keep_ref = ray.put(keep)
+
+                def drop_dups(b: pa.Table) -> pa.Table:
+                    hs = ray.get(hashes_ref)
+                    kp = ray.get(keep_ref)
+                    texts = b["text"].to_pylist()
+                    ids = b[key_column].to_pylist()
+                    mask = [
+                        (hashlib.md5(t.encode()).hexdigest() not in hs)
+                        or (i in kp)
+                        for t, i in zip(texts, ids)
+                    ]
+                    return b.filter(pa.array(mask))
+
+                before = extracted.count()
+                extracted = extracted.map_batches(drop_dups,
+                                                  batch_format="pyarrow")
+                n_dropped = before - extracted.count()
+        tmp = staged + ".tmp"
+        extracted.write_parquet(tmp)
+        os.replace(tmp, staged)
+
+    man = build_index(staged, index_dir, analyzer=analyzer,
+                      analyzer_opts=analyzer_opts, key_column=key_column,
+                      target_docs=target_docs,
+                      store_columns=tuple(store_columns), **build_kw)
+    man["ingest_counters"] = {"duplicates_dropped": int(n_dropped),
+                              "staged_dir": staged}
+    return man

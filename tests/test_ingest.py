@@ -1,0 +1,44 @@
+"""End-to-end ingest pipeline: extract -> dedup -> stage -> index, with
+the byte-identical-text invariant and resume."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from iresearch_ray.pipelines.ingest import ingest
+from iresearch_ray.search import BM25, IndexReader, IndexSearcher, TermFilter
+from iresearch_ray.sources.pages import synthesize_pages, write_pages
+
+
+def test_ingest_end_to_end(ray_session, tmp_path_factory):
+    base = tmp_path_factory.mktemp("ingest")
+    pages = str(base / "pages.parquet")
+    write_pages(pages, 300, row_group_size=100)  # includes a planted dup pair
+    ds = ray.data.read_parquet(pages)
+    work = str(base / "work")
+
+    man = ingest(ds, work, analyzer="ascii", target_docs=100,
+                 store_columns=("text",))
+    assert man["ingest_counters"]["duplicates_dropped"] >= 1
+    n_after = man["num_docs"]
+    assert n_after == 300 - man["ingest_counters"]["duplicates_dropped"]
+
+    reader = IndexReader(f"{work}/index")
+    s = IndexSearcher(reader, BM25())
+    res = s.search(TermFilter("hterm"), k=300)
+    assert len(res) > 0
+
+    # byte-identical extracted text per url (north-rule invariant): the
+    # stored text equals the original pages table's text for sampled urls
+    t = synthesize_pages(300)
+    orig = dict(zip(t["url"].to_pylist(), t["text"].to_pylist()))
+    st = reader.stored(res["doc"].to_numpy()[:20], ["text"])
+    for doc, text in zip(res["key"][:20], st["text"]):
+        assert orig[doc] == text
+
+    # resume: second ingest skips staging AND every segment
+    man2 = ingest(ray.data.read_parquet(pages), work, analyzer="ascii",
+                  target_docs=100, store_columns=("text",))
+    assert man2["build_stats"]["segments_skipped"] == len(man2["segments"])
+    assert man2["num_docs"] == n_after
