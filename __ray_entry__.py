@@ -654,6 +654,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = ann.lsh_topk(ds, q, k=10, planes=4, multiprobe=1)
         return pd.DataFrame({"vec_id": out["vec_id"].astype(np.int64)})
 
+    def ann_ivf(sf_dir):
+        import pyarrow.parquet as pq
+        import ray.data
+
+        emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        q = np.asarray(emb["embedding"].to_pylist()[0], dtype=np.float32)
+        ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        out = ann.ivf_topk(ds, q, k=10, n_cells=8, n_probe=3)
+        return pd.DataFrame({"vec_id": out["vec_id"].astype(np.int64)})
+
     def multimodal_q(sf_dir):
         import ray.data
         from iresearch_ray.sources.pages import pages_from_documents
@@ -718,6 +728,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "ann_cosine": ann_cosine,
         "ann_lsh": ann_lsh,                        # rows-only (approximate)
+        "ann_ivf": ann_ivf,                        # rows-only (approximate)
         # --- multimodal plumbing ---
         "multimodal_features": multimodal_q,       # rows-only
     }

@@ -124,3 +124,60 @@ def lsh_topk(ds, query: np.ndarray, k: int = 10, planes: int = 8,
 
     pruned = ds.map_batches(filter_bucket, batch_format="pyarrow")
     return cosine_topk(pruned, q, k, id_column, vec_column, concurrency)
+
+
+def _spherical_kmeans(sample: np.ndarray, n_cells: int, iters: int = 10,
+                      seed: int = 42) -> np.ndarray:
+    """Deterministic spherical k-means (cosine): seeded shuffled init,
+    fixed Lloyd iterations; returns L2-normalized centroids."""
+    rng = np.random.default_rng(seed)
+    s = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-30)
+    init = rng.permutation(len(s))[:n_cells]
+    c = s[init].copy()
+    for _ in range(iters):
+        assign = np.argmax(s @ c.T, axis=1)
+        for j in range(n_cells):
+            members = s[assign == j]
+            if len(members):
+                c[j] = members.mean(axis=0)
+        c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-30)
+    return c
+
+
+def ivf_topk(ds, query: np.ndarray, k: int = 10, n_cells: int = 16,
+             n_probe: int = 3, train_sample: int = 2048,
+             id_column: str = "vec_id", vec_column: str = "embedding",
+             seed: int = 42, concurrency: int | None = None) -> pd.DataFrame:
+    """IVF-flavor approximate top-k: a coarse spherical-k-means quantizer
+    trained on a bounded driver-side sample routes the scan to the query's
+    ``n_probe`` nearest cells; only those cells' vectors are scored.
+
+    Scale shape: training touches ``train_sample`` rows (bounded,
+    deterministic); the cell filter is a broadcast-centroid map_batches;
+    ``n_probe == n_cells`` degenerates to the exact brute-force scan.
+    """
+    import ray
+
+    q = np.asarray(query, dtype=np.float32)
+    if q.ndim == 1:
+        q = q[None, :]
+    sample = _as_matrix(
+        pa.concat_tables(list(ds.limit(train_sample)
+                              .iter_batches(batch_format="pyarrow")))
+        [vec_column])
+    centroids = _spherical_kmeans(sample, min(n_cells, len(sample)),
+                                  seed=seed)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+    probe = np.argsort(-(qn @ centroids.T), axis=1)[:, :n_probe]
+    cells = set(probe.reshape(-1).tolist())
+    cref = ray.put(centroids)
+
+    def keep_cells(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        m = _as_matrix(t[vec_column])
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        assign = np.argmax(mn @ c.T, axis=1)
+        return t.filter(pa.array(np.isin(assign, list(cells))))
+
+    pruned = ds.map_batches(keep_cells, batch_format="pyarrow")
+    return cosine_topk(pruned, q, k, id_column, vec_column, concurrency)

@@ -31,8 +31,13 @@ import pandas as pd
 def _make_group_actor():
     import ray
 
-    @ray.remote(num_cpus=1)
+    @ray.remote(num_cpus=1, max_restarts=2, max_task_retries=2)
     class SegmentGroupSearcher:
+        # restart-safe: all state derives from the small plain-value
+        # constructor args (index_dir, entries, stats) over immutable
+        # segment artifacts — a crashed actor rebuilds its readers and
+        # replays the failed call (reference: stateless readers over
+        # mmap'd segments survive process restarts the same way)
         """Holds SegmentReaders for one group of segments (state cached
         across queries — the reference's long-lived reader + caches)."""
 

@@ -74,3 +74,19 @@ def test_distributed_wand_union_equals_all(dist):
     t = searcher.search(flt(), k=10, mode="top")
     assert list(a["doc"]) == list(t["doc"])
     assert np.array_equal(a["score"].to_numpy(), t["score"].to_numpy())
+
+
+def test_actor_crash_recovery(dist):
+    """A killed segment-group actor restarts (immutable artifacts + plain
+    ctor args) and the next query still answers identically."""
+    import ray
+
+    searcher, local = dist
+    from iresearch_ray.search import TermFilter
+
+    before = searcher.search(TermFilter("hterm"), k=10)
+    ray.kill(searcher.actors[0], no_restart=False)
+    after = searcher.search(TermFilter("hterm"), k=10)
+    assert list(before["doc"]) == list(after["doc"])
+    assert np.array_equal(before["score"].to_numpy(),
+                          after["score"].to_numpy())
