@@ -505,8 +505,35 @@ class SegmentReader:
         return self.terms_table["df"].to_numpy()
 
     # -- postings -----------------------------------------------------------
+    # decoded-postings LRU: long-lived query serving re-decodes the same
+    # hot terms every query; bound by TOTAL cached postings so head terms
+    # can't blow the heap (the reference leans on the OS page cache +
+    # per-reader format caches for the same effect)
+    _CACHE_MAX_POSTINGS = 500_000  # ~12 MB/reader worst case (docs+freqs+pos)
+
     def postings(self, idx: int, positions: bool = False):
         """Decode term row `idx` -> (docs, freqs[, pos_runs, run_offsets])."""
+        cache = getattr(self, "_post_cache", None)
+        if cache is None:
+            from collections import OrderedDict
+
+            cache = self._post_cache = OrderedDict()
+            self._post_cache_size = 0
+        key = (idx, positions)
+        hit = cache.get(key)
+        if hit is not None:
+            cache.move_to_end(key)
+            return hit
+        out = self._decode_postings(idx, positions)
+        n = len(out[0])
+        cache[key] = out
+        self._post_cache_size += n
+        while self._post_cache_size > self._CACHE_MAX_POSTINGS and cache:
+            _, old = cache.popitem(last=False)
+            self._post_cache_size -= len(old[0])
+        return out
+
+    def _decode_postings(self, idx: int, positions: bool = False):
         tbl = self.terms_table
         doc_blob = np.frombuffer(tbl["doc_blob"][idx].as_py(), dtype=np.uint8)
         freq_blob = np.frombuffer(tbl["freq_blob"][idx].as_py(), dtype=np.uint8)
