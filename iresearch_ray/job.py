@@ -51,7 +51,8 @@ def cmd_build(a) -> dict:
                       text_column=a.text_column, key_column=a.key_column,
                       target_docs=a.target_docs,
                       cpus_per_task=a.cpus_per_task,
-                      store_columns=tuple(a.store or ()))
+                      store_columns=tuple(a.store or ()),
+                      sort_by=a.sort_by, sort_descending=a.sort_descending)
     build_s = time.monotonic() - t0
     out = {"generation": man["generation"], "num_docs": man["num_docs"],
            "segments": len(man["segments"]),
@@ -100,6 +101,9 @@ def main(argv=None) -> int:
     b.add_argument("--cpus-per-task", type=int, default=1)
     b.add_argument("--store", nargs="*", default=None,
                    help="columns to keep in the segment columnstore")
+    b.add_argument("--sort-by", default=None,
+                   help="physically order each segment's docs by this column")
+    b.add_argument("--sort-descending", action="store_true")
     b.add_argument("--consolidate-target", type=int, default=0,
                    help="if set, tier-merge segments up to this many docs")
 
