@@ -525,12 +525,13 @@ class SegmentReader:
             cache.move_to_end(key)
             return hit
         out = self._decode_postings(idx, positions)
-        n = len(out[0])
+        n = sum(len(a) for a in out if isinstance(a, np.ndarray))
         cache[key] = out
         self._post_cache_size += n
         while self._post_cache_size > self._CACHE_MAX_POSTINGS and cache:
             _, old = cache.popitem(last=False)
-            self._post_cache_size -= len(old[0])
+            self._post_cache_size -= sum(len(a) for a in old
+                                         if isinstance(a, np.ndarray))
         return out
 
     def _decode_postings(self, idx: int, positions: bool = False):

@@ -18,7 +18,9 @@ The north-star flow in one call, each stage the scale-correct shape:
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 
 import numpy as np
 import pyarrow as pa
@@ -39,6 +41,7 @@ def ingest(ds, work_dir: str, *, analyzer: str = "ascii",
 
     staged = os.path.join(work_dir, "staged")
     index_dir = os.path.join(work_dir, "index")
+    counters_path = os.path.join(work_dir, "ingest.json")
     n_dropped = 0
 
     if not os.path.isdir(staged) or not os.listdir(staged):
@@ -70,13 +73,22 @@ def ingest(ds, work_dir: str, *, analyzer: str = "ascii",
                     ]
                     return b.filter(pa.array(mask))
 
-                before = extracted.count()
                 extracted = extracted.map_batches(drop_dups,
                                                   batch_format="pyarrow")
-                n_dropped = before - extracted.count()
+                # the counter derives from data already on the driver — no
+                # extra corpus passes just to count
+                n_dropped = sum(g["dup_count"] - 1 for g in dup_groups)
         tmp = staged + ".tmp"
+        # a crashed prior attempt may have left files here; write_parquet
+        # APPENDS new UUID-named files, which would double every doc
+        shutil.rmtree(tmp, ignore_errors=True)
         extracted.write_parquet(tmp)
         os.replace(tmp, staged)
+        with open(counters_path, "w") as f:
+            json.dump({"duplicates_dropped": int(n_dropped)}, f)
+    elif os.path.exists(counters_path):
+        with open(counters_path) as f:  # resumed run: report prior counters
+            n_dropped = json.load(f).get("duplicates_dropped", 0)
 
     man = build_index(staged, index_dir, analyzer=analyzer,
                       analyzer_opts=analyzer_opts, key_column=key_column,

@@ -163,16 +163,34 @@ class DistributedSearcher:
         mode='all' because the bound is conservative)."""
         import ray
 
-        from iresearch_ray.search.filters import _ExpansionFilter
+        from iresearch_ray.search.filters import Filter, _ExpansionFilter
+
+        def expansion_nodes(f):
+            """Every expansion node in the tree — each needs a global
+            matched-term -> df collect round, wherever it sits (a nested
+            prefix inside an And previously scored zero)."""
+            out = [f] if isinstance(f, _ExpansionFilter) else []
+            for attr in ("children", "filters"):
+                kids = getattr(f, attr, None)
+                if isinstance(kids, (list, tuple)):
+                    for c in kids:
+                        if isinstance(c, Filter):
+                            out.extend(expansion_nodes(c))
+            for attr in ("positive", "negative", "inner", "parent", "child"):
+                kid = getattr(f, attr, None)
+                if isinstance(kid, Filter):
+                    out.extend(expansion_nodes(kid))
+            return out
 
         df_map: dict[str, int] = {}
-        if isinstance(flt, _ExpansionFilter):
-            parts = ray.get([a.expand_dfs.remote(flt) for a in self.actors])
-        else:
-            terms = sorted(flt.terms_needed())
-            parts = (ray.get([a.term_dfs.remote(terms) for a in self.actors])
-                     if terms else [])
-        for part in parts:
+        futures = []
+        terms = sorted(flt.terms_needed())
+        for a in self.actors:
+            if terms:
+                futures.append(a.term_dfs.remote(terms))
+            for node in expansion_nodes(flt):
+                futures.append(a.expand_dfs.remote(node))
+        for part in ray.get(futures):
             for t, d in part.items():
                 df_map[t] = df_map.get(t, 0) + d
         if mode == "top" and len(self.actors) > 1:

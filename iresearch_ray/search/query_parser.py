@@ -37,13 +37,14 @@ from iresearch_ray.search.filters import (
     WildcardFilter,
 )
 
-_TOKEN_RE = re.compile(r'"[^"]*"(?:~same)?(?:\^[\d.]+)?|\[[^\]]+\]|\S+')
+_TOKEN_RE = re.compile(r'-?"[^"]*"(?:~same)?(?:\^[\d.]+)?'
+                       r'|-?\[[^\]]+\](?:\^[\d.]+)?|\S+')
 
 
 def _leaf(tok: str):
     boost = 1.0
     m = re.search(r"\^([\d.]+)$", tok)
-    if m and not tok.startswith("["):
+    if m and not tok.endswith("]"):  # boost suffix (ranges end with ])
         boost = float(m.group(1))
         tok = tok[: m.start()]
     if tok.startswith('"'):
@@ -97,7 +98,7 @@ def parse_query(q: str):
     def build_clause(parts: list[str]):
         pos, neg = [], []
         for p in parts:
-            if p.startswith("-") and len(p) > 1 and not p.startswith("-["):
+            if p.startswith("-") and len(p) > 1:
                 neg.append(_leaf(p[1:]))
             else:
                 pos.append(_leaf(p))

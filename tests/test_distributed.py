@@ -90,3 +90,18 @@ def test_actor_crash_recovery(dist):
     assert list(before["doc"]) == list(after["doc"])
     assert np.array_equal(before["score"].to_numpy(),
                           after["score"].to_numpy())
+
+
+def test_distributed_nested_expansion_scores(dist):
+    """Review finding: an expansion filter nested in a composite must get
+    GLOBAL dfs (previously scored zero in distributed mode)."""
+    searcher, local = dist
+    from iresearch_ray.search import OrFilter, PrefixFilter, TermFilter
+
+    flt = lambda: OrFilter([PrefixFilter("abcd"), TermFilter("lterm")])
+    a = searcher.search(flt(), k=15)
+    b = local.search(flt(), k=15)
+    assert len(a) > 0 and a["score"].max() > 0  # expansion contributes
+    assert list(a["doc"]) == list(b["doc"])
+    assert np.allclose(a["score"].to_numpy(), b["score"].to_numpy(),
+                       rtol=0, atol=0)

@@ -42,3 +42,30 @@ def test_ingest_end_to_end(ray_session, tmp_path_factory):
                   target_docs=100, store_columns=("text",))
     assert man2["build_stats"]["segments_skipped"] == len(man2["segments"])
     assert man2["num_docs"] == n_after
+
+
+def test_ingest_crash_resume_no_duplication(ray_session, tmp_path_factory):
+    """Review finding: stale staged.tmp from a crashed run must not double
+    the corpus; resumed runs report the prior dedup counter."""
+    import os
+    import ray.data
+
+    base = tmp_path_factory.mktemp("ingestcrash")
+    pages = str(base / "p.parquet")
+    write_pages(pages, 100, row_group_size=50)
+    work = str(base / "work")
+    # simulate a crash AFTER writing tmp but BEFORE the atomic rename
+    os.makedirs(work, exist_ok=True)
+    tmp = os.path.join(work, "staged.tmp")
+    ray.data.read_parquet(pages).write_parquet(tmp)
+    assert os.listdir(tmp)
+
+    man = ingest(ray.data.read_parquet(pages), work, analyzer="ascii",
+                 target_docs=60)
+    dropped = man["ingest_counters"]["duplicates_dropped"]
+    assert man["num_docs"] == 100 - dropped  # not doubled
+
+    man2 = ingest(ray.data.read_parquet(pages), work, analyzer="ascii",
+                  target_docs=60)
+    assert man2["ingest_counters"]["duplicates_dropped"] == dropped  # persisted
+    assert man2["num_docs"] == man["num_docs"]

@@ -59,3 +59,14 @@ def test_parser_end_to_end(ray_session, tmp_path_factory):
     p1 = s.search(parse_query("hterm -mterm"), k=300)
     assert list(p1["doc"]) == list(b["doc"])
     assert np.array_equal(p1["score"].to_numpy(), b["score"].to_numpy())
+
+
+def test_parse_negated_and_boosted_ranges():
+    n = parse_query("good -[aaa TO bbb]")
+    assert isinstance(n, NotFilter)
+    assert isinstance(n.negative, RangeFilter)
+    assert n.negative.lo == "aaa"
+    r = parse_query("[aaa TO bbb]^2")
+    assert isinstance(r, RangeFilter) and r.boost == 2.0
+    nf = parse_query('ok -"bad phrase"')
+    assert isinstance(nf, NotFilter) and isinstance(nf.negative, PhraseFilter)
