@@ -252,16 +252,25 @@ def main():
         for _ in range(reps):
             runs_lo.append(run_subprocess(lo))
             runs_hi.append(run_subprocess(hi))
+        # efficiency per time-ADJACENT pair, then the median: steal noise
+        # largely cancels inside a pair (both runs share the machine
+        # state of that minute), and the median damps outlier pairs —
+        # min-per-level is biased low whenever the lo run gets lucky
+        pair_effs = [
+            (a["queries"]["build"] / b["queries"]["build"]) / (hi / lo)
+            for a, b in zip(runs_lo, runs_hi)
+        ]
+        eff = statistics.median(pair_effs)
         r_lo = min(runs_lo, key=lambda r: r["queries"]["build"])
         r_hi = min(runs_hi, key=lambda r: r["queries"]["build"])
         t_lo, t_hi = r_lo["queries"]["build"], r_hi["queries"]["build"]
-        eff = (t_lo / t_hi) / (hi / lo)
         print(json.dumps({
             "metric": f"build-throughput scaling efficiency ({lo} -> {hi} CPUs)",
             f"build_sec_{lo}": t_lo, f"build_sec_{hi}": t_hi,
             f"docs_per_sec_{lo}": r_lo["docs_per_sec"],
             f"docs_per_sec_{hi}": r_hi["docs_per_sec"],
             "scaling_efficiency": round(eff, 3),
+            "pair_efficiencies": [round(e, 3) for e in pair_effs],
             f"total_sec_{lo}": r_lo["value"], f"total_sec_{hi}": r_hi["value"],
             "n_docs": r_lo["n_docs"],
         }))
