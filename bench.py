@@ -72,10 +72,14 @@ def query_set():
         "HighPhrase": lambda: PhraseFilter([str(v[0]), str(v[1])]),  # head words
         "MedPhrase": lambda: PhraseFilter(["ref", "name"]),      # planted 2%
         "LowPhrase": lambda: PhraseFilter(["books", "id"]),      # planted 0.5%
-        "Prefix3": lambda: PrefixFilter("abc"),
-        "Wildcard": lambda: WildcardFilter("abc%"),
-        "Fuzzy1": lambda: FuzzyFilter("fuzzy", max_distance=1),
-        "Fuzzy2": lambda: FuzzyFilter("fuzzy", max_distance=2),
+        # scored_terms_limit=16 mirrors the reference benchmark config
+        # (scripts/search-benchmark.sh --scored-terms-limit 16)
+        "Prefix3": lambda: PrefixFilter("abc", scored_terms_limit=16),
+        "Wildcard": lambda: WildcardFilter("abc%", scored_terms_limit=16),
+        "Fuzzy1": lambda: FuzzyFilter("fuzzy", max_distance=1,
+                                      scored_terms_limit=16),
+        "Fuzzy2": lambda: FuzzyFilter("fuzzy", max_distance=2,
+                                      scored_terms_limit=16),
         "Or4High": lambda: OrFilter([TermFilter(w) for w in high[:4]]),
         "Or4HighWand": lambda: OrFilter([TermFilter(w) for w in high[:4]]),
         "OrHighMedWand": lambda: OrFilter([TermFilter("hterm"),
