@@ -110,10 +110,11 @@ def _make_group_actor():
                         threshold = max(threshold, float(np.nextafter(
                             np.partition(all_s, len(all_s) - k)[len(all_s) - k],
                             -np.inf)))
-                if len(docs) > k:
-                    top = np.argpartition(scores, len(scores) - k)[len(scores) - k:]
-                    top = top[np.lexsort((docs[top], -scores[top]))]
-                    docs, scores = docs[top], scores[top]
+                if len(docs) > k:  # tie-exact pre-trim (see executor)
+                    kth = np.partition(scores, len(scores) - k)[len(scores) - k]
+                    cand = np.flatnonzero(scores >= kth)
+                    sel = cand[np.lexsort((docs[cand], -scores[cand]))[:k]]
+                    docs, scores = docs[sel], scores[sel]
                 keys_l.append(seg.reader.keys[docs - 1])
                 docs_l.append(docs + seg.base)
                 scores_l.append(scores)

@@ -158,10 +158,12 @@ class IndexSearcher:
             docs, scores = seg.apply_mask(docs, scores)
             if not len(docs):
                 continue
-            if len(docs) > k:  # per-segment pre-trim
-                top = np.argpartition(scores, len(scores) - k)[len(scores) - k:]
-                top = top[np.lexsort((docs[top], -scores[top]))]
-                docs, scores = docs[top], scores[top]
+            if len(docs) > k:  # per-segment pre-trim (tie-exact: keep ALL
+                # docs tied with the k-th score, then cut by (score, doc))
+                kth = np.partition(scores, len(scores) - k)[len(scores) - k]
+                cand = np.flatnonzero(scores >= kth)
+                sel = cand[np.lexsort((docs[cand], -scores[cand]))[:k]]
+                docs, scores = docs[sel], scores[sel]
             cand_docs.append(docs + seg.base)
             cand_scores.append(scores)
             all_s = np.concatenate(cand_scores)

@@ -342,3 +342,27 @@ def test_topk_wand_union_equals_all(index, make):
     assert list(a["doc"]) == list(t["doc"])
     assert np.array_equal(a["score"].to_numpy(), t["score"].to_numpy())
     assert list(a["key"]) == list(t["key"])
+
+
+def test_topk_tie_break_prefers_lower_doc(ray_session, tmp_path_factory):
+    """Docs with IDENTICAL scores at the k boundary must resolve by
+    ascending doc id (argpartition alone keeps arbitrary ties)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iresearch_ray.index.build import build_index
+
+    base = tmp_path_factory.mktemp("ties")
+    # identical docs -> identical scores within one segment
+    t = pa.table({"url": [f"u{i:03d}" for i in range(120)],
+                  "text": ["same tie text"] * 120})
+    path = str(base / "p.parquet")
+    pq.write_table(t, path, row_group_size=40)
+    idx = str(base / "idx")
+    build_index(path, idx, analyzer="ascii", target_docs=60)
+    s = IndexSearcher(IndexReader(idx), BM25())
+    for k in (1, 5, 17, 60):
+        res = s.search(TermFilter("tie"), k=k)
+        assert list(res["doc"]) == list(range(1, k + 1))  # lowest ids win
+        res_t = s.search(TermFilter("tie"), k=k, mode="top")
+        assert list(res_t["doc"]) == list(range(1, k + 1))
