@@ -50,10 +50,15 @@ class CosineTopKBatch:
         for qi in range(sims.shape[1]):
             s = sims[:, qi]
             k = min(self.k, len(s))
-            top = np.argpartition(-s, k - 1)[:k]
-            out_q.extend([qi] * k)
-            out_id.extend(ids[top])
-            out_s.extend(s[top].astype(np.float64))
+            # tie-exact per-batch trim: keep ALL vectors tied with the k-th
+            # similarity, cut by (cosine desc, id asc) — argpartition alone
+            # keeps arbitrary ties (identical/duplicate embeddings)
+            kth = np.partition(-s, k - 1)[k - 1]
+            cand = np.flatnonzero(-s <= kth)
+            sel = cand[np.lexsort((ids[cand], -s[cand]))[:k]]
+            out_q.extend([qi] * len(sel))
+            out_id.extend(ids[sel])
+            out_s.extend(s[sel].astype(np.float64))
         return pa.table({"query_id": pa.array(out_q, type=pa.int64()),
                          self.id_column: pa.array(out_id),
                          "cosine": pa.array(out_s, type=pa.float64())})
