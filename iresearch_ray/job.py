@@ -70,7 +70,28 @@ def cmd_query(a) -> dict:
     from iresearch_ray.search import BM25, IndexReader, IndexSearcher, TermFilter
     from iresearch_ray.search.query_parser import parse_query
 
-    flt = parse_query(a.query) if a.query else TermFilter(a.term)
+    ana = None
+    if a.query:
+        # query words go through the INDEX's analyzer (read from the first
+        # segment's recorded config), like the reference's search tool
+        import json as _json
+        import os as _os
+
+        from iresearch_ray.analysis import get_analyzer
+        from iresearch_ray.index import manifest as _mf
+        from iresearch_ray.index.segment import META_FILE
+
+        man = _mf.load(a.index_dir)
+        seg0 = man["segments"][0]["segment_id"]
+        with open(_os.path.join(a.index_dir, seg0, META_FILE)) as f:
+            cfg = _json.load(f).get("analyzer", {})
+        name = cfg.get("name", "unicode")
+        try:
+            ana = get_analyzer({"regex-ascii": "ascii",
+                                "regex-unicode": "unicode"}.get(name, name))
+        except KeyError:
+            ana = None
+    flt = parse_query(a.query, analyzer=ana) if a.query else TermFilter(a.term)
     t0 = time.monotonic()
     if a.distributed:
         from iresearch_ray.search.distributed import DistributedSearcher

@@ -41,7 +41,17 @@ _TOKEN_RE = re.compile(r'-?"[^"]*"(?:~same)?(?:\^[\d.]+)?'
                        r'|-?\[[^\]]+\](?:\^[\d.]+)?|\S+')
 
 
-def _leaf(tok: str):
+def _analyze_word(word: str, analyzer):
+    """One query word through the index's analyzer (the reference runs
+    query text through the same analyzer as the field, index-search.cpp
+    :632-637); multi-token expansions keep the first token."""
+    if analyzer is None:
+        return word
+    toks = analyzer.tokens(word)
+    return toks[0] if toks else word
+
+
+def _leaf(tok: str, analyzer=None):
     boost = 1.0
     m = re.search(r"\^([\d.]+)$", tok)
     if m and not tok.endswith("]"):  # boost suffix (ranges end with ])
@@ -53,6 +63,7 @@ def _leaf(tok: str):
         words = body.split()
         if not words:
             raise ValueError("empty phrase")
+        words = [_analyze_word(w, analyzer) for w in words]
         return (SamePositionFilter(words, boost=boost) if same
                 else PhraseFilter(words, boost=boost))
     if tok.startswith("[") and tok.endswith("]"):
@@ -63,8 +74,8 @@ def _leaf(tok: str):
         return RangeFilter(lo, hi, include_hi=True, boost=boost)
     m3 = re.fullmatch(r"(\S+)~(\d)", tok)
     if m3:
-        return FuzzyFilter(m3.group(1), max_distance=int(m3.group(2)),
-                           boost=boost)
+        return FuzzyFilter(_analyze_word(m3.group(1), analyzer),
+                           max_distance=int(m3.group(2)), boost=boost)
     if "*" in tok or "%" in tok or "_" in tok:
         pat = tok.replace("*", "%")
         if pat.endswith("%") and not any(c in pat[:-1] for c in "%_"):
@@ -72,11 +83,15 @@ def _leaf(tok: str):
         return WildcardFilter(pat, boost=boost)
     if not tok:
         raise ValueError("empty term")
-    return TermFilter(tok, boost=boost)
+    return TermFilter(_analyze_word(tok, analyzer), boost=boost)
 
 
-def parse_query(q: str):
-    """Parse a query string into a Filter tree (see module docstring)."""
+def parse_query(q: str, analyzer=None):
+    """Parse a query string into a Filter tree (see module docstring).
+
+    ``analyzer``: apply the index's analyzer to term/phrase/fuzzy words
+    (stemmed or case-folding indexes need query words transformed the
+    same way); prefix/wildcard/range operands pass through verbatim."""
     toks = _TOKEN_RE.findall(q.strip())
     if not toks:
         raise ValueError("empty query")
@@ -99,9 +114,9 @@ def parse_query(q: str):
         pos, neg = [], []
         for p in parts:
             if p.startswith("-") and len(p) > 1:
-                neg.append(_leaf(p[1:]))
+                neg.append(_leaf(p[1:], analyzer))
             else:
-                pos.append(_leaf(p))
+                pos.append(_leaf(p, analyzer))
         if not pos:
             raise ValueError("clause needs at least one positive term")
         node = pos[0] if len(pos) == 1 else AndFilter(pos)

@@ -70,3 +70,18 @@ def test_parse_negated_and_boosted_ranges():
     assert isinstance(r, RangeFilter) and r.boost == 2.0
     nf = parse_query('ok -"bad phrase"')
     assert isinstance(nf, NotFilter) and isinstance(nf.negative, PhraseFilter)
+
+
+def test_parse_with_analyzer():
+    from iresearch_ray.analysis import get_analyzer
+
+    txt = get_analyzer("text")  # Porter stemming
+    q = parse_query('Running "Dogs Running"', analyzer=txt)
+    assert isinstance(q, AndFilter)
+    assert q.children[0].term == "run"
+    assert q.children[1].terms == ["dog", "run"]
+    fz = parse_query("Jumped~1", analyzer=txt)
+    assert fz.term == "jump"
+    # prefixes pass through verbatim (dictionary-level operand)
+    p = parse_query("Run*", analyzer=txt)
+    assert isinstance(p, PrefixFilter) and p.prefix == "Run"
