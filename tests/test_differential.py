@@ -127,3 +127,65 @@ def test_random_trees_match_bruteforce(corpus):
         assert got == want, f"tree #{t}: {flt!r}\n missing={want-got}\n extra={got-want}"
         checked += 1
     assert checked == N_TREES
+
+
+@pytest.mark.parametrize("seed", [1001, 1004])
+def test_lifecycle_fuzz_consistent(ray_session, tmp_path_factory, seed):
+    """Randomized build -> delete -> consolidate -> append lifecycle; at
+    the end, term results by KEY must equal an independent brute force
+    over the engine's own alive set (mask/purge/append interplay)."""
+    import glob
+    import os
+
+    from iresearch_ray.analysis import get_analyzer
+    from iresearch_ray.index.delete import delete_by_filter
+    from iresearch_ray.index.merge import consolidate
+    from iresearch_ray.search import AllFilter
+
+    ana = get_analyzer("ascii")
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{j}" for j in range(15)]
+    n1 = int(rng.integers(100, 250))
+    texts1 = [" ".join(rng.choice(vocab, size=rng.integers(2, 20)))
+              for _ in range(n1)]
+    d = str(tmp_path_factory.mktemp(f"lf{seed}"))
+    pq.write_table(pa.table({"url": [f"a{i:04d}" for i in range(n1)],
+                             "text": texts1}),
+                   f"{d}/a.parquet", row_group_size=50)
+    build_index(f"{d}/a.parquet", f"{d}/idx", analyzer="ascii",
+                target_docs=int(rng.integers(40, 120)))
+    for step in range(int(rng.integers(2, 5))):
+        op = rng.choice(["delete", "consolidate", "append"])
+        if op == "delete":
+            delete_by_filter(f"{d}/idx", TermFilter(str(rng.choice(vocab))))
+        elif op == "consolidate":
+            consolidate(f"{d}/idx", target_docs=10_000)
+        else:
+            n2 = int(rng.integers(20, 60))
+            texts2 = [" ".join(rng.choice(vocab, size=rng.integers(2, 20)))
+                      for _ in range(n2)]
+            pq.write_table(
+                pa.table({"url": [f"b{step}{i:04d}" for i in range(n2)],
+                          "text": texts2}),
+                f"{d}/b{step}.parquet", row_group_size=50)
+            files = sorted(glob.glob(f"{d}/*.parquet"))
+            build_index(files, f"{d}/idx", analyzer="ascii",
+                        target_docs=int(rng.integers(40, 120)))
+    truth = {}
+    for f in sorted(glob.glob(f"{d}/*.parquet")):
+        t = pq.read_table(f)
+        for k, tx in zip(t["url"].to_pylist(), t["text"].to_pylist()):
+            truth[k] = ana.tokens(tx)
+    from iresearch_ray.search import IndexReader, IndexSearcher
+
+    s = IndexSearcher(IndexReader(f"{d}/idx"), BM25())
+    alive_keys = set()
+    for seg, docs, _ in s.execute(AllFilter()):
+        alive_keys |= {seg.reader.keys[x - 1] for x in docs}
+    for term in rng.choice(vocab, size=5, replace=False):
+        term = str(term)
+        got = set()
+        for seg, docs, _ in s.execute(TermFilter(term)):
+            got |= {seg.reader.keys[x - 1] for x in docs}
+        want = {k for k in alive_keys if term in truth[k]}
+        assert got == want, (term, sorted(want - got)[:3], sorted(got - want)[:3])
