@@ -864,7 +864,7 @@ SELECT doc_id, n_chars FROM documents
 ORDER BY n_chars DESC, doc_id LIMIT 10
 """,
         "filtered_agg": """
-SELECT count(*) AS n_docs, sum(n_chars) AS sum_chars,
+SELECT count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
        round(avg(n_chars), 4) AS avg_chars
 FROM documents WHERE source = 'src3'
 """,
@@ -939,7 +939,7 @@ WITH o AS (
 s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING) AS session_id
       FROM o)
-SELECT user_id, session_id, count(*) AS n_events,
+SELECT user_id, session_id::BIGINT AS session_id, count(*)::BIGINT AS n_events,
        round(sum(value), 2) AS sum_value
 FROM s GROUP BY 1, 2 ORDER BY 1, 2
 """,
