@@ -164,13 +164,16 @@ class DistributedSearcher:
         mode='all' because the bound is conservative)."""
         import ray
 
-        from iresearch_ray.search.filters import Filter, _ExpansionFilter
+        from iresearch_ray.search.filters import (Filter, PhraseFilter,
+                                                  _ExpansionFilter)
 
         def expansion_nodes(f):
-            """Every expansion node in the tree — each needs a global
-            matched-term -> df collect round, wherever it sits (a nested
-            prefix inside an And previously scored zero)."""
-            out = [f] if isinstance(f, _ExpansionFilter) else []
+            """Every node needing a global df collect round, wherever it
+            sits (a nested prefix inside an And previously scored zero;
+            a variadic phrase's parts previously used group-local dfs)."""
+            needs = (isinstance(f, _ExpansionFilter)
+                     or (isinstance(f, PhraseFilter) and not f.fixed))
+            out = [f] if needs else []
             for attr in ("children", "filters"):
                 kids = getattr(f, attr, None)
                 if isinstance(kids, (list, tuple)):

@@ -405,6 +405,33 @@ class PhraseFilter(Filter):
         return out
 
     @staticmethod
+    def _part_key(part: dict) -> str:
+        """Stable df_map key for one variadic part (content-derived so
+        identical parts in different filters share the same global df)."""
+        return "__vppart__:" + repr(sorted(part.items()))
+
+    def expand_dfs(self, reader) -> dict:
+        """Distributed collect half for variadic phrases: one scalar per
+        part — the sum of locally matched terms' local dfs.  Summed by the
+        driver across segment groups this equals the global per-part
+        df_sum, because part matching depends only on the term string (a
+        term matched in one group is matched wherever it exists)."""
+        if self.fixed:
+            return {}
+        out: dict[str, int] = {}
+        for part in self.parts:
+            key = self._part_key(part)
+            if key in out:  # duplicate part: same matched set, count once
+                continue
+            s = 0
+            for seg in reader.segments:
+                rows = self._part_rows(part, seg.reader)
+                if len(rows):
+                    s += int(seg.reader.df_array()[rows].sum())
+            out[key] = s
+        return out
+
+    @staticmethod
     def _part_rows(part: dict, r) -> np.ndarray:
         """Dictionary rows matched by one variadic part in one segment."""
         if "term" in part:
@@ -453,6 +480,12 @@ class PhraseFilter(Filter):
                 rows_by_seg[seg.id] = rows
                 if len(rows):
                     df_sum += int(seg.reader.df_array()[rows].sum())
+            pk = self._part_key(part)
+            if df_map is not None and pk in df_map:
+                # distributed: global per-part df from the collect round,
+                # identical on every actor (group-local dfs would give
+                # group-dependent idfs and corrupt the merged ranking)
+                df_sum = int(df_map[pk])
             idf_sum += scorer.idf(n_field, min(df_sum, n_field))
             pos_rows.append(rows_by_seg)
         prep = scorer.prepare(reader.stats, df=0, boost=self.boost,

@@ -40,6 +40,12 @@ def dist(ray_session, tmp_path_factory):
     ("phrase", lambda: PhraseFilter(["ref", "name"])),
     ("prefix", lambda: PrefixFilter("abcd")),
     ("fuzzy", lambda: FuzzyFilter("fuzzy", max_distance=1)),
+    # variadic phrase parts need their own df collect round: without it
+    # each actor sums part dfs over its own segment group only, and the
+    # same doc scores differently depending on which group holds it
+    ("var_phrase_prefix", lambda: PhraseFilter([{"prefix": "re"}, "name"])),
+    ("var_phrase_any", lambda: PhraseFilter([{"any": ["ref", "the"]},
+                                             {"wildcard": "nam%"}])),
 ])
 def test_distributed_equals_local(dist, name, make):
     d, local = dist
