@@ -61,7 +61,9 @@ class Analyzer:
             texts = list(texts)
             counts = np.empty(len(texts), dtype=np.int64)
         for i, t in enumerate(texts):
-            toks = self.tokens(t)
+            # null text = empty document (matches the Arrow fast path,
+            # where pc kernels propagate nulls to zero-token rows)
+            toks = self.tokens(t) if t is not None else []
             counts[i] = len(toks)
             flat.extend(toks)
         return flat, counts
@@ -183,7 +185,9 @@ class NgramAnalyzer(Analyzer):
 
     def config(self) -> dict:
         return {"name": self.name, "min_gram": self.min_gram,
-                "max_gram": self.max_gram, "preserve_original": self.preserve_original}
+                "max_gram": self.max_gram,
+                "preserve_original": self.preserve_original,
+                "lowercase": self.lowercase}
 
 
 class StopwordsAnalyzer(Analyzer):
@@ -258,6 +262,53 @@ def get_analyzer(name: str, **opts) -> Analyzer:
         return _REGISTRY[name](**opts)
     except KeyError:
         raise KeyError(f"unknown analyzer {name!r}; known: {sorted(_REGISTRY)}") from None
+
+
+def analyzer_from_config(cfg: dict) -> Analyzer:
+    """Reconstruct an analyzer from a recorded ``config()`` dict.
+
+    Query-side parity: query words must be analyzed exactly as the indexed
+    terms were — options (stopwords, lowercase, delimiter, ngram bounds,
+    text settings) included, not just the registry name."""
+    cfg = dict(cfg or {})
+    name = cfg.get("name", "unicode")
+    if name.startswith("regex-"):
+        return RegexTokenizer(kind=cfg.get("kind", name.split("-", 1)[1]),
+                              lowercase=bool(cfg.get("lowercase", True)))
+    if name == "delimiter":
+        return DelimiterAnalyzer(cfg.get("delimiter", ","))
+    if name == "ngram":
+        return NgramAnalyzer(min_gram=int(cfg.get("min_gram", 2)),
+                             max_gram=int(cfg.get("max_gram", 3)),
+                             preserve_original=bool(cfg.get("preserve_original", False)),
+                             lowercase=bool(cfg.get("lowercase", True)))
+    if name == "stopwords":
+        return StopwordsAnalyzer(analyzer_from_config(cfg["inner"]),
+                                 cfg.get("stopwords", ()))
+    if name == "norm":
+        return NormalizeAnalyzer(lowercase=bool(cfg.get("lowercase", True)),
+                                 strip_accents=bool(cfg.get("strip_accents", True)))
+    if name == "pipeline":
+        return PipelineAnalyzer([analyzer_from_config(s) for s in cfg["stages"]])
+    if name == "text":
+        from iresearch_ray.analysis.stem import TextAnalyzer
+        tok = cfg.get("tokenizer", {})
+        return TextAnalyzer(stopwords=cfg.get("stopwords", ()),
+                            stemming=bool(cfg.get("stemming", True)),
+                            kind=tok.get("kind", "unicode"),
+                            min_gram=int(cfg.get("min_gram", 0)),
+                            max_gram=int(cfg.get("max_gram", 0)),
+                            preserve_original=bool(cfg.get("preserve_original", True)))
+    if name == "minhash":
+        from iresearch_ray.analysis.minhash import MinHashAnalyzer
+        return MinHashAnalyzer(analyzer_from_config(cfg["inner"]),
+                               num_hashes=int(cfg.get("num_hashes", 64)),
+                               shingle_k=int(cfg.get("shingle_k", 3)),
+                               seed=int(cfg.get("seed", 42)))
+    if name == "numeric" and "step" in cfg:
+        return get_analyzer("numeric", step=int(cfg["step"]))
+    # option-free analyzers: stem, keyword, boolean, null, collation, ...
+    return get_analyzer(name)
 
 
 register_analyzer("ascii", lambda **o: RegexTokenizer(kind="ascii", **o))

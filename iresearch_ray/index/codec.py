@@ -32,6 +32,11 @@ _MAX_VARINT_BYTES = 5  # values are uint32-ranged
 def varint_nbytes(values: np.ndarray) -> np.ndarray:
     """Byte length of each value's LEB128 encoding (values must fit uint32)."""
     v = values.astype(np.uint64, copy=False)
+    if len(v) and int(v.max()) >= (1 << 35):
+        # 5 LEB128 bytes hold 35 bits; anything larger would silently
+        # truncate and corrupt postings — fail loudly instead
+        raise ValueError(
+            f"varint value {int(v.max())} exceeds 5-byte LEB128 range (2^35)")
     nb = np.ones(len(v), dtype=np.int64)
     for t in _THRESHOLDS:
         nb += v >= t

@@ -77,7 +77,7 @@ def cmd_query(a) -> dict:
         import json as _json
         import os as _os
 
-        from iresearch_ray.analysis import get_analyzer
+        from iresearch_ray.analysis.tokenizers import analyzer_from_config
         from iresearch_ray.index import manifest as _mf
         from iresearch_ray.index.segment import META_FILE
 
@@ -85,10 +85,11 @@ def cmd_query(a) -> dict:
         seg0 = man["segments"][0]["segment_id"]
         with open(_os.path.join(a.index_dir, seg0, META_FILE)) as f:
             cfg = _json.load(f).get("analyzer", {})
-        name = cfg.get("name", "unicode")
         try:
-            ana = get_analyzer({"regex-ascii": "ascii",
-                                "regex-unicode": "unicode"}.get(name, name))
+            # full recorded config (stopwords, lowercase, delimiter, ngram
+            # bounds, ...), not just the name — query words must be
+            # analyzed exactly as the indexed terms were
+            ana = analyzer_from_config(cfg)
         except KeyError:
             ana = None
     flt = parse_query(a.query, analyzer=ana) if a.query else TermFilter(a.term)

@@ -157,3 +157,51 @@ def test_offsets_survive_length_changing_casefold():
     toks2, s2, e2 = a.tokens_with_offsets("plain batch text")
     j = toks2.index("batch")
     assert "plain batch text"[s2[j]:e2[j]] == "batch"
+
+
+def test_null_text_is_empty_document():
+    """A null text row must tokenize to zero tokens in the Python batch
+    path, matching the Arrow fast path (nulls -> empty docs), instead of
+    crashing the whole segment-build task."""
+    from iresearch_ray.analysis import get_analyzer
+    from iresearch_ray.analysis.tokenizers import flatten_batch
+
+    for name in ("ascii", "unicode", "text", "stem"):
+        ana = get_analyzer(name)
+        flat, counts = ana.tokenize_batch(["one two", None, "three"])
+        assert counts[1] == 0, name
+        assert counts[0] > 0 and counts[2] > 0, name
+    out = flatten_batch(get_analyzer("ascii"), ["a b", None])
+    assert list(out["doc_len"]) == [2, 0]
+
+
+def test_analyzer_from_config_roundtrip():
+    """config() -> analyzer_from_config reconstructs options, not just the
+    name (query-side parity with the recorded index analyzer)."""
+    from iresearch_ray.analysis import (
+        DelimiterAnalyzer,
+        NgramAnalyzer,
+        PipelineAnalyzer,
+        RegexTokenizer,
+        StopwordsAnalyzer,
+    )
+    from iresearch_ray.analysis.minhash import MinHashAnalyzer
+    from iresearch_ray.analysis.stem import TextAnalyzer
+    from iresearch_ray.analysis.tokenizers import analyzer_from_config
+
+    cases = [
+        (RegexTokenizer(kind="unicode", lowercase=False), "Alpha Beta"),
+        (DelimiterAnalyzer("|"), "a|b|c"),
+        (NgramAnalyzer(min_gram=3, max_gram=4, preserve_original=True), "ab"),
+        (StopwordsAnalyzer(RegexTokenizer(kind="ascii"), ["the", "a"]),
+         "the quick a fox"),
+        (PipelineAnalyzer([DelimiterAnalyzer(";"),
+                           RegexTokenizer(kind="ascii")]), "One;Two Three"),
+        (TextAnalyzer(stopwords=["of"], min_gram=2, max_gram=3), "running of dogs"),
+        (MinHashAnalyzer(RegexTokenizer(kind="ascii"), num_hashes=8,
+                         shingle_k=2, seed=7), "w x y z w x y"),
+    ]
+    for ana, text in cases:
+        rebuilt = analyzer_from_config(ana.config())
+        assert rebuilt.tokens(text) == ana.tokens(text), ana.config()
+        assert rebuilt.config() == ana.config()

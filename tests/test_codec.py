@@ -101,3 +101,17 @@ def test_positions_delta_roundtrip():
     dec1 = codec.delta_decode(enc[3:5])
     assert np.array_equal(dec0, pos[0:3])
     assert np.array_equal(dec1, pos[3:5])
+
+
+def test_varint_out_of_range_raises():
+    """Values >= 2^35 don't fit 5 LEB128 bytes; silent truncation would
+    corrupt postings, so encoding must fail loudly."""
+    import pytest
+
+    with pytest.raises(ValueError):
+        codec.varint_encode(np.array([1 << 36], dtype=np.uint64))
+    with pytest.raises(ValueError):
+        codec.varint_nbytes(np.array([1 << 35], dtype=np.uint64))
+    # boundary: 2^35 - 1 still round-trips
+    v = np.array([(1 << 35) - 1, 0, 1], dtype=np.uint64)
+    assert np.array_equal(codec.varint_decode(codec.varint_encode(v)), v)

@@ -39,3 +39,28 @@ def test_job_build_query_resume(ray_session, pages, capsys):
     q = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert len(q["hits"]) == 5
     assert all(h["score"] >= q["hits"][-1]["score"] for h in q["hits"])
+
+
+def test_job_query_uses_recorded_analyzer_options(ray_session, tmp_path, capsys):
+    """Query words go through the index's FULL recorded analyzer config:
+    name alone would drop options (here lowercase=False) and silently
+    analyze the query differently from the indexed terms."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.table({
+        "url": ["u1", "u2", "u3"],
+        "text": ["Alpha common words", "alpha common words", "other text"],
+    }), p)
+    idx = str(tmp_path / "idx")
+    assert main(["build", "--input", p, "--index-dir", idx,
+                 "--analyzer", "unicode",
+                 "--analyzer-opts", '{"lowercase": false}',
+                 "--target-docs", "10"]) == 0
+    capsys.readouterr()
+    assert main(["query", "--index-dir", idx, "--query", "Alpha"]) == 0
+    q = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # case-sensitive index: "Alpha" must hit u1 only (a name-only analyzer
+    # rebuild would lowercase the query word and hit u2 instead)
+    assert [h["key"] for h in q["hits"]] == ["u1"]
