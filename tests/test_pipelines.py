@@ -270,3 +270,102 @@ def test_ivf_topk_exact_when_probing_all(ray_session):
     assert len(set(approx["vec_id"]) & set(exact["vec_id"])) >= 3
     # the query's own vector (cosine 1.0) is always in its probed cell
     assert approx["vec_id"].iloc[0] == exact["vec_id"].iloc[0]
+
+
+def test_as_matrix_layouts():
+    """Zero-copy decode agrees across list layouts and rejects ragged."""
+    import pyarrow as pa
+
+    from iresearch_ray.pipelines.ann import _as_matrix
+
+    rows = [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]]
+    var = pa.array(rows, type=pa.list_(pa.float32()))
+    fixed = pa.array(rows, type=pa.list_(pa.float32(), 2))
+    expect = np.asarray(rows, dtype=np.float32)
+    assert np.array_equal(_as_matrix(var), expect)
+    assert np.array_equal(_as_matrix(fixed), expect)
+    # sliced arrays must honor the offset
+    assert np.array_equal(_as_matrix(var.slice(1)), expect[1:])
+    assert np.array_equal(_as_matrix(fixed.slice(1)), expect[1:])
+    chunked = pa.chunked_array([var.slice(0, 1), var.slice(1)])
+    assert np.array_equal(_as_matrix(chunked), expect)
+    with pytest.raises(ValueError):
+        _as_matrix(pa.array([[1.0], [2.0, 3.0]], type=pa.list_(pa.float32())))
+
+
+def test_scattered_sample_not_head_biased(ray_session, tmp_path):
+    """The IVF training sample must be scattered across the input, not the
+    first rows (ds.limit on sorted/clustered input gives biased centroids)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 2000
+    pq.write_table(pa.table({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [[float(i), 1.0] for i in range(n)],
+    }), str(tmp_path / "e.parquet"))
+    ds = ray.data.read_parquet(str(tmp_path / "e.parquet"))
+    s1 = ann.scattered_sample(ds, 128, "vec_id", ["vec_id", "embedding"])
+    s2 = ann.scattered_sample(ds, 128, "vec_id", ["vec_id", "embedding"])
+    ids = np.sort(s1["vec_id"].to_numpy())
+    assert len(ids) == 128
+    assert np.array_equal(ids, np.sort(s2["vec_id"].to_numpy()))  # deterministic
+    # scattered: hits both halves of the id range, never just the head
+    assert (ids < n // 2).any() and (ids >= n // 2).any()
+    assert ids.max() > n * 3 // 4
+
+
+def test_lsh_index_prunes_reads_and_matches_scan(ray_session, tmp_path):
+    """The persisted LSH layout must (a) answer identically to the ad-hoc
+    bucket scan (same candidate set) and (b) read ONLY probed partitions."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    emb_path = f"{SF}/embeddings.parquet"
+    ds = ray.data.read_parquet(emb_path)
+    q = np.asarray(pq.read_table(emb_path)["embedding"].to_pylist()[0],
+                   dtype=np.float32)
+    idx = str(tmp_path / "lsh_idx")
+    meta = ann.build_lsh_index(ds, idx, planes=4)
+    assert meta["dim"] == len(q)
+    # resumable: identical config returns without rewriting
+    mtime = os.path.getmtime(os.path.join(idx, "ann_meta.json"))
+    assert ann.build_lsh_index(ds, idx, planes=4)["dim"] == meta["dim"]
+    assert os.path.getmtime(os.path.join(idx, "ann_meta.json")) == mtime
+
+    all_parts = [d for d in os.listdir(idx) if d.startswith("bucket=")]
+    paths = ann.plan_lsh_query(idx, q, multiprobe=1)
+    read_parts = {os.path.basename(os.path.dirname(p)) for p in paths}
+    assert 0 < len(read_parts) < len(all_parts)  # strict read pruning
+    assert all(d.startswith("bucket=") for d in read_parts)
+
+    got = ann.lsh_index_topk(idx, q, k=10, multiprobe=1)
+    want = ann.lsh_topk(ds, q, k=10, planes=4, multiprobe=1)
+    assert list(got["vec_id"]) == list(want["vec_id"])
+    assert np.allclose(got["cosine"], want["cosine"], atol=1e-6)
+
+
+def test_ivf_index_prunes_reads_and_matches_scan(ray_session, tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    emb_path = f"{SF}/embeddings.parquet"
+    ds = ray.data.read_parquet(emb_path)
+    q = np.asarray(pq.read_table(emb_path)["embedding"].to_pylist()[0],
+                   dtype=np.float32)
+    idx = str(tmp_path / "ivf_idx")
+    ann.build_ivf_index(ds, idx, n_cells=8, train_sample=256)
+    all_parts = [d for d in os.listdir(idx) if d.startswith("cell=")]
+    paths = ann.plan_ivf_query(idx, q, n_probe=2)
+    read_parts = {os.path.basename(os.path.dirname(p)) for p in paths}
+    assert 0 < len(read_parts) < len(all_parts)
+
+    got = ann.ivf_index_topk(idx, q, k=10, n_probe=2)
+    want = ann.ivf_topk(ds, q, k=10, n_cells=8, n_probe=2, train_sample=256)
+    assert list(got["vec_id"]) == list(want["vec_id"])
+    # probing every cell must recover the exact brute-force answer
+    exact = ann.cosine_topk(ds, q, k=10)
+    full = ann.ivf_index_topk(idx, q, k=10, n_probe=8)
+    assert list(full["vec_id"]) == list(exact["vec_id"])
