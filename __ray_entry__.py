@@ -612,24 +612,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dedup.simhash_groups(ray_docs(sf_dir, ["doc_id", "text"])).to_pandas()
 
     def fingerprints_q(sf_dir):
-        import pyarrow.parquet as pq
-
-        from iresearch_ray.analysis import get_analyzer
-        from iresearch_ray.analysis.minhash import rolling_fingerprints, stable_hash_strings
-
-        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                          columns=["doc_id", "text"])
-        ana = get_analyzer("ascii")
-        toks: list[str] = []
-        offs = np.zeros(t.num_rows + 1, dtype=np.int64)
-        for i, txt in enumerate(t["text"].to_pylist()):
-            ws = ana.tokens(txt)
-            toks.extend(ws)
-            offs[i + 1] = len(toks)
-        th = stable_hash_strings(toks) if toks else np.empty(0, np.uint64)
-        d, f = rolling_fingerprints(th, offs)
-        doc_ids = t["doc_id"].to_numpy()
-        return pd.DataFrame({"doc_id": doc_ids[d], "fingerprint": f.view(np.int64)})
+        out = dedup.rolling_doc_fingerprints(
+            ray_docs(sf_dir, ["doc_id", "text"])).to_pandas()
+        return out.sort_values(["doc_id", "fingerprint"]).reset_index(drop=True)
 
     def ann_cosine(sf_dir):
         import pyarrow.compute as pc

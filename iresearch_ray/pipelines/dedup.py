@@ -121,10 +121,20 @@ class MinHashBatch:
         })
 
 
+def _combined_bucket_key(band: np.ndarray, band_hash: np.ndarray) -> np.ndarray:
+    """One uint64 key per (band, band_hash) row: hash XOR band<<56.
+    Cross-band collisions need the low 56 hash bits to match exactly, and a
+    spurious collision only adds a candidate row that the per-(band,
+    band_hash) pairwise verification below discards — never a miss."""
+    return (band_hash.astype(np.int64, copy=False).view(np.uint64)
+            ^ (band.astype(np.uint64) << np.uint64(56)))
+
+
 def minhash_lsh_pairs(ds, text_column: str = "text", id_column: str = "doc_id",
                       analyzer: str = "ascii", num_hashes: int = 64,
                       bands: int = 16, shingle_k: int = 3,
-                      threshold: float = 0.8, concurrency: int | None = None):
+                      threshold: float = 0.8, concurrency: int | None = None,
+                      checkpoint_dir: str | None = None):
     """Near-duplicate candidate pairs via MinHash + LSH banding.
 
     map_batches(sketch) -> count-only groupby finds buckets with >= 2
@@ -132,7 +142,17 @@ def minhash_lsh_pairs(ds, text_column: str = "text", id_column: str = "doc_id",
     pairwise signature-Jaccard estimate per bucket -> pairs with
     est >= threshold, max-deduped across bands.
     Returns Dataset(id_a, id_b, est_jaccard) with id_a < id_b.
+
+    ``checkpoint_dir``: where the sketch dataset is checkpointed as
+    Parquet between the count pass and the membership filter (so neither
+    re-tokenizes the corpus and nothing pins the object store); defaults
+    to a scratch dir removed on return — at scale pass a shared
+    filesystem path to make the sketch pass resumable.
     """
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
     import ray
     import ray.data
 
@@ -141,41 +161,52 @@ def minhash_lsh_pairs(ds, text_column: str = "text", id_column: str = "doc_id",
             text_column=text_column, id_column=id_column, analyzer=analyzer,
             num_hashes=num_hashes, bands=bands, shingle_k=shingle_k),
         batch_format="pyarrow", concurrency=pool_size(concurrency))
-    # sketches are tiny vs the corpus (signature + band keys per doc):
-    # materialize once so the count pass and the membership filter don't
-    # re-tokenize the corpus (at scale: checkpoint this to parquet)
-    sk = sk.materialize()
+    # checkpoint the (corpus-small, but not driver-small) sketches to
+    # Parquet so the two downstream passes re-read files instead of either
+    # re-tokenizing the corpus or pinning every sketch in the object store
+    own_ckpt = checkpoint_dir is None
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="iresearch_minhash_")
+    try:
+        sk.write_parquet(ckpt)
+        sk = ray.data.read_parquet(ckpt)
 
-    # per-group map_groups over ~n_docs*bands tiny buckets pays Ray's
-    # per-group UDF cost on EVERY bucket; near-dup collisions are rare, so
-    # instead: (1) a count-only shuffle of the light (band, band_hash)
-    # projection finds hot buckets, (2) a broadcast membership filter keeps
-    # only colliding rows — data volume = candidate set, not corpus —
-    # (3) vectorized pairing on the (output-sized) survivors.
-    from ray.data.aggregate import Count
+        # per-group map_groups over ~n_docs*bands tiny buckets pays Ray's
+        # per-group UDF cost on EVERY bucket; near-dup collisions are rare,
+        # so instead: (1) a count-only shuffle of the light (band,
+        # band_hash) projection finds hot buckets, (2) a broadcast
+        # membership filter keeps only colliding rows — data volume =
+        # candidate set, not corpus — (3) vectorized pairing on the
+        # (output-sized) survivors.
+        from ray.data.aggregate import Count
 
-    counts = (sk.select_columns(["band", "band_hash"])
-              .groupby(["band", "band_hash"])
-              .aggregate(Count(alias_name="n")))
-    hot = counts.filter(lambda r: r["n"] >= 2).take_all()
-    if not hot:
-        return ray.data.from_pandas(
-            pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
-                          "id_b": pd.Series([], dtype=np.int64),
-                          "est_jaccard": pd.Series([], dtype=np.float64)}))
-    hot_keys = {(int(r["band"]), int(r["band_hash"])) for r in hot}
-    hot_ref = ray.put(hot_keys)
+        counts = (sk.select_columns(["band", "band_hash"])
+                  .groupby(["band", "band_hash"])
+                  .aggregate(Count(alias_name="n")))
+        hot = (counts.map_batches(
+                   lambda t: t.filter(pc.greater_equal(t["n"], 2)),
+                   batch_format="pyarrow")
+               .to_pandas())  # bounded by colliding buckets, not corpus
+        if not len(hot):
+            return ray.data.from_pandas(
+                pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                              "id_b": pd.Series([], dtype=np.int64),
+                              "est_jaccard": pd.Series([], dtype=np.float64)}))
+        hot_keys = np.sort(_combined_bucket_key(
+            hot["band"].to_numpy(), hot["band_hash"].to_numpy()))
+        hot_ref = ray.put(hot_keys)
 
-    def keep_hot(b: pa.Table) -> pa.Table:
-        keys = ray.get(hot_ref)
-        band = b["band"].to_numpy()
-        bh = b["band_hash"].to_numpy()
-        mask = np.fromiter(((int(x), int(y)) in keys
-                            for x, y in zip(band, bh)),
-                           dtype=bool, count=len(band))
-        return b.filter(pa.array(mask))
+        def keep_hot(b: pa.Table) -> pa.Table:
+            keys = ray.get(hot_ref)
+            k = _combined_bucket_key(b["band"].to_numpy(),
+                                     b["band_hash"].to_numpy())
+            idx = np.searchsorted(keys, k)
+            idx[idx == len(keys)] = 0
+            return b.filter(pa.array(keys[idx] == k))
 
-    cand = sk.map_batches(keep_hot, batch_format="pyarrow").to_pandas()
+        cand = sk.map_batches(keep_hot, batch_format="pyarrow").to_pandas()
+    finally:
+        if own_ckpt:
+            shutil.rmtree(ckpt, ignore_errors=True)
     out_a, out_b, out_j = [], [], []
     for (_, _), g in cand.groupby(["band", "band_hash"], sort=True):
         if len(g) < 2:
@@ -197,6 +228,40 @@ def minhash_lsh_pairs(ds, text_column: str = "text", id_column: str = "doc_id",
         pairs = (pairs.groupby(["id_a", "id_b"], as_index=False)
                  ["est_jaccard"].max())
     return ray.data.from_pandas(pairs)
+
+
+def rolling_doc_fingerprints(ds, text_column: str = "text",
+                             id_column: str = "doc_id",
+                             analyzer: str = "ascii", k: int = 5,
+                             sample_mod: int = 8,
+                             concurrency: int | None = None):
+    """Distributed document fingerprinting: Rabin-Karp rolling hash over
+    k-token windows, 0-mod-q sampled -> Dataset(id, fingerprint).
+
+    Pure map_batches (no shuffle): each batch tokenizes via the coded
+    Arrow fast path, hashes the small batch DICTIONARY once and gathers
+    per-occurrence hashes, then runs the vectorized rolling kernel."""
+    from iresearch_ray.analysis.minhash import rolling_fingerprints
+    from iresearch_ray.pipelines.textstats import _coded_tokens
+
+    class FpBatch:
+        def __init__(self):
+            self.analyzer = get_analyzer(analyzer)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            codes, dict_np, _, doc_len = _coded_tokens(
+                self.analyzer, b[text_column])
+            offs = np.zeros(len(doc_len) + 1, dtype=np.int64)
+            np.cumsum(doc_len, out=offs[1:])
+            th = (stable_hash_strings(dict_np)[codes] if len(dict_np)
+                  else np.empty(0, np.uint64))
+            d, f = rolling_fingerprints(th, offs, k=k, sample_mod=sample_mod)
+            ids = b[id_column].to_numpy()
+            return pa.table({id_column: pa.array(ids[d]),
+                             "fingerprint": pa.array(f.view(np.int64))})
+
+    return ds.map_batches(FpBatch, batch_format="pyarrow",
+                          concurrency=pool_size(concurrency))
 
 
 def simhash_groups(ds, text_column: str = "text", id_column: str = "doc_id",

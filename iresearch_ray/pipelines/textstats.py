@@ -13,7 +13,36 @@ import pandas as pd
 import pyarrow as pa
 
 from iresearch_ray.analysis import get_analyzer
+from iresearch_ray.analysis.tokenizers import flatten_batch, flatten_batch_arrow
 from iresearch_ray.util import pool_size
+
+
+def _coded_tokens(analyzer, col):
+    """(codes, dict_np, doc_idx, doc_len) for a text column.
+
+    Uses the zero-Python-object Arrow tokenize path (case fold + regex
+    split + dictionary encode in Arrow C kernels) whenever the analyzer
+    supports it; otherwise tokenizes in Python and factorizes, so every
+    downstream stat is a vectorized bincount either way."""
+    if getattr(analyzer, "arrow_split_pattern", None):
+        out = flatten_batch_arrow(analyzer, col)
+        return out["codes"], out["dict"], out["doc_idx"], out["doc_len"]
+    out = flatten_batch(analyzer, col.to_pylist())
+    if len(out["terms"]):
+        codes, uniques = pd.factorize(out["terms"])
+        codes = codes.astype(np.int64, copy=False)
+        dict_np = np.asarray(uniques, dtype=object)
+    else:
+        codes = np.empty(0, dtype=np.int64)
+        dict_np = np.empty(0, dtype=object)
+    return codes, dict_np, out["doc_idx"], out["doc_len"]
+
+
+def _dict_mask(dict_np: np.ndarray, vocab: frozenset) -> np.ndarray:
+    """Membership mask over the (small) batch dictionary — O(|dict|), not
+    O(tokens)."""
+    return np.fromiter((t in vocab for t in dict_np), dtype=np.float64,
+                       count=len(dict_np))
 
 # fixed stopword profiles for the language-ID heuristic (deterministic,
 # SQL-reproducible; tiny on purpose)
@@ -37,18 +66,22 @@ class QualityBatch:
         self.round_to = round_to
 
     def __call__(self, b: pa.Table) -> pa.Table:
-        texts = b[self.text_column].to_pylist()
-        n_tok = np.zeros(len(texts), dtype=np.int64)
-        n_uniq = np.zeros(len(texts), dtype=np.int64)
-        sw_ratio = np.zeros(len(texts), dtype=np.float64)
-        mean_len = np.zeros(len(texts), dtype=np.float64)
-        for i, t in enumerate(texts):
-            toks = self.analyzer.tokens(t)
-            n_tok[i] = len(toks)
-            n_uniq[i] = len(set(toks))
-            if toks:
-                sw_ratio[i] = sum(1 for w in toks if w in STOPWORDS_EN) / len(toks)
-                mean_len[i] = sum(len(w) for w in toks) / len(toks)
+        codes, dict_np, doc_idx, n_tok = _coded_tokens(
+            self.analyzer, b[self.text_column])
+        n_docs = len(n_tok)
+        D = max(1, len(dict_np))
+        # per-doc distinct terms: unique (doc, code) pairs, one bincount
+        u = np.unique(doc_idx * D + codes)
+        n_uniq = np.bincount(u // D, minlength=n_docs).astype(np.int64)
+        # stopword hits / token lengths: O(|dict|) lookups, then bincounts
+        is_stop = _dict_mask(dict_np, STOPWORDS_EN)
+        tok_len = np.fromiter((len(t) for t in dict_np), dtype=np.float64,
+                              count=len(dict_np))
+        denom = np.maximum(n_tok, 1).astype(np.float64)
+        sw_ratio = np.bincount(doc_idx, weights=is_stop[codes],
+                               minlength=n_docs) / denom
+        mean_len = np.bincount(doc_idx, weights=tok_len[codes],
+                               minlength=n_docs) / denom
         cols = {name: b[name] for name in b.column_names
                 if name not in ("n_tokens", "n_unique_tokens", "stopword_ratio",
                                 "mean_token_len")}
@@ -78,17 +111,20 @@ class LangIdBatch:
         self.profiles = {k: frozenset(v) for k, v in LANG_PROFILES.items()}
 
     def __call__(self, b: pa.Table) -> pa.Table:
-        texts = b[self.text_column].to_pylist()
-        preds = []
-        for t in texts:
-            toks = self.analyzer.tokens(t)
-            best_lang, best = LANG_ORDER[0], -1
-            for lang in LANG_ORDER:
-                prof = self.profiles[lang]
-                hits = sum(1 for w in toks if w in prof)
-                if hits > best:
-                    best_lang, best = lang, hits
-            preds.append(best_lang)
+        codes, dict_np, doc_idx, doc_len = _coded_tokens(
+            self.analyzer, b[self.text_column])
+        n_docs = len(doc_len)
+        # per-lang hit counts: one O(|dict|) mask + one bincount each;
+        # first-max-wins in LANG_ORDER (strict > against the running best)
+        best = np.full(n_docs, -1.0)
+        pred = np.zeros(n_docs, dtype=np.int64)
+        for li, lang in enumerate(LANG_ORDER):
+            mask = _dict_mask(dict_np, self.profiles[lang])
+            hits = np.bincount(doc_idx, weights=mask[codes], minlength=n_docs)
+            win = hits > best
+            pred[win] = li
+            best = np.where(win, hits, best)
+        preds = np.asarray(LANG_ORDER, dtype=object)[pred]
         return b.append_column("lang_pred", pa.array(preds, type=pa.string()))
 
 
@@ -110,11 +146,9 @@ def token_count_by(ds, group_column: str, text_column="text", analyzer="ascii",
             self.analyzer = get_analyzer(analyzer)
 
         def __call__(self, b: pa.Table) -> pa.Table:
-            df = pd.DataFrame({
-                group_column: b[group_column].to_pylist(),
-                "n": [len(self.analyzer.tokens(t))
-                      for t in b[text_column].to_pylist()],
-            })
+            _, _, _, doc_len = _coded_tokens(self.analyzer, b[text_column])
+            df = pd.DataFrame({group_column: b[group_column].to_pylist(),
+                               "n": doc_len})
             g = df.groupby(group_column, as_index=False)["n"].sum()
             return pa.Table.from_pandas(g, preserve_index=False)
 
@@ -134,22 +168,17 @@ def term_frequencies(ds, text_column="text", analyzer="ascii", concurrency=None)
             self.analyzer = get_analyzer(analyzer)
 
         def __call__(self, b: pa.Table) -> pa.Table:
-            counts: dict[str, list[int]] = {}
-            for t in b[text_column].to_pylist():
-                seen: dict[str, int] = {}
-                for w in self.analyzer.tokens(t):
-                    seen[w] = seen.get(w, 0) + 1
-                for w, c in seen.items():
-                    if w in counts:
-                        counts[w][0] += 1
-                        counts[w][1] += c
-                    else:
-                        counts[w] = [1, c]
-            terms = list(counts)
+            codes, dict_np, doc_idx, _ = _coded_tokens(
+                self.analyzer, b[text_column])
+            D = max(1, len(dict_np))
+            ttf = np.bincount(codes, minlength=len(dict_np)).astype(np.int64)
+            # df: unique (doc, code) pairs, then count per code
+            u = np.unique(doc_idx * D + codes)
+            df_ = np.bincount(u % D, minlength=len(dict_np)).astype(np.int64)
             return pa.table({
-                "term": pa.array(terms, type=pa.string()),
-                "df": pa.array([counts[t][0] for t in terms], type=pa.int64()),
-                "ttf": pa.array([counts[t][1] for t in terms], type=pa.int64()),
+                "term": pa.array(dict_np, type=pa.string()),
+                "df": pa.array(df_),
+                "ttf": pa.array(ttf),
             })
 
     partial = ds.map_batches(TermBatch, batch_format="pyarrow",

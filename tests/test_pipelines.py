@@ -369,3 +369,28 @@ def test_ivf_index_prunes_reads_and_matches_scan(ray_session, tmp_path):
     exact = ann.cosine_topk(ds, q, k=10)
     full = ann.ivf_index_topk(idx, q, k=10, n_probe=8)
     assert list(full["vec_id"]) == list(exact["vec_id"])
+
+
+def test_rolling_doc_fingerprints_matches_reference(docs, docs_pdf):
+    """The distributed map_batches fingerprint pipeline must reproduce the
+    single-process rolling-hash reference exactly."""
+    from iresearch_ray.analysis.minhash import (
+        rolling_fingerprints,
+        stable_hash_strings,
+    )
+
+    out = dedup.rolling_doc_fingerprints(docs).to_pandas()
+    out = out.sort_values(["doc_id", "fingerprint"]).reset_index(drop=True)
+
+    ana = get_analyzer("ascii")
+    toks, offs = [], np.zeros(len(docs_pdf) + 1, dtype=np.int64)
+    for i, t in enumerate(docs_pdf["text"]):
+        ws = ana.tokens(t)
+        toks.extend(ws)
+        offs[i + 1] = len(toks)
+    th = stable_hash_strings(toks)
+    d, f = rolling_fingerprints(th, offs)
+    exp = pd.DataFrame({"doc_id": docs_pdf["doc_id"].to_numpy()[d],
+                        "fingerprint": f.view(np.int64)})
+    exp = exp.sort_values(["doc_id", "fingerprint"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, exp)
