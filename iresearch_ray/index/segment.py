@@ -530,8 +530,11 @@ class SegmentReader:
         self._post_cache_size += n
         while self._post_cache_size > self._CACHE_MAX_POSTINGS and cache:
             _, old = cache.popitem(last=False)
-            self._post_cache_size -= sum(len(a) for a in old
-                                         if isinstance(a, np.ndarray))
+            if isinstance(old, np.ndarray):  # occurrence-key entry
+                self._post_cache_size -= len(old)
+            else:
+                self._post_cache_size -= sum(len(a) for a in old
+                                             if isinstance(a, np.ndarray))
         return out
 
     def _decode_postings(self, idx: int, positions: bool = False):
@@ -551,6 +554,49 @@ class SegmentReader:
         prior = np.r_[0, glob][run_offs[:-1]]
         pos = glob - np.repeat(prior, freqs)
         return docs, freqs, pos, run_offs
+
+    @property
+    def pos_bits(self) -> int:
+        """Bits reserved for the position field in packed occurrence keys
+        — sized to this segment's longest document, so keys stay dense
+        (doc * 2^pos_bits + pos) and phrase intersection can use a
+        boolean-mark table instead of per-element binary search."""
+        pb = getattr(self, "_pos_bits", None)
+        if pb is None:
+            dl = self.doc_len
+            pb = self._pos_bits = int(dl.max() + 1).bit_length() if len(dl) else 1
+        return pb
+
+    def occurrence_keys(self, idx: int) -> np.ndarray:
+        """Sorted int64 ``(doc << pos_bits) | position`` per occurrence of
+        term row ``idx`` — the phrase-intersection working set, cached in
+        the postings LRU so repeated phrase queries over the same (head)
+        terms skip the repeat/shift rebuild (the dominant warm-phrase
+        cost)."""
+        cache = getattr(self, "_post_cache", None)
+        if cache is None:
+            from collections import OrderedDict
+
+            cache = self._post_cache = OrderedDict()
+            self._post_cache_size = 0
+        key = (idx, "keys")
+        hit = cache.get(key)
+        if hit is not None:
+            cache.move_to_end(key)
+            return hit
+        docs, freqs, pos, _ = self.postings(idx, positions=True)
+        keys = (np.repeat(docs.astype(np.int64, copy=False), freqs)
+                << np.int64(self.pos_bits)) | pos
+        cache[key] = keys
+        self._post_cache_size += len(keys)
+        while self._post_cache_size > self._CACHE_MAX_POSTINGS and cache:
+            _, old = cache.popitem(last=False)
+            if isinstance(old, np.ndarray):
+                self._post_cache_size -= len(old)
+            else:
+                self._post_cache_size -= sum(len(a) for a in old
+                                             if isinstance(a, np.ndarray))
+        return keys
 
     def skips(self, idx: int) -> dict | None:
         tbl = self.terms_table

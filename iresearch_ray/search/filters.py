@@ -531,21 +531,51 @@ class _PreparedPhrase(Prepared):
         self.sp = scorer_prep
 
     def execute(self, seg):
-        keys = None  # encoded (doc << 32) | aligned_start_position
+        # aligned occurrence keys (doc << pos_bits) | (position -
+        # part_index) per part, from the reader's cached sorted key
+        # arrays; intersect SMALLEST-first (order-free: symmetric)
+        pb = np.int64(seg.reader.pos_bits)
+        pos_mask = (np.int64(1) << pb) - np.int64(1)
+        parts = []
         for i, idxs in enumerate(self.idx_maps):
             ti = idxs.get(seg.id, -1)
             if ti < 0:
                 return _empty(self.sp.dtype)
-            docs, freqs, pos, _ = seg.reader.postings(ti, positions=True)
-            doc_per_occ = np.repeat(docs.astype(np.int64), freqs)
-            aligned = pos - i
-            ok = aligned >= 0
-            k = (doc_per_occ[ok] << np.int64(32)) | aligned[ok]  # sorted
-            keys = k if keys is None else keys[_isin_sorted(keys, k)]
-            if len(keys) == 0:
-                return _empty(self.sp.dtype)
-        match_docs = (keys >> np.int64(32))
-        u_docs, phrase_freq = np.unique(match_docs, return_counts=True)
+            base = seg.reader.occurrence_keys(ti)
+            if i:
+                # subtracting i from the position field is only valid
+                # where position >= i (else it borrows into the doc id)
+                k = base[(base & pos_mask) >= i] - np.int64(i)
+            else:
+                k = base
+            parts.append(k)
+        parts.sort(key=len)
+        doc_len = seg.reader.doc_len
+        occ = sum(len(p) for p in parts)
+        dense = (len(doc_len) + 2) << int(pb)
+        if dense <= 32 * occ + (1 << 16):
+            # dense-mark intersection: mark the rarest part's keys in a
+            # boolean table, gather the others — O(occ) with no
+            # per-element binary search (searchsorted is ~40ns/element;
+            # this is one vectorized scatter + gathers)
+            keys = parts[0]
+            for k in parts[1:]:
+                mark = np.zeros(dense, dtype=bool)
+                mark[keys] = True  # keys unique: plain scatter, no .at
+                keys = k[mark[k]]
+                if len(keys) == 0:
+                    return _empty(self.sp.dtype)
+        else:
+            keys = parts[0]
+            for k in parts[1:]:
+                keys = keys[_isin_sorted(keys, k)]
+                if len(keys) == 0:
+                    return _empty(self.sp.dtype)
+        match_docs = keys >> pb
+        # match_docs is sorted: boundary-diff unique beats np.unique's sort
+        bounds = np.flatnonzero(np.r_[True, match_docs[1:] != match_docs[:-1]])
+        u_docs = match_docs[bounds]
+        phrase_freq = np.diff(np.r_[bounds, len(match_docs)])
         scores = self.sp.score(phrase_freq, seg.reader.doc_len[u_docs - 1], seg.tiny)
         return u_docs, scores
 
