@@ -157,29 +157,60 @@ class StemAnalyzer(Analyzer):
 
 
 class TextAnalyzer(Analyzer):
-    """Composite `text` analyzer: word split + case fold + stopword drop +
-    Porter stem + optional edge n-grams — the shape of the reference
+    """Composite `text` analyzer: word split + accent strip + case convert
+    + stopword drop + stem + optional edge n-grams — the reference
     text_token_stream pipeline (segmentation -> normalize -> stopwords ->
-    stem -> edge ngrams, options text_token_stream.hpp:51-79), minus ICU
-    locale machinery.
+    stem -> edge ngrams, options text_token_stream.hpp:51-79) with the
+    ICU pieces re-expressed over unicodedata.
 
-    ``min_gram``/``max_gram``: emit word-prefix n-grams of those lengths
-    for each (stemmed) token; ``preserve_original`` additionally emits the
-    token itself when longer than ``max_gram``.
+    Options mirror the reference's ``options_t``:
+    - ``locale``: selects the Snowball stemmer ('en' -> Porter2, 'de' ->
+      German; other locales stem-fallback to identity, documented) and is
+      recorded in the config.  ``locale=None`` keeps the round-1 behavior
+      (classic Porter) so existing indexes reconstruct identically.
+    - ``case``: 'lower' | 'none' | 'upper' (case_convert_t).
+    - ``accent``: False strips combining marks (NFD -> remove marks ->
+      NFC), the reference's accent=false default; True preserves them.
+    - ``min_gram``/``max_gram``: emit word-prefix n-grams of those
+      lengths per (stemmed) token; ``preserve_original`` additionally
+      emits the token itself when longer than ``max_gram``.
     """
 
     name = "text"
 
     def __init__(self, stopwords=(), stemming: bool = True,
                  kind: str = "unicode", min_gram: int = 0, max_gram: int = 0,
-                 preserve_original: bool = True):
-        self.tokenizer = RegexTokenizer(kind=kind)
+                 preserve_original: bool = True, locale: str | None = None,
+                 case: str = "lower", accent: bool = True):
+        if case not in ("lower", "none", "upper"):
+            raise ValueError(f"bad case convert {case!r}")
+        self.tokenizer = RegexTokenizer(kind=kind,
+                                        lowercase=(case == "lower"))
         self.stopwords = frozenset(stopwords)
         self.stemming = stemming
+        self.locale = locale
+        self.case = case
+        self.accent = bool(accent)
+        if locale is not None and stemming:
+            from iresearch_ray.analysis.snowball import snowball_stemmer
+
+            self._stem = snowball_stemmer(locale) or (lambda t: t)
+        elif stemming:
+            self._stem = porter_stem
+        else:
+            self._stem = None
         self.min_gram, self.max_gram = int(min_gram), int(max_gram)
         if self.min_gram and not self.max_gram:
             self.max_gram = self.min_gram
         self.preserve_original = bool(preserve_original)
+
+    @staticmethod
+    def _strip_accents(tok: str) -> str:
+        import unicodedata
+
+        d = unicodedata.normalize("NFD", tok)
+        return unicodedata.normalize(
+            "NFC", "".join(c for c in d if not unicodedata.combining(c)))
 
     def _edge_ngrams(self, tok: str) -> list[str]:
         out = [tok[:n] for n in range(self.min_gram,
@@ -190,10 +221,19 @@ class TextAnalyzer(Analyzer):
 
     def tokens(self, text: str) -> list[str]:
         toks = self.tokenizer.tokens(text)
+        if not self.accent:
+            toks = [self._strip_accents(t) for t in toks]
+        if self.case == "upper":
+            toks = [t.upper() for t in toks]
         if self.stopwords:
             toks = [t for t in toks if t not in self.stopwords]
-        if self.stemming:
-            toks = [porter_stem(t) for t in toks]
+        if self._stem is not None:
+            if self.case == "upper":
+                # stem the lowercase form, restore case (snowball operates
+                # on lowercase; the reference stems the converted term)
+                toks = [self._stem(t.lower()).upper() for t in toks]
+            else:
+                toks = [self._stem(t) for t in toks]
         if self.min_gram:
             toks = [g for t in toks for g in self._edge_ngrams(t)]
         return toks
@@ -203,6 +243,8 @@ class TextAnalyzer(Analyzer):
                 "stemming": self.stemming,
                 "min_gram": self.min_gram, "max_gram": self.max_gram,
                 "preserve_original": self.preserve_original,
+                "locale": self.locale, "case": self.case,
+                "accent": self.accent,
                 "tokenizer": self.tokenizer.config()}
 
 

@@ -298,7 +298,10 @@ def analyzer_from_config(cfg: dict) -> Analyzer:
                             kind=tok.get("kind", "unicode"),
                             min_gram=int(cfg.get("min_gram", 0)),
                             max_gram=int(cfg.get("max_gram", 0)),
-                            preserve_original=bool(cfg.get("preserve_original", True)))
+                            preserve_original=bool(cfg.get("preserve_original", True)),
+                            locale=cfg.get("locale"),
+                            case=cfg.get("case", "lower"),
+                            accent=bool(cfg.get("accent", True)))
     if name == "minhash":
         from iresearch_ray.analysis.minhash import MinHashAnalyzer
         return MinHashAnalyzer(analyzer_from_config(cfg["inner"]),

@@ -1,0 +1,143 @@
+"""Golden-token tests for the Snowball stemming tier of the `text`
+analyzer (reference text_token_stream.cpp stemming step).  Vectors are
+hand-traced through the published Snowball specifications."""
+
+import pytest
+
+from iresearch_ray.analysis.snowball import snowball_stemmer, stem_de, stem_en
+from iresearch_ray.analysis.stem import TextAnalyzer
+from iresearch_ray.analysis.tokenizers import analyzer_from_config
+
+EN_GOLDEN = {
+    # plurals (step 1a)
+    "cats": "cat", "ponies": "poni", "ties": "tie", "caresses": "caress",
+    "kiwis": "kiwi", "gas": "gas",
+    # ed/ing with undouble / e-restore (step 1b)
+    "hopping": "hop", "hoping": "hope", "running": "run", "sing": "sing",
+    "agreed": "agre", "conflated": "conflat", "knitting": "knit",
+    # y handling (step 1c)
+    "cry": "cri", "crying": "cri", "sky": "sky", "skies": "sky",
+    "happily": "happili",
+    # derivational suffixes (steps 2-4)
+    "quickly": "quick", "rational": "ration", "national": "nation",
+    "generously": "generous", "consistency": "consist",
+    "beautiful": "beauti", "beautifully": "beauti",
+    "consign": "consign", "consigned": "consign",
+    # exception lists
+    "dying": "die", "lying": "lie", "news": "news", "singly": "singl",
+    "proceed": "proceed", "inning": "inning",
+}
+
+DE_GOLDEN = {
+    "katzen": "katz",            # -en in R1
+    "häuser": "haus",            # -er + umlaut fold
+    "aufeinander": "aufeinand",  # -er, R2 too short for more
+    "verhältnisse": "verhaltnis",  # -e then niss -> nis
+    "laufen": "lauf",
+    "kleidung": "kleidung",      # -ung NOT in R2 (conservative, spec-true)
+    "bücher": "buch",
+    "freundlich": "freundlich",  # lich not in R2 -> kept (spec-true)
+    "schönheit": "schonheit",    # heit not in R2 -> kept (spec-true)
+    "grösse": "gross",           # ß/ss + -e
+}
+
+
+@pytest.mark.parametrize("word,expected", sorted(EN_GOLDEN.items()))
+def test_porter2_golden(word, expected):
+    assert stem_en(word) == expected
+
+
+@pytest.mark.parametrize("word,expected", sorted(DE_GOLDEN.items()))
+def test_german_golden(word, expected):
+    assert stem_de(word) == expected
+
+
+@pytest.mark.parametrize("stem", [stem_en, stem_de])
+def test_stemmers_edge_inputs(stem):
+    """Degenerate inputs must not crash and must stay deterministic
+    (Snowball stemmers are deliberately NOT idempotent — e.g. Porter2
+    agreed -> agre -> agr — so only stability across calls is asserted)."""
+    for w in ("", "a", "ab", "'", "''s", "yyy", "ßß", "x" * 50,
+              "don't", "naïve", "mädchen"):
+        assert stem(w) == stem(w)
+        assert isinstance(stem(w), str)
+
+
+def test_snowball_registry():
+    assert snowball_stemmer("en") is stem_en
+    assert snowball_stemmer("en_US") is stem_en
+    assert snowball_stemmer("de-DE") is stem_de
+    assert snowball_stemmer("fr") is None  # documented fallback: no stem
+
+
+def test_text_analyzer_locale_en():
+    ana = TextAnalyzer(locale="en", stopwords=["the"])
+    assert ana.tokens("The cats were running quickly") == \
+        ["cat", "were", "run", "quick"]
+
+
+def test_text_analyzer_locale_de_accent_fold():
+    ana = TextAnalyzer(locale="de", accent=False)
+    # accent strip happens BEFORE stemming: häuser -> hauser -> -er in R1
+    assert ana.tokens("Häuser und Katzen") == ["haus", "und", "katz"]
+
+
+def test_text_analyzer_case_modes():
+    assert TextAnalyzer(locale="en", case="none",
+                        stemming=False).tokens("Mixed CASE") == ["Mixed", "CASE"]
+    assert TextAnalyzer(locale="en", case="upper").tokens("running dogs") == \
+        ["RUN", "DOG"]
+
+
+def test_text_analyzer_locale_config_roundtrip():
+    ana = TextAnalyzer(locale="de", case="none", accent=False,
+                       stopwords=["und"], min_gram=2, max_gram=3)
+    rebuilt = analyzer_from_config(ana.config())
+    assert rebuilt.config() == ana.config()
+    for text in ("Häuser und Katzen laufen", "Schönheit der Bücher"):
+        assert rebuilt.tokens(text) == ana.tokens(text)
+
+
+def test_text_analyzer_legacy_default_unchanged():
+    """locale=None keeps the round-1 classic-Porter path so existing
+    recorded index configs reconstruct identical token streams."""
+    from iresearch_ray.analysis.stem import porter_stem
+
+    ana = TextAnalyzer()
+    assert ana.tokens("running dogs") == [porter_stem("running"),
+                                          porter_stem("dogs")]
+
+
+def test_text_analyzer_builds_index(ray_session, tmp_path):
+    """The locale analyzer is selectable end-to-end in build_index and the
+    recorded config reconstructs it for query analysis."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iresearch_ray.index import manifest as mf
+    from iresearch_ray.index.build import build_index
+    from iresearch_ray.index.segment import META_FILE
+    from iresearch_ray.search import BM25, IndexReader, IndexSearcher, TermFilter
+
+    p = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.table({
+        "url": ["a", "b", "c"],
+        "text": ["Die Häuser stehen", "Ein Haus steht", "Katzen laufen schnell"],
+    }), p)
+    idx = str(tmp_path / "idx")
+    build_index(p, idx, analyzer="text",
+                analyzer_opts={"locale": "de", "accent": False},
+                target_docs=10)
+    man = mf.load(idx)
+    seg0 = man["segments"][0]["segment_id"]
+    with open(os.path.join(idx, seg0, META_FILE)) as f:
+        cfg = json.load(f)["analyzer"]
+    assert cfg["locale"] == "de"
+    ana = analyzer_from_config(cfg)
+    # "Häuser" and "Haus" stem to the same term -> both docs match
+    q = ana.tokens("Häuser")[0]
+    hits = IndexSearcher(IndexReader(idx), BM25()).search(TermFilter(q), k=10)
+    assert sorted(hits["key"]) == ["a", "b"]
