@@ -609,11 +609,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dedup.minhash_lsh_pairs(ray_docs(sf_dir, ["doc_id", "text"]), threshold=0.9).to_pandas()
 
     def simhash_q(sf_dir):
-        return dedup.simhash_groups(ray_docs(sf_dir, ["doc_id", "text"])).to_pandas()
+        # md5 token hashes so the DuckDB oracle reproduces the sketch
+        # bit-for-bit (md5_number_lower)
+        return dedup.simhash_groups(ray_docs(sf_dir, ["doc_id", "text"]),
+                                    hash="md5").to_pandas()
 
     def fingerprints_q(sf_dir):
         out = dedup.rolling_doc_fingerprints(
-            ray_docs(sf_dir, ["doc_id", "text"])).to_pandas()
+            ray_docs(sf_dir, ["doc_id", "text"]), hash="md5").to_pandas()
         return out.sort_values(["doc_id", "fingerprint"]).reset_index(drop=True)
 
     def ann_cosine(sf_dir):
@@ -956,7 +959,57 @@ FROM embeddings e, q
 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qe) DESC, e.vec_id
 LIMIT 10
 """,
-        # minhash_pairs / simhash_groups / doc_fingerprints / ann_lsh /
-        # multimodal_features are intentionally omitted: hash-sketch and
-        # approximate operators are not ANSI-SQL-expressible -> rows-only.
+        # simhash / doc_fingerprints use md5-family token hashes
+        # (md5_number_lower) precisely so DuckDB can reproduce the
+        # sketches bit-for-bit
+        "simhash_groups": f"""
+{_TOK_CTE},
+hb AS (SELECT doc_id, md5_number_lower(unnest(ts)) AS hv FROM tok),
+bits AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM hb CROSS JOIN (SELECT unnest(range(64)) AS b) GROUP BY doc_id, b),
+sh AS (SELECT doc_id,
+              sum(CASE WHEN s > 0 THEN (1::UBIGINT << b)::HUGEINT
+                       ELSE 0 END) AS v
+       FROM bits GROUP BY doc_id),
+per_doc AS (
+  SELECT t.doc_id,
+         (coalesce(sh.v, 0)
+          - CASE WHEN coalesce(sh.v, 0) >= 9223372036854775808::HUGEINT
+                 THEN 18446744073709551616::HUGEINT ELSE 0 END)::BIGINT
+           AS simhash
+  FROM tok t LEFT JOIN sh ON t.doc_id = sh.doc_id)
+SELECT simhash, count(*)::BIGINT AS dup_count, min(doc_id)::BIGINT AS keep_id
+FROM per_doc GROUP BY simhash
+""",
+        "doc_fingerprints": f"""
+{_TOK_CTE},
+hs AS (SELECT doc_id,
+              list_transform(ts, w -> md5_number_lower(w)::HUGEINT) AS hv,
+              len(ts) AS n
+       FROM tok WHERE len(ts) > 0),
+win AS (SELECT doc_id, hv, least(n, 5) AS kk,
+               unnest(range(n - least(n, 5) + 1)) AS i
+        FROM hs),
+wh AS (SELECT doc_id, i,
+              list_reduce(hv[i+1:i+kk],
+                          (a, b) -> (a * 1099511628211 + b)
+                                    % 18446744073709551616::HUGEINT) AS h
+       FROM win),
+samp AS (SELECT doc_id, h FROM wh WHERE h % 8 = 0),
+pick AS (
+  SELECT doc_id, h FROM samp
+  UNION ALL
+  SELECT f.doc_id, f.h FROM wh f
+  WHERE f.i = 0 AND f.doc_id NOT IN (SELECT doc_id FROM samp))
+SELECT DISTINCT doc_id,
+       (h - CASE WHEN h >= 9223372036854775808::HUGEINT
+                 THEN 18446744073709551616::HUGEINT ELSE 0 END)::BIGINT
+         AS fingerprint
+FROM pick
+""",
+        # minhash_pairs / ann_lsh / ann_ivf / multimodal_features remain
+        # intentionally omitted: banding + approximate probing are not
+        # ANSI-SQL-expressible -> rows-only.
     }

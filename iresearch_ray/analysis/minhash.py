@@ -23,6 +23,20 @@ def stable_hash_strings(values) -> np.ndarray:
     return pd.util.hash_array(arr, categorize=False)
 
 
+def md5_hash_strings(values) -> np.ndarray:
+    """64-bit hash equal to DuckDB's ``md5_number_lower`` (bytes 8..16 of
+    the md5 digest, little-endian) — lets SQL oracles reproduce sketch
+    pipelines exactly.  Python-loop md5: apply to batch DICTIONARIES
+    (unique terms), not per occurrence."""
+    import hashlib
+
+    out = np.empty(len(values), dtype=np.uint64)
+    for i, v in enumerate(values):
+        out[i] = int.from_bytes(hashlib.md5(v.encode()).digest()[8:16],
+                                "little")
+    return out
+
+
 def _affine_params(num_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
     a = rng.integers(1, (1 << 61) - 1, size=num_hashes, dtype=np.uint64) | np.uint64(1)

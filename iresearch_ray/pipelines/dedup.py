@@ -230,11 +230,23 @@ def minhash_lsh_pairs(ds, text_column: str = "text", id_column: str = "doc_id",
     return ray.data.from_pandas(pairs)
 
 
+def _term_hasher(name: str):
+    """Token-hash family: 'stable' (fast pandas hash) or 'md5'
+    (reproducible in SQL as DuckDB md5_number_lower, enabling exact
+    oracles for sketch pipelines)."""
+    if name == "md5":
+        from iresearch_ray.analysis.minhash import md5_hash_strings
+
+        return md5_hash_strings
+    return stable_hash_strings
+
+
 def rolling_doc_fingerprints(ds, text_column: str = "text",
                              id_column: str = "doc_id",
                              analyzer: str = "ascii", k: int = 5,
                              sample_mod: int = 8,
-                             concurrency: int | None = None):
+                             concurrency: int | None = None,
+                             hash: str = "stable"):
     """Distributed document fingerprinting: Rabin-Karp rolling hash over
     k-token windows, 0-mod-q sampled -> Dataset(id, fingerprint).
 
@@ -243,6 +255,8 @@ def rolling_doc_fingerprints(ds, text_column: str = "text",
     per-occurrence hashes, then runs the vectorized rolling kernel."""
     from iresearch_ray.analysis.minhash import rolling_fingerprints
     from iresearch_ray.pipelines.textstats import _coded_tokens
+
+    hasher = _term_hasher(hash)
 
     class FpBatch:
         def __init__(self):
@@ -253,7 +267,7 @@ def rolling_doc_fingerprints(ds, text_column: str = "text",
                 self.analyzer, b[text_column])
             offs = np.zeros(len(doc_len) + 1, dtype=np.int64)
             np.cumsum(doc_len, out=offs[1:])
-            th = (stable_hash_strings(dict_np)[codes] if len(dict_np)
+            th = (hasher(dict_np)[codes] if len(dict_np)
                   else np.empty(0, np.uint64))
             d, f = rolling_fingerprints(th, offs, k=k, sample_mod=sample_mod)
             ids = b[id_column].to_numpy()
@@ -265,23 +279,26 @@ def rolling_doc_fingerprints(ds, text_column: str = "text",
 
 
 def simhash_groups(ds, text_column: str = "text", id_column: str = "doc_id",
-                   analyzer: str = "ascii", concurrency: int | None = None):
+                   analyzer: str = "ascii", concurrency: int | None = None,
+                   hash: str = "stable"):
     """Exact-bucket SimHash dedup: -> (simhash, dup_count, keep_id)."""
     from ray.data.aggregate import Count, Min
+
+    from iresearch_ray.pipelines.textstats import _coded_tokens
+
+    hasher = _term_hasher(hash)
 
     class SimBatch:
         def __init__(self):
             self.analyzer = get_analyzer(analyzer)
 
         def __call__(self, b: pa.Table) -> pa.Table:
-            texts = b[text_column].to_pylist()
-            toks: list[str] = []
-            offs = np.zeros(len(texts) + 1, dtype=np.int64)
-            for i, t in enumerate(texts):
-                ts = self.analyzer.tokens(t)
-                toks.extend(ts)
-                offs[i + 1] = len(toks)
-            th = stable_hash_strings(toks) if toks else np.empty(0, np.uint64)
+            codes, dict_np, _, doc_len = _coded_tokens(
+                self.analyzer, b[text_column])
+            offs = np.zeros(len(doc_len) + 1, dtype=np.int64)
+            np.cumsum(doc_len, out=offs[1:])
+            th = (hasher(dict_np)[codes] if len(dict_np)
+                  else np.empty(0, np.uint64))
             sh = simhash(th, offs)
             return pa.table({"simhash": pa.array(sh.view(np.int64)),
                              id_column: b[id_column]})
