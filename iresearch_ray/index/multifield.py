@@ -87,6 +87,12 @@ class _FieldBound(Prepared):
         self.prep = prep
         self.segs_by_id = segs_by_id
 
+    def route(self, seg):
+        """(inner prepared, this field's same-id segment view) — lets the
+        executor's WAND kernels prune field-bound terms with the FIELD's
+        skip/block-max metadata instead of falling back to a full scan."""
+        return self.prep, self.segs_by_id.get(seg.id)
+
     def execute(self, seg):
         mine = self.segs_by_id.get(seg.id)
         if mine is None:
@@ -141,8 +147,9 @@ class MultiFieldSearcher(IndexSearcher):
     def search(self, flt, k: int = 10, mode: str = "all") -> pd.DataFrame:
         if not isinstance(flt, Fielded) and not _has_fielded(flt):
             flt = Fielded(self.reader.default_field, flt)
-        # mode forwards; _FieldBound wrappers execute unpruned today, so
-        # 'top' is behavior-identical until field-bound WAND lands
+        # mode='top': _FieldBound.route hands the executor's WAND kernels
+        # the field's own aligned segment + block-max metadata, so
+        # field-bound terms and cross-field unions prune like plain ones
         return super().search(flt, k=k, mode=mode)
 
 

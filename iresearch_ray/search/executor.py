@@ -145,14 +145,20 @@ class IndexSearcher:
         cand_scores: list[np.ndarray] = []
         threshold = -np.inf
         for seg in self.reader.segments:
-            if (mode == "top" and isinstance(prep, _PreparedTerm)
-                    and seg.mask is None):  # masked scores must not prune
-                docs, scores = _wand_term(prep, seg, k, threshold)
-            elif (mode == "top" and isinstance(prep, _PreparedUnion)
-                    and seg.mask is None
-                    and all(isinstance(c, _PreparedTerm)
-                            for c in prep.children)):
-                docs, scores = _wand_union(prep, seg, threshold)
+            # field-bound wrappers re-route to their own sub-index's
+            # aligned segment so WAND prunes with that field's block-max
+            node, eseg = prep.route(seg)
+            if (mode == "top" and isinstance(node, _PreparedTerm)
+                    and eseg is not None and seg.mask is None
+                    and eseg.mask is None):  # masked scores must not prune
+                docs, scores = _wand_term(node, eseg, k, threshold)
+            elif (mode == "top" and isinstance(node, _PreparedUnion)
+                    and eseg is not None and seg.mask is None
+                    and all(isinstance(c.route(eseg)[0], _PreparedTerm)
+                            and (c.route(eseg)[1] is None
+                                 or c.route(eseg)[1].mask is None)
+                            for c in node.children)):
+                docs, scores = _wand_union(node, eseg, threshold)
             else:
                 docs, scores = prep.execute(seg)
             docs, scores = seg.apply_mask(docs, scores)
@@ -209,23 +215,28 @@ def _wand_union(prep, seg: SegmentView,
     dtype = prep.dtype
     infos: list[dict | None] = []
     for c in kids:
-        i = c.idx_by_seg.get(seg.id, -1)
+        # per-child routing: a field-bound child reads ITS sub-index's
+        # aligned segment (postings, skips, doc_len norms) — local doc ids
+        # align across fields by construction
+        node, cseg = c.route(seg)
+        i = node.idx_by_seg.get(cseg.id, -1) if cseg is not None else -1
         if i < 0:
             infos.append(None)
             continue
-        sk = seg.reader.skips(i)
+        sk = cseg.reader.skips(i)
         if sk is None or len(sk["last_doc"]) < 8:
-            docs, freqs = seg.reader.postings(i)
+            docs, freqs = cseg.reader.postings(i)
             docs = docs.astype(np.int64, copy=False)
-            scores = c.sp.score(freqs, seg.reader.doc_len[docs - 1], seg.tiny)
+            scores = node.sp.score(freqs, cseg.reader.doc_len[docs - 1],
+                                   cseg.tiny)
             infos.append({"full": (docs, scores),
                           "max_ub": float(scores.max()) if len(scores) else 0.0})
         else:
-            ub = c.sp.score(sk["max_freq"],
-                            np.zeros(len(sk["max_freq"]), dtype=np.int64),
-                            seg.tiny)
-            infos.append({"sk": sk, "i": i, "ub": ub, "prep": c,
-                          "max_ub": float(ub.max())})
+            ub = node.sp.score(sk["max_freq"],
+                               np.zeros(len(sk["max_freq"]), dtype=np.int64),
+                               cseg.tiny)
+            infos.append({"sk": sk, "i": i, "ub": ub, "prep": node,
+                          "seg": cseg, "max_ub": float(ub.max())})
     live = [x for x in infos if x is not None]
     if not live:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=dtype)
@@ -245,18 +256,18 @@ def _wand_union(prep, seg: SegmentView,
             if need.mean() > 0.5:
                 # pruning degenerates (head terms / loose threshold): one
                 # whole-blob varint pass beats per-block decodes
-                docs, freqs = seg.reader.postings(x["i"])
+                docs, freqs = x["seg"].reader.postings(x["i"])
                 docs = docs.astype(np.int64, copy=False)
                 scores = x["prep"].sp.score(freqs,
-                                            seg.reader.doc_len[docs - 1],
-                                            seg.tiny)
+                                            x["seg"].reader.doc_len[docs - 1],
+                                            x["seg"].tiny)
                 infos[ci] = x = {"full": (docs, scores),
                                  "max_ub": x["max_ub"]}
                 child_data[ci] = x["full"]
                 parts.append(docs)
                 continue
             decoded[ci] = need
-            docs, freqs = seg.reader.decode_blocks(x["i"], need)
+            docs, freqs = x["seg"].reader.decode_blocks(x["i"], need)
             child_data[ci] = (docs.astype(np.int64, copy=False), freqs)
             parts.append(child_data[ci][0])
     if not decoded:  # every child fully decoded -> plain exact union
@@ -281,7 +292,7 @@ def _wand_union(prep, seg: SegmentView,
         need_extra[np.unique(blk)] = True
         extra = need_extra & ~decoded[ci]
         if extra.any():
-            d2, f2 = seg.reader.decode_blocks(x["i"], extra)
+            d2, f2 = x["seg"].reader.decode_blocks(x["i"], extra)
             d0, f0 = child_data[ci]
             docs = np.concatenate([d0, d2.astype(np.int64, copy=False)])
             freqs = np.concatenate([f0, f2])
@@ -295,8 +306,9 @@ def _wand_union(prep, seg: SegmentView,
         if "full" in x:
             scores = payload
         else:
-            scores = x["prep"].sp.score(payload, seg.reader.doc_len[docs - 1],
-                                        seg.tiny)
+            scores = x["prep"].sp.score(payload,
+                                        x["seg"].reader.doc_len[docs - 1],
+                                        x["seg"].tiny)
         at = np.searchsorted(cand, docs)
         member = (at < len(cand)) & (cand[np.minimum(at, len(cand) - 1)] == docs)
         docs_l.append(docs[member])

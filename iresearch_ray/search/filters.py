@@ -101,6 +101,12 @@ class Prepared:
     def execute(self, seg) -> tuple[np.ndarray, np.ndarray]:
         raise NotImplementedError
 
+    def route(self, seg):
+        """(node, segment) the executor should run WAND kernels against —
+        identity by default; field-bound wrappers re-route to their own
+        sub-index's aligned segment (doc ids align by construction)."""
+        return self, seg
+
 
 
 def _isin_sorted(keys: np.ndarray, k: np.ndarray) -> np.ndarray:

@@ -79,3 +79,65 @@ def test_phrase_in_field(built):
     s = MultiFieldSearcher(r, BM25())
     res = s.search(Fielded("body", PhraseFilter(["body", "text"])), k=N)
     assert len(res) == N
+
+
+@pytest.fixture(scope="module")
+def built_large(ray_session, tmp_path_factory):
+    """Corpus sized so head terms span >8 posting blocks per segment —
+    the threshold below which WAND falls back to full decode."""
+    base = tmp_path_factory.mktemp("mf_wand")
+    rng = np.random.default_rng(7)
+    n = 4000
+    t_words = ["alpha", "beta", "gamma", "delta"]
+    b_words = ["red", "green", "blue", "cyan"]
+    titles, bodies = [], []
+    for i in range(n):
+        tw = [w for w, p in zip(t_words, (0.7, 0.4, 0.1, 0.02))
+              if rng.random() < p]
+        bw = [w for w, p in zip(b_words, (0.8, 0.3, 0.08, 0.02))
+              if rng.random() < p]
+        titles.append(" ".join(tw * (1 + int(rng.integers(0, 3)))) or "pad")
+        bodies.append(" ".join(bw * (1 + int(rng.integers(0, 3)))) or "pad")
+    t = pa.table({"url": [f"u{i:05d}" for i in range(n)],
+                  "title": titles, "body": bodies})
+    path = str(base / "p.parquet")
+    pq.write_table(t, path, row_group_size=500)
+    index_dir = str(base / "idx")
+    build_multifield(path, index_dir, fields={
+        "title": {"analyzer": "ascii"},
+        "body": {"analyzer": "ascii"},
+    }, target_docs=2000)
+    return index_dir
+
+
+def test_multifield_wand_equals_all_fuzz(built_large):
+    """mode='top' must return the same top-k as mode='all' for
+    field-routed terms and cross-field unions: _FieldBound.route hands
+    WAND the field's own block-max metadata (previously unpruned)."""
+    from iresearch_ray.search import OrFilter
+
+    r = MultiFieldReader(built_large, default_field="body")
+    s = MultiFieldSearcher(r, BM25())
+    rng = np.random.default_rng(11)
+    t_words = ["alpha", "beta", "gamma", "delta"]
+    b_words = ["red", "green", "blue", "cyan"]
+
+    cases = []
+    for w in t_words:
+        cases.append(lambda w=w: Fielded("title", TermFilter(w)))
+    for w in b_words:
+        cases.append(lambda w=w: TermFilter(w))  # default field
+    for _ in range(12):
+        kids = []
+        for w in rng.choice(t_words, size=rng.integers(1, 3), replace=False):
+            kids.append(Fielded("title", TermFilter(str(w))))
+        for w in rng.choice(b_words, size=rng.integers(1, 3), replace=False):
+            kids.append(Fielded("body", TermFilter(str(w))))
+        mm = int(rng.integers(1, len(kids) + 1))
+        cases.append(lambda kids=kids, mm=mm: OrFilter(list(kids), min_match=mm))
+
+    for make in cases:
+        a = s.search(make(), k=10, mode="all")
+        t_ = s.search(make(), k=10, mode="top")
+        assert list(a["doc"]) == list(t_["doc"])
+        assert np.array_equal(a["score"].to_numpy(), t_["score"].to_numpy())
