@@ -366,6 +366,40 @@ def flatten_batch_arrow(analyzer: Analyzer, texts) -> dict[str, np.ndarray]:
             "position": position, "doc_len": doc_len}
 
 
+def flatten_batch_offsets(analyzer: Analyzer, texts: list[str]) -> dict[str, np.ndarray]:
+    """Like ``flatten_batch`` but also emits per-occurrence char offsets
+    into the ORIGINAL text (``start``/``end``) — the OFFS index feature
+    (reference token_attributes offset; formats_10.cpp .pay stream).
+    Requires ``analyzer.tokens_with_offsets``; slower than the coded path
+    (per-doc Python), which is the documented cost of requesting offsets."""
+    toks_all: list[str] = []
+    starts_l: list[np.ndarray] = []
+    ends_l: list[np.ndarray] = []
+    counts = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        if t is None:
+            counts[i] = 0
+            continue
+        toks, starts, ends = analyzer.tokens_with_offsets(t)
+        counts[i] = len(toks)
+        toks_all.extend(toks)
+        starts_l.append(starts)
+        ends_l.append(ends)
+    total = int(counts.sum())
+    doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    run_starts = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=run_starts[1:])
+    position = np.arange(total, dtype=np.int64) - np.repeat(run_starts, counts)
+    terms = np.empty(total, dtype=object)
+    terms[:] = toks_all
+    return {"terms": terms, "doc_idx": doc_idx, "position": position,
+            "doc_len": counts,
+            "start": (np.concatenate(starts_l) if starts_l
+                      else np.empty(0, dtype=np.int64)),
+            "end": (np.concatenate(ends_l) if ends_l
+                    else np.empty(0, dtype=np.int64))}
+
+
 def flatten_batch(analyzer: Analyzer, texts: list[str]) -> dict[str, np.ndarray]:
     """Tokenize a batch into flat postings-ready arrays.
 

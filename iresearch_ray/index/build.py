@@ -91,7 +91,8 @@ def plan_segments(paths, target_docs: int = DEFAULT_TARGET_DOCS,
 
 def _lineage(spec: dict, analyzer_cfg: dict, text_column: str, key_column: str,
              store_columns: tuple = (), sort_by: str | None = None,
-             sort_descending: bool = False) -> dict:
+             sort_descending: bool = False,
+             index_features: tuple = ("pos",)) -> dict:
     lin = {
         "file": os.path.basename(str(spec["file"])),
         "row_groups": [int(g) for g in spec["row_groups"]],
@@ -105,6 +106,8 @@ def _lineage(spec: dict, analyzer_cfg: dict, text_column: str, key_column: str,
         lin["store_columns"] = list(store_columns)
     if sort_by:
         lin["sort_by"] = [sort_by, bool(sort_descending)]
+    if tuple(index_features) != ("pos",):
+        lin["index_features"] = sorted(index_features)
     lin["hash"] = hashlib.sha256(
         json.dumps(lin, sort_keys=True).encode()).hexdigest()[:16]
     return lin
@@ -130,7 +133,8 @@ class BuildSegmentTask:
     def __init__(self, index_dir: str, analyzer_name: str, analyzer_opts: dict,
                  text_column: str, key_column: str,
                  store_columns: tuple = (), sort_by: str | None = None,
-                 sort_descending: bool = False):
+                 sort_descending: bool = False,
+                 index_features: tuple = ("pos",)):
         self.index_dir = index_dir
         self.analyzer = get_analyzer(analyzer_name, **analyzer_opts)
         self.text_column = text_column
@@ -138,6 +142,12 @@ class BuildSegmentTask:
         self.store_columns = tuple(store_columns)
         self.sort_by = sort_by
         self.sort_descending = bool(sort_descending)
+        self.index_features = tuple(index_features)
+        if "offs" in self.index_features and not hasattr(
+                self.analyzer, "tokens_with_offsets"):
+            raise ValueError(
+                f"analyzer {analyzer_name!r} has no offset support; the "
+                "'offs' index feature needs tokens_with_offsets")
 
     def __call__(self, batch: dict) -> dict:
         out = {"segment_id": [], "num_docs": [], "sum_doc_len": [], "num_terms": [],
@@ -160,7 +170,8 @@ class BuildSegmentTask:
         t0 = time.monotonic()
         lineage = _lineage(spec, self.analyzer.config(), self.text_column,
                            self.key_column, self.store_columns,
-                           self.sort_by, self.sort_descending)
+                           self.sort_by, self.sort_descending,
+                           self.index_features)
         seg_dir = os.path.join(self.index_dir, spec["segment_id"])
         if _segment_done(self.index_dir, spec["segment_id"], lineage["hash"]):
             with open(os.path.join(seg_dir, META_FILE)) as f:
@@ -194,9 +205,17 @@ class BuildSegmentTask:
                  "descending" if self.sort_descending else "ascending")])
             batches = whole.take(order).to_batches(
                 max_chunksize=TOKENIZE_BATCH_ROWS)
+        want_offs = "offs" in self.index_features
         for rb in batches:
             keys = rb.column(self.key_column).cast(pa.string()).to_pylist()
-            if arrow_fast:
+            if want_offs:
+                # offsets need per-doc tokens_with_offsets (no coded path)
+                from iresearch_ray.analysis.tokenizers import flatten_batch_offsets
+
+                texts = rb.column(self.text_column).to_pylist()
+                writer.add_batch(flatten_batch_offsets(self.analyzer, texts),
+                                 keys)
+            elif arrow_fast:
                 writer.add_batch_coded(
                     flatten_batch_arrow(self.analyzer, rb.column(self.text_column)),
                     keys)
@@ -233,7 +252,8 @@ def build_index(paths, index_dir: str, analyzer: str = "unicode",
                 use_actors: bool = False, cpus_per_task: int = 1,
                 store_columns: tuple = (), segment_prefix: str = "seg-",
                 sort_by: str | None = None,
-                sort_descending: bool = False) -> dict:
+                sort_descending: bool = False,
+                index_features: tuple = ("pos",)) -> dict:
     """Build (or resume) an index over Parquet inputs; returns the manifest.
 
     ``cpus_per_task`` reserves that many CPUs per segment task — raise to 2
@@ -266,7 +286,8 @@ def build_index(paths, index_dir: str, analyzer: str = "unicode",
                 analyzer_opts=analyzer_opts,
                 text_column=text_column, key_column=key_column,
                 store_columns=tuple(store_columns), sort_by=sort_by,
-                sort_descending=sort_descending)
+                sort_descending=sort_descending,
+                index_features=tuple(index_features))
     if use_actors:
         stats_ds = ds.map_batches(
             BuildSegmentTask, fn_constructor_kwargs=ctor,

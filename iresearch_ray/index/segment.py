@@ -78,6 +78,8 @@ class SegmentWriter:
         self._dict_chunks: list[np.ndarray] = []
         self._doc_chunks: list[np.ndarray] = []
         self._pos_chunks: list[np.ndarray] = []
+        self._off_start_chunks: list[np.ndarray] = []  # OFFS feature
+        self._off_end_chunks: list[np.ndarray] = []
         self._doc_len_chunks: list[np.ndarray] = []
         self._key_chunks: list = []
         self._stored_chunks: list[pa.Table] = []  # columnstore (STORE action)
@@ -102,6 +104,9 @@ class SegmentWriter:
         self._term_chunks.append(flat["terms"])
         self._doc_chunks.append(flat["doc_idx"] + (self._num_docs + 1))
         self._pos_chunks.append(flat["position"])
+        if "start" in flat:  # OFFS feature: per-occurrence char offsets
+            self._off_start_chunks.append(flat["start"])
+            self._off_end_chunks.append(flat["end"])
         self._doc_len_chunks.append(flat["doc_len"])
         self._key_chunks.append(np.asarray(keys))
         self._num_docs += n
@@ -153,10 +158,16 @@ class SegmentWriter:
             terms = (np.concatenate(self._term_chunks) if self._term_chunks
                      else np.empty(0, dtype=object))
             n_tokens = len(terms)
-            table = invert_to_table(terms, docs, poss)
+            offs = None
+            if self._off_start_chunks:
+                offs = (np.concatenate(self._off_start_chunks),
+                        np.concatenate(self._off_end_chunks))
+            table = invert_to_table(terms, docs, poss, offs=offs)
         meta = {
             "format_version": FORMAT_VERSION,
             "segment_id": self.segment_id,
+            "index_features": (["offs", "pos"] if self._off_start_chunks
+                               else ["pos"]),
             "num_docs": int(self._num_docs),
             "sum_doc_len": int(doc_lens.sum()),
             "max_doc_len": int(doc_lens.max()) if len(doc_lens) else 0,
@@ -187,19 +198,23 @@ class SegmentWriter:
         return meta
 
 
-def invert_to_table(terms: np.ndarray, docs: np.ndarray, poss: np.ndarray) -> pa.Table:
+def invert_to_table(terms: np.ndarray, docs: np.ndarray, poss: np.ndarray,
+                    offs: tuple[np.ndarray, np.ndarray] | None = None) -> pa.Table:
     """Build the term-dictionary table from flat (term, doc, position) rows.
 
     One factorize + one stable sort; postings ordered by (term bytes, doc id,
     position) — the doc-order invariant the reference enforces
-    (formats_10.cpp:823-828).
+    (formats_10.cpp:823-828).  ``offs``: optional (start, end) char-offset
+    arrays aligned with occurrences (the OFFS index feature).
     """
     codes, uniques = pd.factorize(terms, sort=True)
-    return invert_coded(codes, np.asarray(uniques, dtype=object), docs, poss)
+    return invert_coded(codes, np.asarray(uniques, dtype=object), docs, poss,
+                        offs=offs)
 
 
 def invert_coded(codes: np.ndarray, sorted_uniques: np.ndarray,
-                 docs: np.ndarray, poss: np.ndarray) -> pa.Table:
+                 docs: np.ndarray, poss: np.ndarray,
+                 offs: tuple[np.ndarray, np.ndarray] | None = None) -> pa.Table:
     """Invert from pre-coded occurrences (codes are ranks into the SORTED
     unique-term array) — the zero-object fast path's entry point."""
     uniques = sorted_uniques
@@ -217,6 +232,8 @@ def invert_coded(codes: np.ndarray, sorted_uniques: np.ndarray,
     else:
         order = np.lexsort((poss, docs, codes))
     codes, docs, poss = codes[order], docs[order], poss[order]
+    if offs is not None:
+        offs = (offs[0][order], offs[1][order])
 
     # posting (term,doc) run boundaries
     if len(codes):
@@ -239,13 +256,15 @@ def invert_coded(codes: np.ndarray, sorted_uniques: np.ndarray,
 
     term_post_offs = np.r_[t_starts, len(p_docs)].astype(np.int64)   # len n_terms+1
     return encode_postings_table(np.asarray(uniques, dtype=object), term_post_offs,
-                                 p_docs, freqs, poss, np.r_[p_starts, len(codes)])
+                                 p_docs, freqs, poss, np.r_[p_starts, len(codes)],
+                                 offs=offs)
 
 
 def encode_postings_table(uniques: np.ndarray, term_post_offs: np.ndarray,
                           p_docs: np.ndarray, freqs: np.ndarray,
                           poss: np.ndarray,
-                          posting_offs_in_tokens: np.ndarray) -> pa.Table:
+                          posting_offs_in_tokens: np.ndarray,
+                          offs: tuple[np.ndarray, np.ndarray] | None = None) -> pa.Table:
     """Encode already-inverted postings into the terms.parquet schema.
 
     Inputs: sorted unique terms; per-term posting offsets (len n_terms+1);
@@ -331,7 +350,7 @@ def encode_postings_table(uniques: np.ndarray, term_post_offs: np.ndarray,
     term_pos_offs = posting_pos_off  # per-posting; per-term via term_post_offs
     term_pos_byte_offs = term_pos_offs[term_post_offs]
 
-    return pa.table({
+    cols = {
         "term": pa.array(uniques.tolist(), type=pa.string()),
         "df": pa.array(df, type=pa.int64()),
         "ttf": pa.array(ttf, type=pa.int64()),
@@ -345,7 +364,28 @@ def encode_postings_table(uniques: np.ndarray, term_post_offs: np.ndarray,
         "skip_freq_off": _large_list_array(skip_freq_off, skip_offs),
         "skip_pos_off": _large_list_array(skip_pos_off, skip_offs),
         "skip_pos_cnt": _large_list_array(skip_pos_cnt, skip_offs),
-    })
+    }
+    if offs is not None:
+        # OFFS feature (reference .pay/offset stream, formats_10.cpp:
+        # 345-353): per-occurrence char offsets, laid out exactly like
+        # positions — starts delta-encoded per posting run, lengths
+        # (end - start) as plain varints — so term-slice byte offsets
+        # reuse the position bookkeeping shape
+        starts, ends = offs
+        os_deltas = codec.positions_delta_encode(starts, posting_offs_in_tokens)
+        os_nb = codec.varint_nbytes(os_deltas)
+        os_cum = np.zeros(len(os_deltas) + 1, dtype=np.int64)
+        np.cumsum(os_nb, out=os_cum[1:])
+        lens = (ends - starts).astype(np.int64)
+        ln_nb = codec.varint_nbytes(lens)
+        ln_cum = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(ln_nb, out=ln_cum[1:])
+        tok_offs = posting_offs_in_tokens[term_post_offs]
+        cols["offs_start_blob"] = _binary_array(codec.varint_encode(os_deltas),
+                                                os_cum[tok_offs])
+        cols["offs_len_blob"] = _binary_array(codec.varint_encode(lens),
+                                              ln_cum[tok_offs])
+    return pa.table(cols)
 
 
 def write_segment_dir(index_dir: str, segment_id: str, terms: pa.Table,
@@ -597,6 +637,32 @@ class SegmentReader:
                 self._post_cache_size -= sum(len(a) for a in old
                                              if isinstance(a, np.ndarray))
         return keys
+
+    @property
+    def has_offsets(self) -> bool:
+        return "offs_start_blob" in self.terms_table.column_names
+
+    def postings_offsets(self, idx: int):
+        """Decode term row ``idx`` with stored char offsets (OFFS feature)
+        -> (docs, freqs, starts, ends, run_offsets).  Raises if the index
+        was built without ``index_features=('pos', 'offs')``."""
+        if not self.has_offsets:
+            raise ValueError(
+                "segment has no stored offsets; build with "
+                "index_features=('pos', 'offs') or use re-tokenizing "
+                "highlight()")
+        tbl = self.terms_table
+        docs, freqs = self.postings(idx)
+        run_offs = np.zeros(len(freqs) + 1, dtype=np.int64)
+        np.cumsum(freqs, out=run_offs[1:])
+        s_blob = np.frombuffer(tbl["offs_start_blob"][idx].as_py(), dtype=np.uint8)
+        s_deltas = codec.varint_decode(s_blob).astype(np.int64)
+        glob = np.cumsum(s_deltas)
+        prior = np.r_[0, glob][run_offs[:-1]]
+        starts = glob - np.repeat(prior, freqs)
+        l_blob = np.frombuffer(tbl["offs_len_blob"][idx].as_py(), dtype=np.uint8)
+        lens = codec.varint_decode(l_blob).astype(np.int64)
+        return docs, freqs, starts, starts + lens, run_offs
 
     def skips(self, idx: int) -> dict | None:
         tbl = self.terms_table

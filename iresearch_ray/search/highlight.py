@@ -46,6 +46,39 @@ def highlight(reader, global_docs, terms, analyzer,
     return pd.DataFrame(rows)
 
 
+def highlight_indexed(reader, global_docs, terms) -> pd.DataFrame:
+    """Spans from STORED per-posting offsets (the OFFS index feature,
+    ``build_index(index_features=('pos', 'offs'))``) — no re-tokenization
+    and no stored text needed: DataFrame(doc, term, start, end), identical
+    to ``highlight`` because both derive from tokens_with_offsets."""
+    want = np.sort(np.asarray(global_docs, dtype=np.int64))
+    rows = {"doc": [], "term": [], "start": [], "end": []}
+    for seg in reader.segments:
+        lo = np.searchsorted(want, seg.base, side="right")
+        hi = np.searchsorted(want, seg.base + seg.reader.num_docs,
+                             side="right")
+        local = want[lo:hi] - seg.base  # 1-based local ids
+        if not len(local):
+            continue
+        for t in terms:
+            i = seg.reader.lookup(t)
+            if i < 0:
+                continue
+            docs, freqs, starts, ends, run_offs = \
+                seg.reader.postings_offsets(i)
+            at = np.searchsorted(docs, local)
+            ok = (at < len(docs)) & (docs[np.minimum(at, len(docs) - 1)] == local)
+            for j, d in zip(at[ok], local[ok]):
+                for s, e in zip(starts[run_offs[j]:run_offs[j + 1]],
+                                ends[run_offs[j]:run_offs[j + 1]]):
+                    rows["doc"].append(int(d + seg.base))
+                    rows["term"].append(t)
+                    rows["start"].append(int(s))
+                    rows["end"].append(int(e))
+    out = pd.DataFrame(rows)
+    return out.sort_values(["doc", "start"]).reset_index(drop=True) if len(out) else out
+
+
 def highlight_snippets(reader, global_docs, terms, analyzer,
                        text_column: str = "text", context: int = 30,
                        tag_open: str = "<em>", tag_close: str = "</em>",

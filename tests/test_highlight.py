@@ -56,3 +56,81 @@ def test_highlight_requires_offset_analyzer(built):
     reader, _ = built
     with pytest.raises(TypeError):
         highlight(reader, np.array([1]), ["x"], object())
+
+
+@pytest.fixture(scope="module")
+def built_offs(ray_session, tmp_path_factory):
+    """Index built WITH the OFFS feature (stored per-posting offsets)."""
+    base = tmp_path_factory.mktemp("hl_offs")
+    rng = np.random.default_rng(3)
+    words = ["probe", "alpha", "beta", "gamma", "filler", "words"]
+    texts = ["The Probe term appears here, then probe again later.",
+             "no match at all in this one",
+             "probe at the very start",
+             "UPPERCASE PROBE ONLY"]
+    texts += [" ".join(rng.choice(words, size=rng.integers(3, 12)))
+              for _ in range(200)]
+    t = pa.table({"url": [f"u{i:03d}" for i in range(len(texts))],
+                  "text": texts})
+    path = str(base / "p.parquet")
+    pq.write_table(t, path, row_group_size=64)
+    index_dir = str(base / "idx")
+    build_index(path, index_dir, analyzer="ascii", target_docs=100,
+                store_columns=("text",), index_features=("pos", "offs"))
+    return IndexReader(index_dir), texts
+
+
+def test_offsets_roundtrip(built_offs):
+    """Stored offsets decode to exactly the analyzer's spans."""
+    reader, texts = built_offs
+    ana = get_analyzer("ascii")
+    seg = reader.segments[0]
+    assert seg.reader.has_offsets
+    i = seg.reader.lookup("probe")
+    docs, freqs, starts, ends, run_offs = seg.reader.postings_offsets(i)
+    for j, d in enumerate(docs):
+        src = texts[int(d + seg.base) - 1]
+        toks, ts, te = ana.tokens_with_offsets(src)
+        want = [(s, e) for t_, s, e in zip(toks, ts, te) if t_ == "probe"]
+        got = list(zip(starts[run_offs[j]:run_offs[j + 1]],
+                       ends[run_offs[j]:run_offs[j + 1]]))
+        assert got == want, (d, got, want)
+
+
+def test_highlight_indexed_equals_retokenize(built_offs):
+    """Index-backed highlight (no re-tokenization) must equal the
+    stored-text re-tokenize path span for span."""
+    import pandas as pd
+
+    from iresearch_ray.search.highlight import highlight_indexed
+
+    reader, texts = built_offs
+    res = IndexSearcher(reader, BM25()).search(TermFilter("probe"), k=50)
+    docs = res["doc"].to_numpy()
+    a = highlight_indexed(reader, docs, ["probe", "alpha"])
+    b = highlight(reader, docs, ["probe", "alpha"], get_analyzer("ascii"))
+    b = b.sort_values(["doc", "start"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        a[["doc", "term", "start", "end"]].astype({"doc": np.int64}),
+        b[["doc", "term", "start", "end"]].astype({"doc": np.int64}))
+    # spans index the original text
+    for _, r in a.iterrows():
+        assert texts[int(r["doc"]) - 1][r["start"]:r["end"]].lower() == r["term"]
+
+
+def test_offs_feature_guards(built, built_offs, tmp_path):
+    """Plain indexes reject postings_offsets; offs-indexes reject
+    consolidation (documented limitation); offs needs an offset-capable
+    analyzer."""
+    from iresearch_ray.index.merge import consolidate
+
+    plain_reader, _ = built
+    with pytest.raises(ValueError):
+        plain_reader.segments[0].reader.postings_offsets(0)
+    offs_reader, _ = built_offs
+    with pytest.raises(NotImplementedError):
+        consolidate(offs_reader.index_dir, 10_000)
+    from iresearch_ray.index.build import BuildSegmentTask
+    with pytest.raises(ValueError):
+        BuildSegmentTask(str(tmp_path / "x"), "keyword", {}, "text", "url",
+                         index_features=("pos", "offs"))
