@@ -92,7 +92,8 @@ def plan_segments(paths, target_docs: int = DEFAULT_TARGET_DOCS,
 def _lineage(spec: dict, analyzer_cfg: dict, text_column: str, key_column: str,
              store_columns: tuple = (), sort_by: str | None = None,
              sort_descending: bool = False,
-             index_features: tuple = ("pos",)) -> dict:
+             index_features: tuple = ("pos",),
+             index_format: str = "1_0") -> dict:
     lin = {
         "file": os.path.basename(str(spec["file"])),
         "row_groups": [int(g) for g in spec["row_groups"]],
@@ -108,6 +109,8 @@ def _lineage(spec: dict, analyzer_cfg: dict, text_column: str, key_column: str,
         lin["sort_by"] = [sort_by, bool(sort_descending)]
     if tuple(index_features) != ("pos",):
         lin["index_features"] = sorted(index_features)
+    if index_format != "1_0":
+        lin["index_format"] = index_format
     lin["hash"] = hashlib.sha256(
         json.dumps(lin, sort_keys=True).encode()).hexdigest()[:16]
     return lin
@@ -134,7 +137,12 @@ class BuildSegmentTask:
                  text_column: str, key_column: str,
                  store_columns: tuple = (), sort_by: str | None = None,
                  sort_descending: bool = False,
-                 index_features: tuple = ("pos",)):
+                 index_features: tuple = ("pos",),
+                 index_format: str = "1_0"):
+        from iresearch_ray.index.formats import get_format
+
+        get_format(index_format)  # fail fast on unknown format names
+        self.index_format = index_format
         self.index_dir = index_dir
         self.analyzer = get_analyzer(analyzer_name, **analyzer_opts)
         self.text_column = text_column
@@ -171,7 +179,7 @@ class BuildSegmentTask:
         lineage = _lineage(spec, self.analyzer.config(), self.text_column,
                            self.key_column, self.store_columns,
                            self.sort_by, self.sort_descending,
-                           self.index_features)
+                           self.index_features, self.index_format)
         seg_dir = os.path.join(self.index_dir, spec["segment_id"])
         if _segment_done(self.index_dir, spec["segment_id"], lineage["hash"]):
             with open(os.path.join(seg_dir, META_FILE)) as f:
@@ -180,7 +188,8 @@ class BuildSegmentTask:
             meta["_wall_s"] = 0.0
             return meta
         pf = pq.ParquetFile(spec["file"])
-        writer = SegmentWriter(spec["segment_id"], self.analyzer.config(), lineage)
+        writer = SegmentWriter(spec["segment_id"], self.analyzer.config(),
+                               lineage, fmt=self.index_format)
         arrow_fast = getattr(self.analyzer, "arrow_split_pattern", None)
         import pyarrow as pa
 
@@ -253,7 +262,8 @@ def build_index(paths, index_dir: str, analyzer: str = "unicode",
                 store_columns: tuple = (), segment_prefix: str = "seg-",
                 sort_by: str | None = None,
                 sort_descending: bool = False,
-                index_features: tuple = ("pos",)) -> dict:
+                index_features: tuple = ("pos",),
+                index_format: str = "1_0") -> dict:
     """Build (or resume) an index over Parquet inputs; returns the manifest.
 
     ``cpus_per_task`` reserves that many CPUs per segment task — raise to 2
@@ -273,6 +283,9 @@ def build_index(paths, index_dir: str, analyzer: str = "unicode",
     import ray
     import ray.data
 
+    from iresearch_ray.index.formats import get_format
+
+    get_format(index_format)  # driver-side fail-fast on unknown formats
     analyzer_opts = analyzer_opts or {}
     specs = plan_segments(paths, target_docs, segment_prefix)
     if not specs:
@@ -287,7 +300,8 @@ def build_index(paths, index_dir: str, analyzer: str = "unicode",
                 text_column=text_column, key_column=key_column,
                 store_columns=tuple(store_columns), sort_by=sort_by,
                 sort_descending=sort_descending,
-                index_features=tuple(index_features))
+                index_features=tuple(index_features),
+                index_format=index_format)
     if use_actors:
         stats_ds = ds.map_batches(
             BuildSegmentTask, fn_constructor_kwargs=ctor,

@@ -71,6 +71,7 @@ class SegmentWriter:
     segment_id: str
     analyzer_config: dict
     lineage: dict = field(default_factory=dict)
+    fmt: str = "1_0"  # registered storage format (index/formats.py)
 
     def __post_init__(self):
         self._term_chunks: list[np.ndarray] = []
@@ -165,6 +166,7 @@ class SegmentWriter:
             table = invert_to_table(terms, docs, poss, offs=offs)
         meta = {
             "format_version": FORMAT_VERSION,
+            "format": self.fmt,
             "segment_id": self.segment_id,
             "index_features": (["offs", "pos"] if self._off_start_chunks
                                else ["pos"]),
@@ -392,16 +394,23 @@ def write_segment_dir(index_dir: str, segment_id: str, terms: pa.Table,
                       docmap: pa.Table, meta: dict,
                       columns: pa.Table | None = None) -> str:
     """Atomically write a segment directory (tmp + rename — the reference's
-    commit discipline, index_meta_writer formats_10.cpp:3518)."""
+    commit discipline, index_meta_writer formats_10.cpp:3518).  The
+    registered format named by ``meta['format']`` (default 1_0) selects
+    each artifact's compression codec."""
+    from iresearch_ray.index.formats import get_format
+
+    fmt = get_format(meta.get("format"))
     os.makedirs(index_dir, exist_ok=True)
     final = os.path.join(index_dir, segment_id)
     tmp = tempfile.mkdtemp(prefix=f".{segment_id}.", dir=index_dir)
     try:
-        pq.write_table(terms, os.path.join(tmp, TERMS_FILE), compression="zstd")
-        pq.write_table(docmap, os.path.join(tmp, DOCMAP_FILE), compression="zstd")
+        pq.write_table(terms, os.path.join(tmp, TERMS_FILE),
+                       compression=fmt["terms"])
+        pq.write_table(docmap, os.path.join(tmp, DOCMAP_FILE),
+                       compression=fmt["docmap"])
         if columns is not None:
             pq.write_table(columns, os.path.join(tmp, COLUMNS_FILE),
-                           compression="zstd")
+                           compression=fmt["columns"])
         with open(os.path.join(tmp, META_FILE), "w") as f:
             json.dump(meta, f, indent=1)
         if os.path.isdir(final):

@@ -4,6 +4,7 @@ from iresearch_ray.search.filters import (  # noqa: F401
     AllFilter,
     AndFilter,
     ColumnExistenceFilter,
+    EmptyFilter,
     FuzzyFilter,
     GranularRangeFilter,
     NestedFilter,

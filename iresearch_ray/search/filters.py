@@ -345,6 +345,23 @@ class _PreparedAll(Prepared):
         return docs, np.full(len(docs), self.dtype(self.boost), dtype=self.dtype)
 
 
+class EmptyFilter(Filter):
+    """Match-none node (reference empty filter, core/search/filter.hpp
+    irs::empty / empty_filter_tests.cpp): useful as a neutral element when
+    composing query trees programmatically."""
+
+    def prepare(self, reader, scorer, df_map=None):
+        return _PreparedEmpty(scorer.dtype)
+
+
+class _PreparedEmpty(Prepared):
+    def __init__(self, dtype):
+        self.dtype = dtype
+
+    def execute(self, seg):
+        return _empty(self.dtype)
+
+
 # -------------------------------------------------- column existence ----
 class ColumnExistenceFilter(Filter):
     """Docs holding a stored column (reference by_column_existence,

@@ -61,12 +61,19 @@ def dump_index(index_dir: str, generation: int | None = None,
 
 
 def convert_index(src_dir: str, dst_dir: str, target_docs: int,
-                  generation: int | None = None) -> dict:
+                  generation: int | None = None,
+                  index_format: str = "1_0") -> dict:
     """Re-encode a committed index into ``dst_dir`` with segments packed to
     ``target_docs`` docs each (masks purged).  Pure re-encode: no
-    re-tokenization, doc order preserved, so queries stay rank-identical."""
+    re-tokenization, doc order preserved, so queries stay rank-identical.
+    ``index_format`` selects the destination's registered storage format
+    (index/formats.py) — conversion BETWEEN formats, like the reference's
+    formats::get-driven index-convert."""
     from iresearch_ray import FORMAT_VERSION
     from iresearch_ray.index.delete import load_mask
+    from iresearch_ray.index.formats import get_format
+
+    get_format(index_format)  # fail fast on unknown names
 
     man = manifest_mod.load(src_dir, generation)
     os.makedirs(dst_dir, exist_ok=True)
@@ -94,6 +101,7 @@ def convert_index(src_dir: str, dst_dir: str, target_docs: int,
                                                                      masks)
         meta = {
             "format_version": FORMAT_VERSION,
+            "format": index_format,
             "segment_id": out_id,
             **stats,
             "analyzer": readers[0].meta.get("analyzer", {}),
@@ -176,6 +184,8 @@ def main(argv=None) -> int:
     c.add_argument("--dst", required=True)
     c.add_argument("--target-docs", type=int, required=True)
     c.add_argument("--generation", type=int, default=None)
+    c.add_argument("--format", default="1_0",
+                   help="destination storage format (see index/formats.py)")
     p = sub.add_parser("purge")
     p.add_argument("--index", required=True)
     p.add_argument("--keep-generations", type=int, default=1)
@@ -186,7 +196,8 @@ def main(argv=None) -> int:
         removed = purge_unreferenced(a.index, a.keep_generations)
         print(json.dumps(removed))
     else:
-        man = convert_index(a.src, a.dst, a.target_docs, a.generation)
+        man = convert_index(a.src, a.dst, a.target_docs, a.generation,
+                            index_format=a.format)
         print(json.dumps({"generation": man["generation"],
                           "segments": len(man["segments"]),
                           "num_docs": man["num_docs"]}))

@@ -366,3 +366,18 @@ def test_topk_tie_break_prefers_lower_doc(ray_session, tmp_path_factory):
         assert list(res["doc"]) == list(range(1, k + 1))  # lowest ids win
         res_t = s.search(TermFilter("tie"), k=k, mode="top")
         assert list(res_t["doc"]) == list(range(1, k + 1))
+
+
+def test_empty_filter(index):
+    """Match-none node (reference empty_filter_tests.cpp): matches nothing
+    alone, is a neutral element under Or, annihilates under And."""
+    from iresearch_ray.search import EmptyFilter
+
+    reader, oracle = index
+    searcher = IndexSearcher(reader, BM25())
+    assert len(searcher.search(EmptyFilter(), k=10)) == 0
+    just_term = searcher.search(TermFilter("hterm"), k=10)
+    both = searcher.search(OrFilter([TermFilter("hterm"), EmptyFilter()]), k=10)
+    assert list(both["doc"]) == list(just_term["doc"])
+    assert len(searcher.search(
+        AndFilter([TermFilter("hterm"), EmptyFilter()]), k=10)) == 0

@@ -119,3 +119,46 @@ def test_purge_unreferenced(ray_session, tmp_path_factory):
 
     with _pytest.raises(FileNotFoundError):
         IndexReader(idx, man1["generation"])
+
+
+def test_format_registry_and_convert(ray_session, tmp_path):
+    """Multi-version format registry: build in 1_1 (lz4 postings), convert
+    to 1_2 (snappy) — artifacts re-encode, queries stay rank-identical
+    (the reference's formats::get-driven index-convert)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iresearch_ray.index.build import build_index
+    from iresearch_ray.index.formats import get_format, known_formats
+    from iresearch_ray.search import BM25, IndexReader, IndexSearcher, TermFilter
+    from iresearch_ray.tools import convert_index
+
+    assert "1_0" in known_formats()
+    assert get_format(1) == get_format("1_0")  # legacy int tag
+    with pytest.raises(KeyError):
+        get_format("9_9")
+
+    t = pa.table({"url": [f"u{i}" for i in range(120)],
+                  "text": [f"alpha beta row{i % 7}" for i in range(120)]})
+    p = str(tmp_path / "p.parquet")
+    pq.write_table(t, p, row_group_size=40)
+
+    idx1 = str(tmp_path / "idx_1_1")
+    build_index(p, idx1, analyzer="ascii", target_docs=60, index_format="1_1")
+    seg = sorted(d for d in __import__("os").listdir(idx1) if d.startswith("seg-"))[0]
+    meta_terms = pq.ParquetFile(f"{idx1}/{seg}/terms.parquet").metadata
+    assert meta_terms.row_group(0).column(0).compression == "LZ4"
+
+    idx2 = str(tmp_path / "idx_1_2")
+    convert_index(idx1, idx2, target_docs=200, index_format="1_2")
+    seg2 = sorted(d for d in __import__("os").listdir(idx2) if d.startswith("seg-c"))[0]
+    meta2 = pq.ParquetFile(f"{idx2}/{seg2}/terms.parquet").metadata
+    assert meta2.row_group(0).column(0).compression == "SNAPPY"
+
+    r1 = IndexSearcher(IndexReader(idx1), BM25()).search(TermFilter("row3"), k=50)
+    r2 = IndexSearcher(IndexReader(idx2), BM25()).search(TermFilter("row3"), k=50)
+    assert list(r1["key"]) == list(r2["key"])
+    assert np.array_equal(r1["score"].to_numpy(), r2["score"].to_numpy())
+
+    with pytest.raises(KeyError):
+        build_index(p, str(tmp_path / "bad"), index_format="nope")
