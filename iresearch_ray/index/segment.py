@@ -40,6 +40,18 @@ COLUMNS_FILE = "columns.parquet"  # stored-field columnstore (optional)
 META_FILE = "segment.json"
 
 
+def _cache_entry_size(entry) -> int:
+    """Element count of one postings-LRU entry (tuple of decoded arrays,
+    an occurrence-key array, a skips dict, or None)."""
+    if entry is None:
+        return 0
+    if isinstance(entry, np.ndarray):
+        return len(entry)
+    if isinstance(entry, dict):
+        return sum(len(v) for v in entry.values())
+    return sum(len(a) for a in entry if isinstance(a, np.ndarray))
+
+
 def _binary_array(blob: np.ndarray, byte_offsets: np.ndarray) -> pa.Array:
     """Zero-copy large_binary array from one blob + per-row byte offsets."""
     return pa.Array.from_buffers(
@@ -553,6 +565,13 @@ class SegmentReader:
     def df_array(self) -> np.ndarray:
         return self.terms_table["df"].to_numpy()
 
+    def term_max_freq(self, idx: int) -> int:
+        """Whole-list max freq of term row ``idx`` (term-level WAND bound)."""
+        mf = getattr(self, "_max_freq_np", None)
+        if mf is None:
+            mf = self._max_freq_np = self.terms_table["max_freq"].to_numpy()
+        return int(mf[idx])
+
     # -- postings -----------------------------------------------------------
     # decoded-postings LRU: long-lived query serving re-decodes the same
     # hot terms every query; bound by TOTAL cached postings so head terms
@@ -579,11 +598,7 @@ class SegmentReader:
         self._post_cache_size += n
         while self._post_cache_size > self._CACHE_MAX_POSTINGS and cache:
             _, old = cache.popitem(last=False)
-            if isinstance(old, np.ndarray):  # occurrence-key entry
-                self._post_cache_size -= len(old)
-            else:
-                self._post_cache_size -= sum(len(a) for a in old
-                                             if isinstance(a, np.ndarray))
+            self._post_cache_size -= _cache_entry_size(old)
         return out
 
     def _decode_postings(self, idx: int, positions: bool = False):
@@ -640,11 +655,7 @@ class SegmentReader:
         self._post_cache_size += len(keys)
         while self._post_cache_size > self._CACHE_MAX_POSTINGS and cache:
             _, old = cache.popitem(last=False)
-            if isinstance(old, np.ndarray):
-                self._post_cache_size -= len(old)
-            else:
-                self._post_cache_size -= sum(len(a) for a in old
-                                             if isinstance(a, np.ndarray))
+            self._post_cache_size -= _cache_entry_size(old)
         return keys
 
     @property
@@ -674,15 +685,27 @@ class SegmentReader:
         return docs, freqs, starts, starts + lens, run_offs
 
     def skips(self, idx: int) -> dict | None:
+        """Per-128-block skip metadata of term row ``idx`` — cached in the
+        postings LRU: WAND touches every term's skips on every query, and
+        the Arrow list-column extraction dominated the union-WAND profile
+        when re-done per call."""
+        cache = getattr(self, "_post_cache", None)
+        if cache is None:
+            from collections import OrderedDict
+
+            cache = self._post_cache = OrderedDict()
+            self._post_cache_size = 0
+        key = (idx, "skips")
+        if key in cache:
+            cache.move_to_end(key)
+            return cache[key]
         tbl = self.terms_table
 
         def col(name):
             return tbl[name][idx].values.to_numpy(zero_copy_only=False).astype(np.int64)
 
         last = col("skip_last_doc")
-        if len(last) == 0:
-            return None
-        return {
+        out = None if len(last) == 0 else {
             "last_doc": last,
             "max_freq": col("skip_max_freq"),
             "doc_off": col("skip_doc_off"),
@@ -690,6 +713,9 @@ class SegmentReader:
             "pos_off": col("skip_pos_off"),
             "pos_cnt": col("skip_pos_cnt"),
         }
+        cache[key] = out
+        self._post_cache_size += 6 * len(last)
+        return out
 
     def decode_blocks(self, idx: int, block_mask: np.ndarray):
         """Decode only the selected 128-posting blocks (WAND path)."""

@@ -73,8 +73,20 @@ def levenshtein_from_matrix(mat: np.ndarray, lens: np.ndarray, probe: str,
     mat = mat[:, :width].astype(np.int64, copy=False)
     pch = np.frombuffer(probe.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
     m = len(pch)
+    out = np.full(n, big, dtype=np.int64)
+    # counting prefilter: d(s,t) >= max(|s|,|t|) - (chars of t drawn from
+    # s's alphabet) — one vectorized membership pass kills most of the
+    # length-feasible dictionary before any DP row is computed
+    member = np.zeros(n, dtype=np.int64)
+    for c in np.unique(pch):  # probe alphabet is tiny: direct compares
+        member += (mat == c).sum(axis=1)  # beat np.isin's sort-based path
+    keep = np.maximum(lens, m) - member <= max_d
+    if not keep.any():
+        return out
+    alive_idx = np.flatnonzero(keep)
+    mat = mat[alive_idx]
     prev = np.broadcast_to(np.arange(width + 1, dtype=np.int64),
-                           (n, width + 1)).copy()
+                           (len(alive_idx), width + 1)).copy()
     for i in range(1, m + 1):
         cur = np.empty_like(prev)
         cur[:, 0] = i
@@ -84,8 +96,21 @@ def levenshtein_from_matrix(mat: np.ndarray, lens: np.ndarray, probe: str,
                 np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1),
                 prev[:, j - 1] + sub_cost[:, j - 1])
         prev = cur
-    d = prev[np.arange(n), lens]
-    return np.minimum(d, big)
+        # Ukkonen cutoff: DP values never decrease along any path, so a
+        # row whose minimum already exceeds max_d can never come back —
+        # compact the candidate set (most of the dictionary dies within
+        # the first few probe chars, shrinking every later vector op)
+        if i < m:
+            alive = prev.min(axis=1) <= max_d
+            if not alive.all():
+                if not alive.any():
+                    return out
+                prev = prev[alive]
+                mat = mat[alive]
+                alive_idx = alive_idx[alive]
+    d = prev[np.arange(len(alive_idx)), lens[alive_idx]]
+    out[alive_idx] = np.minimum(d, big)
+    return out
 
 
 def levenshtein_distances(terms: list[str] | np.ndarray, probe: str,

@@ -213,6 +213,29 @@ def _wand_union(prep, seg: SegmentView,
 
     kids = prep.children
     dtype = prep.dtype
+    # term-level bail-out: a block of child c is skippable iff its block
+    # ub < threshold - sum(other children's max ub).  Scores are
+    # nonnegative, so if that bound is <= 0 for every child (dense unions
+    # of head terms, or an early -inf threshold), NO block can ever be
+    # pruned here — run the plain exact union and skip the whole
+    # skip-fetch + per-block-ub machinery (measured ~30% of union-WAND
+    # time on Or4High where pruning never engages)
+    pre: list[float | None] = []
+    for c in kids:
+        node, cseg = c.route(seg)
+        i = node.idx_by_seg.get(cseg.id, -1) if cseg is not None else -1
+        if i < 0:
+            pre.append(None)
+            continue
+        mf = np.array([cseg.reader.term_max_freq(i)], dtype=np.int64)
+        pre.append(float(node.sp.score(mf, np.zeros(1, dtype=np.int64),
+                                       cseg.tiny)[0]))
+    live_ub = [u for u in pre if u is not None]
+    if not live_ub:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=dtype)
+    tot0 = sum(live_ub)
+    if all(threshold <= tot0 - u for u in live_ub):
+        return prep.execute(seg)
     infos: list[dict | None] = []
     for c in kids:
         # per-child routing: a field-bound child reads ITS sub-index's
