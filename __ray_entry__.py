@@ -584,6 +584,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "sum_value": np.round(out["sum_value"].astype(np.float64), 2),
         }).sort_values(["bucket", "event_type"]).reset_index(drop=True)
 
+    def window_hopping(sf_dir):
+        import ray.data
+
+        from iresearch_ray.pipelines.windows import hopping_aggregate
+
+        ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                   columns=["ts", "event_type", "value"])
+        out = hopping_aggregate(ds, window_minutes=60,
+                                hop_minutes=30).to_pandas()
+        return pd.DataFrame({
+            "bucket": out["bucket"].astype(np.int64),
+            "event_type": out["event_type"],
+            "n": out["n"].astype(np.int64),
+            "sum_value": np.round(out["sum_value"].astype(np.float64), 2),
+        }).sort_values(["bucket", "event_type"]).reset_index(drop=True)
+
+    def embedding_neardup(sf_dir):
+        import ray.data
+
+        out = dedup.embedding_neardup_pairs(
+            ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet")),
+            threshold=0.35, dtype=np.float64).to_pandas()
+        return pd.DataFrame({
+            "id_a": out["id_a"].astype(np.int64),
+            "id_b": out["id_b"].astype(np.int64),
+            "cosine": np.round(out["cosine"].astype(np.float64), 4),
+        }).sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
     def window_sessions(sf_dir):
         import ray.data
 
@@ -716,6 +744,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_distribution": lang_distribution,
         # --- dedup pipelines ---
         "window_tumbling": window_tumbling,
+        "window_hopping": window_hopping,
+        "embedding_neardup": embedding_neardup,
         "window_sessions": window_sessions,
         "dedup_exact": dedup_exact,
         "dedup_fingerprint": dedup_fingerprint,
@@ -923,6 +953,21 @@ SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang
 SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS bucket,
        event_type, count(*) AS n, round(sum(value), 2) AS sum_value
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "window_hopping": """
+WITH off AS (SELECT unnest(range(2)) AS j)
+SELECT ((epoch_us(ts) // 1800000000) - j) * 1800000000 AS bucket,
+       event_type, count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value
+FROM events, off GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "embedding_neardup": """
+SELECT a.vec_id::BIGINT AS id_a, b.vec_id::BIGINT AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 4) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                             b.embedding::DOUBLE[]) >= 0.35
+ORDER BY id_a, id_b
 """,
         "window_sessions": """
 WITH o AS (

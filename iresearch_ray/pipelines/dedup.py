@@ -328,3 +328,125 @@ def dedup_keep_first(pairs_df: pd.DataFrame, all_ids: np.ndarray) -> np.ndarray:
             parent[hi] = lo
     drop = {x for x in parent if find(x) != x}
     return np.array([i for i in all_ids if i not in drop], dtype=all_ids.dtype)
+
+
+def embedding_neardup_pairs(ds, threshold: float = 0.9,
+                            id_column: str = "vec_id",
+                            vec_column: str = "embedding",
+                            planes: int = 0, seed: int = 42,
+                            concurrency: int | None = None,
+                            dtype=np.float32):
+    """Embedding-cosine near-duplicate pairs -> Dataset(id_a, id_b, cosine)
+    with id_a < id_b and cosine >= threshold.
+
+    ``planes=0`` (exact): the normalized corpus matrix is broadcast ONCE
+    (`ray.put`) and every batch runs one matmul against it — exact
+    all-pairs semantics with O(n^2) compute spread across batches; right
+    for corpora whose embedding matrix fits worker memory (n x dim
+    floats), which covers dedup-after-clustering and per-shard passes.
+
+    ``planes>0`` (scale path): sign-LSH bucketing first — only same-bucket
+    pairs are scored (the MinHash-LSH shape over vectors).  Approximate:
+    recall follows bucket collision probability; use as the 100 TB route
+    where the corpus matrix cannot be broadcast."""
+    import ray
+
+    from iresearch_ray.pipelines.ann import (
+        _as_matrix,
+        _projection_planes,
+        lsh_bucket_ids,
+    )
+
+    def _pairs_frame(ids_a, ids_b, cos):
+        return pd.DataFrame({
+            "id_a": np.asarray(ids_a, dtype=np.int64),
+            "id_b": np.asarray(ids_b, dtype=np.int64),
+            "cosine": np.asarray(cos, dtype=np.float64),
+        })
+
+    if planes <= 0:
+        import ray.data
+
+        tabs = [t for t in ray.get(
+            ds.select_columns([id_column, vec_column]).to_arrow_refs())
+            if t.num_rows]
+        full = pa.concat_tables(tabs).combine_chunks()
+        ids_all = full[id_column].to_numpy(zero_copy_only=False)
+        M = _as_matrix(full[vec_column], dtype)
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+        ref = ray.put((ids_all, Mn))
+
+        def batch_pairs(t: pa.Table) -> pa.Table:
+            ids_all_, Mn_ = ray.get(ref)
+            ids = t[id_column].to_numpy(zero_copy_only=False)
+            m = _as_matrix(t[vec_column], dtype)
+            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+            sims = mn @ Mn_.T  # (batch, n)
+            r, c = np.nonzero(sims >= threshold)
+            keep = ids[r] < ids_all_[c]  # id_a < id_b, each pair once
+            return pa.table({
+                "id_a": pa.array(ids[r][keep], type=pa.int64()),
+                "id_b": pa.array(ids_all_[c][keep], type=pa.int64()),
+                "cosine": pa.array(sims[r, c][keep].astype(np.float64)),
+            })
+
+        return ds.map_batches(batch_pairs, batch_format="pyarrow",
+                              concurrency=pool_size(concurrency))
+
+    # LSH-bucketed candidates: bucket assign in map_batches, hot-bucket
+    # broadcast filter (same machinery as MinHash-LSH), pairwise within
+    # buckets on the candidate-sized survivors
+    import ray.data
+
+    P = None
+
+    def assign(t: pa.Table) -> pa.Table:
+        nonlocal P
+        m = _as_matrix(t[vec_column])
+        if P is None:
+            P = _projection_planes(m.shape[1], planes, seed)
+        b = lsh_bucket_ids(m, P)
+        return pa.table({id_column: t[id_column],
+                         vec_column: t[vec_column],
+                         "bucket": pa.array(b, type=pa.int64())})
+
+    sk = ds.map_batches(assign, batch_format="pyarrow").materialize()
+    from ray.data.aggregate import Count
+
+    counts = (sk.select_columns(["bucket"]).groupby("bucket")
+              .aggregate(Count(alias_name="n")))
+    import pyarrow.compute as pc
+
+    hot = (counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n"], 2)),
+        batch_format="pyarrow").to_pandas())
+    if not len(hot):
+        return ray.data.from_pandas(_pairs_frame([], [], []))
+    hot_keys = np.sort(hot["bucket"].to_numpy())
+    href = ray.put(hot_keys)
+
+    def keep_hot(t: pa.Table) -> pa.Table:
+        keys = ray.get(href)
+        b = t["bucket"].to_numpy()
+        at = np.searchsorted(keys, b)
+        at[at == len(keys)] = 0
+        return t.filter(pa.array(keys[at] == b))
+
+    cand = sk.map_batches(keep_hot, batch_format="pyarrow").to_pandas()
+    out_a, out_b, out_c = [], [], []
+    for _, g in cand.groupby("bucket", sort=True):
+        if len(g) < 2:
+            continue
+        g = g.sort_values(id_column)
+        ids = g[id_column].to_numpy()
+        m = np.asarray(list(g[vec_column]), dtype=np.float32)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        sims = mn @ mn.T
+        r, c = np.nonzero(np.triu(sims >= threshold, k=1))
+        out_a.extend(ids[r])
+        out_b.extend(ids[c])
+        out_c.extend(sims[r, c].astype(np.float64))
+    pairs = _pairs_frame(out_a, out_b, out_c)
+    if len(pairs):
+        pairs = pairs.groupby(["id_a", "id_b"], as_index=False)["cosine"].max()
+    return ray.data.from_pandas(pairs)

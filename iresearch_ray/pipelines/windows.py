@@ -72,3 +72,43 @@ def sessionize(ds, gap_minutes: int = 30):
     gap_us = gap_minutes * 60 * 1_000_000
     return ds.groupby("user_id").map_groups(
         lambda df: _sessions_of_group(df, gap_us), batch_format="pandas")
+
+
+def hopping_aggregate(ds, window_minutes: int = 60, hop_minutes: int = 30):
+    """Hopping (sliding) windows: every event lands in window/hop
+    overlapping windows.  Same partial-aggregate shape as tumbling —
+    replicate each event's (bucket, type, partials) rows INSIDE
+    map_batches (k small pre-reduced rows per (bucket, type) per batch),
+    then one small global groupby; the shuffle never moves raw events."""
+    from ray.data.aggregate import Sum
+
+    if window_minutes % hop_minutes:
+        raise ValueError("window must be a multiple of hop")
+    k = window_minutes // hop_minutes
+    hop_us = hop_minutes * 60 * 1_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        base = ts // hop_us
+        n = len(ts)
+        # k window starts per event, vectorized: (base - j) * hop
+        buckets = ((np.repeat(base, k)
+                    - np.tile(np.arange(k, dtype=np.int64), n)) * hop_us)
+        t = pa.table({
+            "bucket": pa.array(buckets),
+            "event_type": pa.array(
+                np.repeat(np.asarray(batch["event_type"].to_pylist(),
+                                     dtype=object), k),
+                type=pa.string()),
+            "n": pa.array(np.ones(n * k, dtype=np.int64)),
+            "sum_value": pa.array(np.repeat(
+                batch["value"].to_numpy(zero_copy_only=False), k)),
+        })
+        return t.group_by(["bucket", "event_type"]).aggregate(
+            [("n", "sum"), ("sum_value", "sum")]).rename_columns(
+            ["bucket", "event_type", "n", "sum_value"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return (partials.groupby(["bucket", "event_type"])
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("sum_value", alias_name="sum_value")))

@@ -394,3 +394,56 @@ def test_rolling_doc_fingerprints_matches_reference(docs, docs_pdf):
                         "fingerprint": f.view(np.int64)})
     exp = exp.sort_values(["doc_id", "fingerprint"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(out, exp)
+
+
+def test_hopping_aggregate(ray_session):
+    from iresearch_ray.pipelines.windows import hopping_aggregate
+
+    ds = ray.data.read_parquet(f"{SF}/events.parquet",
+                               columns=["ts", "event_type", "value"])
+    out = hopping_aggregate(ds, window_minutes=60, hop_minutes=30).to_pandas()
+    out = out.sort_values(["bucket", "event_type"]).reset_index(drop=True)
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ts = ev["ts"].astype("int64")
+    hop = 30 * 60 * 1_000_000
+    rows = []
+    for j in (0, 1):  # every event is in 2 overlapping 60-min windows
+        rows.append(pd.DataFrame({"bucket": (ts // hop - j) * hop,
+                                  "event_type": ev["event_type"],
+                                  "value": ev["value"]}))
+    exp = (pd.concat(rows).groupby(["bucket", "event_type"], as_index=False)
+           .agg(n=("value", "size"), sum_value=("value", "sum"))
+           .sort_values(["bucket", "event_type"]).reset_index(drop=True))
+    assert len(out) == len(exp)
+    assert (out["n"].to_numpy() == exp["n"].to_numpy()).all()
+    assert np.allclose(out["sum_value"], exp["sum_value"])
+    with pytest.raises(ValueError):
+        hopping_aggregate(ds, window_minutes=60, hop_minutes=45)
+
+
+def test_embedding_neardup_exact_and_lsh(ray_session):
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet")
+    M = np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)
+    ids = emb["vec_id"].to_numpy()
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = Mn @ Mn.T
+    r, c = np.nonzero(np.triu(S >= 0.35, k=1))
+    want = {(int(ids[i]), int(ids[j])) for i, j in zip(r, c)}
+
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    out = dedup.embedding_neardup_pairs(ds, threshold=0.35,
+                                        dtype=np.float64).to_pandas()
+    got = set(zip(out["id_a"].astype(int), out["id_b"].astype(int)))
+    assert got == want  # exact path is exact
+    assert (out["cosine"] >= 0.35).all()
+
+    # LSH-bucketed scale path: subset of the exact pairs, nonzero recall
+    approx = dedup.embedding_neardup_pairs(ds, threshold=0.35,
+                                           planes=4).to_pandas()
+    got_a = set(zip(approx["id_a"].astype(int), approx["id_b"].astype(int)))
+    assert got_a <= want
+    assert len(got_a) > 0
