@@ -20,7 +20,7 @@ import pandas as pd
 import pyarrow as pa
 
 from iresearch_ray.analysis import get_analyzer
-from iresearch_ray.util import pool_size
+from iresearch_ray.util import StatelessBatchFn, pool_size
 from iresearch_ray.analysis.minhash import (
     band_hashes,
     minhash_signatures,
@@ -68,13 +68,14 @@ def fingerprint_dedup_groups(ds, text_column: str = "text",
                    for t in b[text_column].to_pylist()]
             return pa.table({"fingerprint": pa.array(fps), id_column: b[id_column]})
 
-    hashed = ds.map_batches(FpBatch, batch_format="pyarrow", concurrency=pool_size(2))
+    hashed = ds.map_batches(StatelessBatchFn(FpBatch), batch_format="pyarrow")
     return hashed.groupby("fingerprint").aggregate(
         Count(alias_name="dup_count"), Min(id_column, alias_name="keep_id"))
 
 
 class MinHashBatch:
-    """Actor-pool stage: text -> (doc_id, band, band_hash, signature)."""
+    """Batch stage: text -> (doc_id, band, band_hash, signature).
+    Run via StatelessBatchFn (cheap analyzer state, once per worker)."""
 
     def __init__(self, text_column, id_column, analyzer, num_hashes, bands, shingle_k):
         self.text_column = text_column
@@ -157,10 +158,10 @@ def minhash_lsh_pairs(ds, text_column: str = "text", id_column: str = "doc_id",
     import ray.data
 
     sk = ds.map_batches(
-        MinHashBatch, fn_constructor_kwargs=dict(
+        StatelessBatchFn(MinHashBatch, dict(
             text_column=text_column, id_column=id_column, analyzer=analyzer,
-            num_hashes=num_hashes, bands=bands, shingle_k=shingle_k),
-        batch_format="pyarrow", concurrency=pool_size(concurrency))
+            num_hashes=num_hashes, bands=bands, shingle_k=shingle_k)),
+        batch_format="pyarrow")
     # checkpoint the (corpus-small, but not driver-small) sketches to
     # Parquet so the two downstream passes re-read files instead of either
     # re-tokenizing the corpus or pinning every sketch in the object store
@@ -274,8 +275,7 @@ def rolling_doc_fingerprints(ds, text_column: str = "text",
             return pa.table({id_column: pa.array(ids[d]),
                              "fingerprint": pa.array(f.view(np.int64))})
 
-    return ds.map_batches(FpBatch, batch_format="pyarrow",
-                          concurrency=pool_size(concurrency))
+    return ds.map_batches(StatelessBatchFn(FpBatch), batch_format="pyarrow")
 
 
 def simhash_groups(ds, text_column: str = "text", id_column: str = "doc_id",
@@ -303,7 +303,7 @@ def simhash_groups(ds, text_column: str = "text", id_column: str = "doc_id",
             return pa.table({"simhash": pa.array(sh.view(np.int64)),
                              id_column: b[id_column]})
 
-    hashed = ds.map_batches(SimBatch, batch_format="pyarrow", concurrency=pool_size(concurrency))
+    hashed = ds.map_batches(StatelessBatchFn(SimBatch), batch_format="pyarrow")
     return hashed.groupby("simhash").aggregate(
         Count(alias_name="dup_count"), Min(id_column, alias_name="keep_id"))
 

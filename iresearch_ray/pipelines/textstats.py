@@ -14,7 +14,7 @@ import pyarrow as pa
 
 from iresearch_ray.analysis import get_analyzer
 from iresearch_ray.analysis.tokenizers import flatten_batch, flatten_batch_arrow
-from iresearch_ray.util import pool_size
+from iresearch_ray.util import StatelessBatchFn, pool_size
 
 
 def _coded_tokens(analyzer, col):
@@ -95,10 +95,12 @@ class QualityBatch:
 
 
 def quality_stats(ds, text_column="text", analyzer="ascii", concurrency=None):
-    return ds.map_batches(QualityBatch,
-                          fn_constructor_kwargs=dict(text_column=text_column,
-                                                     analyzer=analyzer),
-                          batch_format="pyarrow", concurrency=pool_size(concurrency))
+    # stateless tasks, not an actor pool: analyzer construction is cheap
+    # and plain tasks reuse Ray's prestarted workers (no per-run spawn)
+    return ds.map_batches(
+        StatelessBatchFn(QualityBatch,
+                         dict(text_column=text_column, analyzer=analyzer)),
+        batch_format="pyarrow")
 
 
 class LangIdBatch:
@@ -129,10 +131,10 @@ class LangIdBatch:
 
 
 def langid(ds, text_column="text", analyzer="ascii", concurrency=None):
-    return ds.map_batches(LangIdBatch,
-                          fn_constructor_kwargs=dict(text_column=text_column,
-                                                     analyzer=analyzer),
-                          batch_format="pyarrow", concurrency=pool_size(concurrency))
+    return ds.map_batches(
+        StatelessBatchFn(LangIdBatch,
+                         dict(text_column=text_column, analyzer=analyzer)),
+        batch_format="pyarrow")
 
 
 def token_count_by(ds, group_column: str, text_column="text", analyzer="ascii",
@@ -152,8 +154,8 @@ def token_count_by(ds, group_column: str, text_column="text", analyzer="ascii",
             g = df.groupby(group_column, as_index=False)["n"].sum()
             return pa.Table.from_pandas(g, preserve_index=False)
 
-    partial = ds.map_batches(CountBatch, batch_format="pyarrow",
-                             concurrency=pool_size(concurrency))
+    partial = ds.map_batches(StatelessBatchFn(CountBatch),
+                             batch_format="pyarrow")
     return partial.groupby(group_column).aggregate(Sum("n", alias_name="total_tokens"))
 
 
@@ -181,7 +183,7 @@ def term_frequencies(ds, text_column="text", analyzer="ascii", concurrency=None)
                 "ttf": pa.array(ttf),
             })
 
-    partial = ds.map_batches(TermBatch, batch_format="pyarrow",
-                             concurrency=pool_size(concurrency))
+    partial = ds.map_batches(StatelessBatchFn(TermBatch),
+                             batch_format="pyarrow")
     return partial.groupby("term").aggregate(Sum("df", alias_name="df"),
                                              Sum("ttf", alias_name="ttf"))

@@ -18,3 +18,28 @@ def pool_size(requested: int | None = None, reserve: int = 2, floor: int = 1) ->
         total = 4
     cap = max(floor, total - reserve)
     return cap if requested is None else max(floor, min(requested, cap))
+
+
+class StatelessBatchFn:
+    """Pickle-friendly map_batches callable with lazy per-worker state.
+
+    For stages whose setup is cheap (analyzer construction is
+    microseconds), Ray ACTOR pools pay a fresh process spawn + heavy
+    imports per pool per pipeline run; plain tasks reuse Ray's prestarted
+    worker pool instead (the same lesson as index/build.py's
+    _SegmentTaskFn).  The wrapped class still constructs once per worker
+    process — ``__init__``-style state is preserved, just not per-actor.
+
+    Keep REAL actor pools (pass the class to map_batches directly) for
+    genuinely expensive state: models, decoders, large tables.
+    """
+
+    def __init__(self, cls, kwargs: dict | None = None):
+        self.cls = cls
+        self.kwargs = kwargs or {}
+        self._impl = None
+
+    def __call__(self, batch):
+        if self._impl is None:
+            self._impl = self.cls(**self.kwargs)
+        return self._impl(batch)
