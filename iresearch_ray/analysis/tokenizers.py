@@ -366,6 +366,75 @@ def flatten_batch_arrow(analyzer: Analyzer, texts) -> dict[str, np.ndarray]:
             "position": position, "doc_len": doc_len}
 
 
+class PayloadDelimiterAnalyzer(Analyzer):
+    """Tokenizer carrying per-token payload bytes: each whitespace token
+    may be ``term<payload_delimiter>payload`` (reference
+    delimited_token_stream + the payload token attribute,
+    core/analysis/token_attributes.hpp:68).  Payload-less tokens carry
+    empty bytes."""
+
+    def __init__(self, payload_delimiter: str = "|", lowercase: bool = True):
+        self.payload_delimiter = payload_delimiter
+        self.lowercase = bool(lowercase)
+        self.name = "payload-delimiter"
+
+    def _split(self, text: str) -> list[tuple[str, bytes]]:
+        if not text:
+            return []
+        if self.lowercase:
+            text = text.lower()
+        out = []
+        for tok in text.split():
+            term, _, pay = tok.partition(self.payload_delimiter)
+            if term:
+                out.append((term, pay.encode()))
+        return out
+
+    def tokens(self, text: str) -> list[str]:
+        return [t for t, _ in self._split(text)]
+
+    def tokens_with_payloads(self, text: str):
+        pairs = self._split(text)
+        return [t for t, _ in pairs], [p for _, p in pairs]
+
+    def config(self) -> dict:
+        return {"name": self.name,
+                "payload_delimiter": self.payload_delimiter,
+                "lowercase": self.lowercase}
+
+
+register_analyzer("payload-delimiter",
+                  lambda **o: PayloadDelimiterAnalyzer(**o))
+
+
+def flatten_batch_payloads(analyzer: Analyzer, texts: list[str]) -> dict[str, np.ndarray]:
+    """Like ``flatten_batch`` but also emits per-occurrence payload bytes
+    (the PAY index feature, reference formats_10.cpp .pay stream).
+    Requires ``analyzer.tokens_with_payloads``."""
+    toks_all: list[str] = []
+    pays_all: list[bytes] = []
+    counts = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        if t is None:
+            counts[i] = 0
+            continue
+        toks, pays = analyzer.tokens_with_payloads(t)
+        counts[i] = len(toks)
+        toks_all.extend(toks)
+        pays_all.extend(pays)
+    total = int(counts.sum())
+    doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    run_starts = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=run_starts[1:])
+    position = np.arange(total, dtype=np.int64) - np.repeat(run_starts, counts)
+    terms = np.empty(total, dtype=object)
+    terms[:] = toks_all
+    payloads = np.empty(total, dtype=object)
+    payloads[:] = pays_all
+    return {"terms": terms, "doc_idx": doc_idx, "position": position,
+            "doc_len": counts, "payload": payloads}
+
+
 def flatten_batch_offsets(analyzer: Analyzer, texts: list[str]) -> dict[str, np.ndarray]:
     """Like ``flatten_batch`` but also emits per-occurrence char offsets
     into the ORIGINAL text (``start``/``end``) — the OFFS index feature

@@ -156,6 +156,14 @@ class BuildSegmentTask:
             raise ValueError(
                 f"analyzer {analyzer_name!r} has no offset support; the "
                 "'offs' index feature needs tokens_with_offsets")
+        if "pay" in self.index_features and not hasattr(
+                self.analyzer, "tokens_with_payloads"):
+            raise ValueError(
+                f"analyzer {analyzer_name!r} has no payload support; the "
+                "'pay' index feature needs tokens_with_payloads")
+        if {"offs", "pay"} <= set(self.index_features):
+            raise ValueError(
+                "offs+pay together are not supported yet — pick one")
 
     def __call__(self, batch: dict) -> dict:
         out = {"segment_id": [], "num_docs": [], "sum_doc_len": [], "num_terms": [],
@@ -215,6 +223,7 @@ class BuildSegmentTask:
             batches = whole.take(order).to_batches(
                 max_chunksize=TOKENIZE_BATCH_ROWS)
         want_offs = "offs" in self.index_features
+        want_pay = "pay" in self.index_features
         for rb in batches:
             keys = rb.column(self.key_column).cast(pa.string()).to_pylist()
             if want_offs:
@@ -223,6 +232,12 @@ class BuildSegmentTask:
 
                 texts = rb.column(self.text_column).to_pylist()
                 writer.add_batch(flatten_batch_offsets(self.analyzer, texts),
+                                 keys)
+            elif want_pay:
+                from iresearch_ray.analysis.tokenizers import flatten_batch_payloads
+
+                texts = rb.column(self.text_column).to_pylist()
+                writer.add_batch(flatten_batch_payloads(self.analyzer, texts),
                                  keys)
             elif arrow_fast:
                 writer.add_batch_coded(

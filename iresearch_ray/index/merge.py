@@ -61,11 +61,12 @@ def decode_segment_full(reader: SegmentReader) -> dict:
     posting_offs (len n_postings+1 into poss).
     """
     tbl = reader.terms_table
-    if "offs_start_blob" in tbl.column_names:
+    if ("offs_start_blob" in tbl.column_names
+            or "pay_blob" in tbl.column_names):
         raise NotImplementedError(
-            "consolidation of offset-indexed (OFFS) segments is not "
-            "supported yet — rebuild instead of merging, or build the "
-            "index without index_features=('pos', 'offs')")
+            "consolidation of OFFS/PAY-indexed segments is not supported "
+            "yet — rebuild instead of merging, or build the index with "
+            "index_features=('pos',)")
     df = tbl["df"].to_numpy().astype(np.int64)
     n_post = int(df.sum())
     term_offs = np.zeros(len(df) + 1, dtype=np.int64)

@@ -93,6 +93,7 @@ class SegmentWriter:
         self._pos_chunks: list[np.ndarray] = []
         self._off_start_chunks: list[np.ndarray] = []  # OFFS feature
         self._off_end_chunks: list[np.ndarray] = []
+        self._payload_chunks: list[np.ndarray] = []  # PAY feature
         self._doc_len_chunks: list[np.ndarray] = []
         self._key_chunks: list = []
         self._stored_chunks: list[pa.Table] = []  # columnstore (STORE action)
@@ -120,6 +121,8 @@ class SegmentWriter:
         if "start" in flat:  # OFFS feature: per-occurrence char offsets
             self._off_start_chunks.append(flat["start"])
             self._off_end_chunks.append(flat["end"])
+        if "payload" in flat:  # PAY feature: per-occurrence bytes
+            self._payload_chunks.append(flat["payload"])
         self._doc_len_chunks.append(flat["doc_len"])
         self._key_chunks.append(np.asarray(keys))
         self._num_docs += n
@@ -175,13 +178,16 @@ class SegmentWriter:
             if self._off_start_chunks:
                 offs = (np.concatenate(self._off_start_chunks),
                         np.concatenate(self._off_end_chunks))
-            table = invert_to_table(terms, docs, poss, offs=offs)
+            pays = (np.concatenate(self._payload_chunks)
+                    if self._payload_chunks else None)
+            table = invert_to_table(terms, docs, poss, offs=offs, pays=pays)
         meta = {
             "format_version": FORMAT_VERSION,
             "format": self.fmt,
             "segment_id": self.segment_id,
-            "index_features": (["offs", "pos"] if self._off_start_chunks
-                               else ["pos"]),
+            "index_features": sorted(
+                {"pos"} | ({"offs"} if self._off_start_chunks else set())
+                | ({"pay"} if self._payload_chunks else set())),
             "num_docs": int(self._num_docs),
             "sum_doc_len": int(doc_lens.sum()),
             "max_doc_len": int(doc_lens.max()) if len(doc_lens) else 0,
@@ -213,7 +219,8 @@ class SegmentWriter:
 
 
 def invert_to_table(terms: np.ndarray, docs: np.ndarray, poss: np.ndarray,
-                    offs: tuple[np.ndarray, np.ndarray] | None = None) -> pa.Table:
+                    offs: tuple[np.ndarray, np.ndarray] | None = None,
+                    pays: np.ndarray | None = None) -> pa.Table:
     """Build the term-dictionary table from flat (term, doc, position) rows.
 
     One factorize + one stable sort; postings ordered by (term bytes, doc id,
@@ -223,12 +230,13 @@ def invert_to_table(terms: np.ndarray, docs: np.ndarray, poss: np.ndarray,
     """
     codes, uniques = pd.factorize(terms, sort=True)
     return invert_coded(codes, np.asarray(uniques, dtype=object), docs, poss,
-                        offs=offs)
+                        offs=offs, pays=pays)
 
 
 def invert_coded(codes: np.ndarray, sorted_uniques: np.ndarray,
                  docs: np.ndarray, poss: np.ndarray,
-                 offs: tuple[np.ndarray, np.ndarray] | None = None) -> pa.Table:
+                 offs: tuple[np.ndarray, np.ndarray] | None = None,
+                 pays: np.ndarray | None = None) -> pa.Table:
     """Invert from pre-coded occurrences (codes are ranks into the SORTED
     unique-term array) — the zero-object fast path's entry point."""
     uniques = sorted_uniques
@@ -248,6 +256,8 @@ def invert_coded(codes: np.ndarray, sorted_uniques: np.ndarray,
     codes, docs, poss = codes[order], docs[order], poss[order]
     if offs is not None:
         offs = (offs[0][order], offs[1][order])
+    if pays is not None:
+        pays = pays[order]
 
     # posting (term,doc) run boundaries
     if len(codes):
@@ -271,14 +281,15 @@ def invert_coded(codes: np.ndarray, sorted_uniques: np.ndarray,
     term_post_offs = np.r_[t_starts, len(p_docs)].astype(np.int64)   # len n_terms+1
     return encode_postings_table(np.asarray(uniques, dtype=object), term_post_offs,
                                  p_docs, freqs, poss, np.r_[p_starts, len(codes)],
-                                 offs=offs)
+                                 offs=offs, pays=pays)
 
 
 def encode_postings_table(uniques: np.ndarray, term_post_offs: np.ndarray,
                           p_docs: np.ndarray, freqs: np.ndarray,
                           poss: np.ndarray,
                           posting_offs_in_tokens: np.ndarray,
-                          offs: tuple[np.ndarray, np.ndarray] | None = None) -> pa.Table:
+                          offs: tuple[np.ndarray, np.ndarray] | None = None,
+                          pays: np.ndarray | None = None) -> pa.Table:
     """Encode already-inverted postings into the terms.parquet schema.
 
     Inputs: sorted unique terms; per-term posting offsets (len n_terms+1);
@@ -399,6 +410,23 @@ def encode_postings_table(uniques: np.ndarray, term_post_offs: np.ndarray,
                                                 os_cum[tok_offs])
         cols["offs_len_blob"] = _binary_array(codec.varint_encode(lens),
                                               ln_cum[tok_offs])
+    if pays is not None:
+        # PAY feature (reference formats_10.cpp .pay stream): raw payload
+        # bytes concatenated in occurrence order + varint sizes, sliced
+        # per term exactly like the position blobs
+        sizes = np.fromiter((len(p) for p in pays), dtype=np.int64,
+                            count=len(pays))
+        sz_nb = codec.varint_nbytes(sizes)
+        sz_cum = np.zeros(len(sizes) + 1, dtype=np.int64)
+        np.cumsum(sz_nb, out=sz_cum[1:])
+        by_cum = np.zeros(len(sizes) + 1, dtype=np.int64)
+        np.cumsum(sizes, out=by_cum[1:])
+        blob = np.frombuffer(b"".join(pays), dtype=np.uint8) if len(pays) \
+            else np.empty(0, dtype=np.uint8)
+        tok_offs = posting_offs_in_tokens[term_post_offs]
+        cols["pay_size_blob"] = _binary_array(codec.varint_encode(sizes),
+                                              sz_cum[tok_offs])
+        cols["pay_blob"] = _binary_array(blob, by_cum[tok_offs])
     return pa.table(cols)
 
 
@@ -683,6 +711,33 @@ class SegmentReader:
         l_blob = np.frombuffer(tbl["offs_len_blob"][idx].as_py(), dtype=np.uint8)
         lens = codec.varint_decode(l_blob).astype(np.int64)
         return docs, freqs, starts, starts + lens, run_offs
+
+    @property
+    def has_payloads(self) -> bool:
+        return "pay_blob" in self.terms_table.column_names
+
+    def postings_payloads(self, idx: int):
+        """Decode term row ``idx`` with stored per-occurrence payload bytes
+        (PAY feature) -> (docs, freqs, payloads: object ndarray of bytes,
+        run_offsets).  Raises on indexes built without 'pay'."""
+        if not self.has_payloads:
+            raise ValueError(
+                "segment has no stored payloads; build with "
+                "index_features=('pos', 'pay') and a payload-capable "
+                "analyzer (tokens_with_payloads)")
+        tbl = self.terms_table
+        docs, freqs = self.postings(idx)
+        run_offs = np.zeros(len(freqs) + 1, dtype=np.int64)
+        np.cumsum(freqs, out=run_offs[1:])
+        sizes = codec.varint_decode(np.frombuffer(
+            tbl["pay_size_blob"][idx].as_py(), dtype=np.uint8)).astype(np.int64)
+        raw = tbl["pay_blob"][idx].as_py()
+        ends = np.cumsum(sizes)
+        starts = ends - sizes
+        out = np.empty(len(sizes), dtype=object)
+        for i in range(len(sizes)):  # opt-in feature: bytes rows are Python
+            out[i] = raw[starts[i]:ends[i]]
+        return docs, freqs, out, run_offs
 
     def skips(self, idx: int) -> dict | None:
         """Per-128-block skip metadata of term row ``idx`` — cached in the

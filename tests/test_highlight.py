@@ -134,3 +134,56 @@ def test_offs_feature_guards(built, built_offs, tmp_path):
     with pytest.raises(ValueError):
         BuildSegmentTask(str(tmp_path / "x"), "keyword", {}, "text", "url",
                          index_features=("pos", "offs"))
+
+
+def test_payloads_roundtrip(ray_session, tmp_path):
+    """PAY feature: per-occurrence payload bytes round-trip through the
+    index (reference .pay stream, formats_10.cpp:345-353; payload token
+    attribute carried by the delimited stream)."""
+    from iresearch_ray.analysis.tokenizers import PayloadDelimiterAnalyzer
+    from iresearch_ray.index.build import BuildSegmentTask
+
+    texts = ["alpha|A1 beta|B1 alpha|A2",
+             "beta gamma|G0",
+             "alpha|A3 alpha"]
+    t = pa.table({"url": [f"u{i}" for i in range(len(texts))], "text": texts})
+    p = str(tmp_path / "p.parquet")
+    pq.write_table(t, p, row_group_size=1)  # >1 segment so consolidate runs
+    idx = str(tmp_path / "idx")
+    build_index(p, idx, analyzer="payload-delimiter", target_docs=2,
+                index_features=("pos", "pay"))
+    reader = IndexReader(idx)
+    assert all(s.reader.has_payloads for s in reader.segments)
+    ana = PayloadDelimiterAnalyzer()
+    # expected payloads per (term, global doc), position order
+    want: dict = {}
+    for d, text in enumerate(texts, start=1):
+        toks, pays = ana.tokens_with_payloads(text)
+        for tm, pl in zip(toks, pays):
+            want.setdefault(tm, {}).setdefault(d, []).append(pl)
+    got: dict = {}
+    for sv in reader.segments:
+        seg = sv.reader
+        for term in want:
+            i = seg.lookup(term)
+            if i < 0:
+                continue
+            docs, freqs, pays, run_offs = seg.postings_payloads(i)
+            for j, d in enumerate(docs):
+                got.setdefault(term, {})[int(d + sv.base)] = \
+                    list(pays[run_offs[j]:run_offs[j + 1]])
+    assert got == want
+    # guards: plain index rejects payload decode; pay needs the protocol;
+    # offs+pay combination rejected; consolidation rejects pay segments
+    with pytest.raises(ValueError):
+        BuildSegmentTask(idx, "ascii", {}, "text", "url",
+                         index_features=("pos", "pay"))
+    with pytest.raises(ValueError):
+        BuildSegmentTask(idx, "payload-delimiter", {}, "text", "url",
+                         index_features=("pos", "pay", "offs"))
+    from iresearch_ray.index.merge import consolidate
+    with pytest.raises(NotImplementedError):
+        consolidate(idx, 10_000)
+    # payload-bearing index still answers plain queries
+    hits = IndexSearcher(reader, BM25()).search(TermFilter("alpha"), k=10)
+    assert sorted(hits["key"]) == ["u0", "u2"]
