@@ -93,7 +93,8 @@ def _lineage(spec: dict, analyzer_cfg: dict, text_column: str, key_column: str,
              store_columns: tuple = (), sort_by: str | None = None,
              sort_descending: bool = False,
              index_features: tuple = ("pos",),
-             index_format: str = "1_0") -> dict:
+             index_format: str = "1_0",
+             norm_feature: str | None = None) -> dict:
     lin = {
         "file": os.path.basename(str(spec["file"])),
         "row_groups": [int(g) for g in spec["row_groups"]],
@@ -111,6 +112,9 @@ def _lineage(spec: dict, analyzer_cfg: dict, text_column: str, key_column: str,
         lin["index_features"] = sorted(index_features)
     if index_format != "1_0":
         lin["index_format"] = index_format
+    if norm_feature:
+        lin["norm_feature"] = (norm_feature[0] if isinstance(norm_feature, tuple)
+                               else norm_feature)
     lin["hash"] = hashlib.sha256(
         json.dumps(lin, sort_keys=True).encode()).hexdigest()[:16]
     return lin
@@ -138,10 +142,24 @@ class BuildSegmentTask:
                  store_columns: tuple = (), sort_by: str | None = None,
                  sort_descending: bool = False,
                  index_features: tuple = ("pos",),
-                 index_format: str = "1_0"):
+                 index_format: str = "1_0",
+                 norm_feature: str | None = None):
         from iresearch_ray.index.formats import get_format
 
         get_format(index_format)  # fail fast on unknown format names
+        if isinstance(norm_feature, tuple):
+            # custom feature: (name, callable) — registries are
+            # per-process, so ship the callable and register it in THIS
+            # worker before any segment flush resolves it by name
+            from iresearch_ray.index.features import register_norm_feature
+
+            register_norm_feature(norm_feature[0], norm_feature[1])
+            norm_feature = norm_feature[0]
+        elif norm_feature is not None:
+            from iresearch_ray.index.features import get_norm_feature
+
+            get_norm_feature(norm_feature)  # fail fast on unknown names
+        self.norm_feature = norm_feature
         self.index_format = index_format
         self.index_dir = index_dir
         self.analyzer = get_analyzer(analyzer_name, **analyzer_opts)
@@ -187,7 +205,8 @@ class BuildSegmentTask:
         lineage = _lineage(spec, self.analyzer.config(), self.text_column,
                            self.key_column, self.store_columns,
                            self.sort_by, self.sort_descending,
-                           self.index_features, self.index_format)
+                           self.index_features, self.index_format,
+                           self.norm_feature)
         seg_dir = os.path.join(self.index_dir, spec["segment_id"])
         if _segment_done(self.index_dir, spec["segment_id"], lineage["hash"]):
             with open(os.path.join(seg_dir, META_FILE)) as f:
@@ -197,7 +216,8 @@ class BuildSegmentTask:
             return meta
         pf = pq.ParquetFile(spec["file"])
         writer = SegmentWriter(spec["segment_id"], self.analyzer.config(),
-                               lineage, fmt=self.index_format)
+                               lineage, fmt=self.index_format,
+                               norm_feature=self.norm_feature)
         arrow_fast = getattr(self.analyzer, "arrow_split_pattern", None)
         import pyarrow as pa
 
@@ -278,7 +298,8 @@ def build_index(paths, index_dir: str, analyzer: str = "unicode",
                 sort_by: str | None = None,
                 sort_descending: bool = False,
                 index_features: tuple = ("pos",),
-                index_format: str = "1_0") -> dict:
+                index_format: str = "1_0",
+                norm_feature: str | None = None) -> dict:
     """Build (or resume) an index over Parquet inputs; returns the manifest.
 
     ``cpus_per_task`` reserves that many CPUs per segment task — raise to 2
@@ -316,7 +337,7 @@ def build_index(paths, index_dir: str, analyzer: str = "unicode",
                 store_columns=tuple(store_columns), sort_by=sort_by,
                 sort_descending=sort_descending,
                 index_features=tuple(index_features),
-                index_format=index_format)
+                index_format=index_format, norm_feature=norm_feature)
     if use_actors:
         stats_ds = ds.map_batches(
             BuildSegmentTask, fn_constructor_kwargs=ctor,

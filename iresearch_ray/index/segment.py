@@ -84,6 +84,7 @@ class SegmentWriter:
     analyzer_config: dict
     lineage: dict = field(default_factory=dict)
     fmt: str = "1_0"  # registered storage format (index/formats.py)
+    norm_feature: str | None = None  # extra docmap column (index/features.py)
 
     def __post_init__(self):
         self._term_chunks: list[np.ndarray] = []
@@ -198,11 +199,19 @@ class SegmentWriter:
             "counters": {"docs_tokenized": int(self._num_docs),
                          "tokens_emitted": int(n_tokens)},
         }
-        docmap = pa.table({
+        docmap_cols = {
             "doc_id": pa.array(np.arange(1, self._num_docs + 1, dtype=np.int64)),
             "key": pa.array(keys.tolist(), type=pa.string()),
             "doc_len": pa.array(doc_lens, type=pa.int64()),
-        })
+        }
+        if self.norm_feature and self.norm_feature != "norm2":
+            # norm2 IS doc_len (always stored); other features add a column
+            from iresearch_ray.index.features import get_norm_feature
+
+            docmap_cols[self.norm_feature] = pa.array(
+                get_norm_feature(self.norm_feature)(doc_lens))
+            meta["norm_feature"] = self.norm_feature
+        docmap = pa.table(docmap_cols)
         columns = None
         if self._stored_chunks:
             columns = pa.concat_tables(self._stored_chunks)
@@ -533,6 +542,18 @@ class SegmentReader:
         if self._keys is None:
             self._load_docmap()
         return self._keys
+
+    def norms(self, name: str = "norm") -> np.ndarray | None:
+        """Stored per-doc norm column written by a registered feature
+        writer (index/features.py; reference Norm/Norm2 norm.hpp).
+        ``norm2`` always resolves (it IS doc_len); other features resolve
+        only when the index was built with ``norm_feature=<name>``."""
+        if name == "norm2":
+            return self.doc_len
+        t = pq.read_table(os.path.join(self.dir, DOCMAP_FILE))
+        if name not in t.column_names:
+            return None
+        return t[name].to_numpy(zero_copy_only=False)
 
     # -- columnstore (stored fields) ----------------------------------------
     @property

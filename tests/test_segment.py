@@ -147,3 +147,65 @@ def test_sorted_index_build(ray_session, tmp_path_factory):
     res = IndexSearcher(IndexReader(index_dir), BM25()).search(
         TermFilter("word3"), k=500)
     assert sorted(res["key"]) == [f"u{i:04d}" for i in range(n) if i % 7 == 3]
+
+
+def test_norm_feature_writer(ray_session, tmp_path):
+    """Pluggable per-doc feature writers (reference Norm/Norm2,
+    core/index/norm.hpp): 'norm' stores float32 1/sqrt(len) in the
+    docmap; scoring from the stored column equals the on-the-fly
+    TFIDF(with_norms) path bit-for-bit."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iresearch_ray.index.build import build_index
+    from iresearch_ray.index.features import (
+        get_norm_feature,
+        known_norm_features,
+        register_norm_feature,
+    )
+    from iresearch_ray.search import IndexReader, IndexSearcher, TFIDF, TermFilter
+
+    assert {"norm", "norm2"} <= set(known_norm_features())
+    with pytest.raises(KeyError):
+        get_norm_feature("nope")
+
+    t = pa.table({"url": [f"u{i}" for i in range(50)],
+                  "text": [("probe " + "pad " * (i % 9)).strip()
+                           for i in range(50)]})
+    p = str(tmp_path / "p.parquet")
+    pq.write_table(t, p, row_group_size=25)
+    idx = str(tmp_path / "idx")
+    build_index(p, idx, analyzer="ascii", target_docs=25, norm_feature="norm")
+
+    reader = IndexReader(idx)
+    for sv in reader.segments:
+        stored = sv.reader.norms("norm")
+        assert stored is not None and stored.dtype == np.float32
+        dl = sv.reader.doc_len
+        assert np.array_equal(
+            stored, np.float32(1) / np.sqrt(np.maximum(dl, 1).astype(np.float32)))
+        assert sv.reader.norms("norm2") is dl  # norm2 IS doc_len
+        assert sv.reader.norms("missing") is None
+
+    # score computed FROM the stored column == with_norms on-the-fly path
+    s = IndexSearcher(reader, TFIDF(with_norms=True))
+    res = s.search(TermFilter("probe"), k=50)
+    sv0 = reader.segments[0]
+    i = sv0.reader.lookup("probe")
+    docs, freqs = sv0.reader.postings(i)
+    sp = TFIDF(with_norms=True).prepare(reader.stats, reader.df("probe"))
+    from_stored = (np.sqrt(freqs.astype(np.float32)) * sp.num
+                   * sv0.reader.norms("norm")[docs - 1])
+    by_doc = dict(zip(res["doc"], res["score"]))
+    for d, v in zip(docs + sv0.base, from_stored):
+        assert np.float32(by_doc[int(d)]) == v
+
+    # custom writers plug into the same registry + column path; the
+    # (name, callable) form ships the writer to worker processes
+    idx2 = str(tmp_path / "idx2")
+    build_index(p, idx2, analyzer="ascii", target_docs=25,
+                norm_feature=("sqrt_len",
+                              lambda dl: np.sqrt(dl.astype(np.float64))))
+    r2 = IndexReader(idx2)
+    got = r2.segments[0].reader.norms("sqrt_len")
+    assert np.allclose(got, np.sqrt(r2.segments[0].reader.doc_len))
