@@ -308,6 +308,10 @@ def analyzer_from_config(cfg: dict) -> Analyzer:
                                num_hashes=int(cfg.get("num_hashes", 64)),
                                shingle_k=int(cfg.get("shingle_k", 3)),
                                seed=int(cfg.get("seed", 42)))
+    if name == "payload-delimiter":
+        return PayloadDelimiterAnalyzer(
+            payload_delimiter=cfg.get("payload_delimiter", "|"),
+            lowercase=bool(cfg.get("lowercase", True)))
     if name == "numeric" and "step" in cfg:
         return get_analyzer("numeric", step=int(cfg["step"]))
     # option-free analyzers: stem, keyword, boolean, null, collation, ...
@@ -381,12 +385,14 @@ class PayloadDelimiterAnalyzer(Analyzer):
     def _split(self, text: str) -> list[tuple[str, bytes]]:
         if not text:
             return []
-        if self.lowercase:
-            text = text.lower()
         out = []
         for tok in text.split():
             term, _, pay = tok.partition(self.payload_delimiter)
             if term:
+                # case-fold the TERM only — payloads are opaque bytes and
+                # must round-trip verbatim
+                if self.lowercase:
+                    term = term.lower()
                 out.append((term, pay.encode()))
         return out
 

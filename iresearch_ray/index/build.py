@@ -150,15 +150,28 @@ class BuildSegmentTask:
         if isinstance(norm_feature, tuple):
             # custom feature: (name, callable) — registries are
             # per-process, so ship the callable and register it in THIS
-            # worker before any segment flush resolves it by name
+            # worker before any segment flush resolves it by name.  The
+            # lineage identity includes a bytecode hash: editing the
+            # callable must invalidate resume, like an analyzer change
+            import hashlib as _hashlib
+
             from iresearch_ray.index.features import register_norm_feature
 
-            register_norm_feature(norm_feature[0], norm_feature[1])
-            norm_feature = norm_feature[0]
+            name, fn = norm_feature
+            register_norm_feature(name, fn)
+            code = getattr(fn, "__code__", None)
+            code_h = _hashlib.sha256(
+                (code.co_code if code else repr(fn).encode())
+                + repr(getattr(code, "co_consts", ())).encode()
+            ).hexdigest()[:8]
+            self._norm_lineage = f"{name}@{code_h}"
+            norm_feature = name
         elif norm_feature is not None:
             from iresearch_ray.index.features import get_norm_feature
 
             get_norm_feature(norm_feature)  # fail fast on unknown names
+        if not hasattr(self, "_norm_lineage"):
+            self._norm_lineage = norm_feature
         self.norm_feature = norm_feature
         self.index_format = index_format
         self.index_dir = index_dir
@@ -206,7 +219,7 @@ class BuildSegmentTask:
                            self.key_column, self.store_columns,
                            self.sort_by, self.sort_descending,
                            self.index_features, self.index_format,
-                           self.norm_feature)
+                           self._norm_lineage)
         seg_dir = os.path.join(self.index_dir, spec["segment_id"])
         if _segment_done(self.index_dir, spec["segment_id"], lineage["hash"]):
             with open(os.path.join(seg_dir, META_FILE)) as f:

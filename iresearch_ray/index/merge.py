@@ -183,17 +183,39 @@ def merge_segment_tables(readers: list[SegmentReader],
     all_lens = (np.concatenate([r.doc_len for r in readers])[keep_rows]
                 if readers else np.empty(0, dtype=np.int64))
     num_docs = int(len(all_keys))
-    docmap = pa.table({
+    docmap_cols = {
         "doc_id": pa.array(np.arange(1, num_docs + 1, dtype=np.int64)),
         "key": pa.array(all_keys.tolist(), type=pa.string()),
         "doc_len": pa.array(all_lens, type=pa.int64()),
-    })
+    }
     stats = {
         "num_docs": num_docs,
         "sum_doc_len": int(all_lens.sum()),
         "max_doc_len": int(all_lens.max()) if num_docs else 0,
         "num_terms": terms_tbl.num_rows,
     }
+    # carry stored norm-feature columns through the merge: writers are
+    # pure functions of doc_len (index/features.py), so recompute over the
+    # merged lengths; an unregistered custom feature must fail loudly
+    # rather than silently vanish from merged segments
+    norm_names = {r.meta.get("norm_feature") for r in readers
+                  if r.meta.get("norm_feature")}
+    if norm_names:
+        from iresearch_ray.index.features import get_norm_feature
+
+        if len(norm_names) > 1:
+            raise NotImplementedError(
+                f"merging segments with different norm features {sorted(norm_names)}")
+        name = norm_names.pop()
+        try:
+            fn = get_norm_feature(name)
+        except KeyError:
+            raise NotImplementedError(
+                f"cannot merge segments with unregistered norm feature "
+                f"{name!r}; register it in this process first") from None
+        docmap_cols[name] = pa.array(fn(all_lens))
+        stats["norm_feature"] = name
+    docmap = pa.table(docmap_cols)
 
     # stored-field columnstore: concat per-segment tables (schema-promoted —
     # a segment lacking a column contributes nulls), purge masked rows,
@@ -252,6 +274,9 @@ def merge_run(index_dir: str, segment_ids: list[str], out_id: str,
         leaves.extend(prior if prior else [r.segment_id])
     meta = {
         "format_version": FORMAT_VERSION,
+        # preserve the operator's chosen storage format across merges
+        # (write_segment_dir would otherwise re-encode in default 1_0)
+        "format": readers[0].meta.get("format", "1_0"),
         "segment_id": out_id,
         **stats,
         "analyzer": readers[0].meta.get("analyzer", {}),

@@ -547,13 +547,18 @@ class SegmentReader:
         """Stored per-doc norm column written by a registered feature
         writer (index/features.py; reference Norm/Norm2 norm.hpp).
         ``norm2`` always resolves (it IS doc_len); other features resolve
-        only when the index was built with ``norm_feature=<name>``."""
+        only when the index was built with ``norm_feature=<name>``.
+        Cached after first read (query-hot, like doc_len/keys)."""
         if name == "norm2":
             return self.doc_len
-        t = pq.read_table(os.path.join(self.dir, DOCMAP_FILE))
-        if name not in t.column_names:
-            return None
-        return t[name].to_numpy(zero_copy_only=False)
+        cache = getattr(self, "_norms_cache", None)
+        if cache is None:
+            cache = self._norms_cache = {}
+        if name not in cache:
+            t = pq.read_table(os.path.join(self.dir, DOCMAP_FILE))
+            cache[name] = (t[name].to_numpy(zero_copy_only=False)
+                           if name in t.column_names else None)
+        return cache[name]
 
     # -- columnstore (stored fields) ----------------------------------------
     @property

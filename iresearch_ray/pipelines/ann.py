@@ -377,6 +377,7 @@ def build_ivf_index(ds, index_dir: str, n_cells: int = 16,
     import ray
 
     meta = {"kind": "ivf", "n_cells": n_cells, "seed": seed,
+            "train_sample": train_sample,
             "id_column": id_column, "vec_column": vec_column}
     meta_path = os.path.join(index_dir, _ANN_META)
     if os.path.exists(meta_path):

@@ -161,14 +161,33 @@ def minhash_lsh_pairs(ds, text_column: str = "text", id_column: str = "doc_id",
         StatelessBatchFn(MinHashBatch, dict(
             text_column=text_column, id_column=id_column, analyzer=analyzer,
             num_hashes=num_hashes, bands=bands, shingle_k=shingle_k)),
-        batch_format="pyarrow")
+        batch_format="pyarrow",
+        concurrency=pool_size(concurrency) if concurrency else None)
     # checkpoint the (corpus-small, but not driver-small) sketches to
     # Parquet so the two downstream passes re-read files instead of either
     # re-tokenizing the corpus or pinning every sketch in the object store
     own_ckpt = checkpoint_dir is None
     ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="iresearch_minhash_")
     try:
-        sk.write_parquet(ckpt)
+        import os
+
+        marker = os.path.join(ckpt, "_sketch_done.json")
+        if os.path.exists(marker):
+            pass  # resume: sketches already on disk, skip the tokenize pass
+        else:
+            # a dir with parquet but no marker is a half-written previous
+            # attempt — clear it, or write_parquet would APPEND a second
+            # copy of every sketch row and poison the bucket counts
+            if os.path.isdir(ckpt) and any(
+                    f.endswith(".parquet") for f in os.listdir(ckpt)):
+                shutil.rmtree(ckpt)
+                os.makedirs(ckpt, exist_ok=True)
+            sk.write_parquet(ckpt)
+            import json as _json
+
+            with open(marker, "w") as f:
+                _json.dump({"num_hashes": num_hashes, "bands": bands,
+                            "shingle_k": shingle_k, "analyzer": analyzer}, f)
         sk = ray.data.read_parquet(ckpt)
 
         # per-group map_groups over ~n_docs*bands tiny buckets pays Ray's
@@ -275,7 +294,9 @@ def rolling_doc_fingerprints(ds, text_column: str = "text",
             return pa.table({id_column: pa.array(ids[d]),
                              "fingerprint": pa.array(f.view(np.int64))})
 
-    return ds.map_batches(StatelessBatchFn(FpBatch), batch_format="pyarrow")
+    return ds.map_batches(
+        StatelessBatchFn(FpBatch), batch_format="pyarrow",
+        concurrency=pool_size(concurrency) if concurrency else None)
 
 
 def simhash_groups(ds, text_column: str = "text", id_column: str = "doc_id",
@@ -303,7 +324,9 @@ def simhash_groups(ds, text_column: str = "text", id_column: str = "doc_id",
             return pa.table({"simhash": pa.array(sh.view(np.int64)),
                              id_column: b[id_column]})
 
-    hashed = ds.map_batches(StatelessBatchFn(SimBatch), batch_format="pyarrow")
+    hashed = ds.map_batches(
+        StatelessBatchFn(SimBatch), batch_format="pyarrow",
+        concurrency=pool_size(concurrency) if concurrency else None)
     return hashed.groupby("simhash").aggregate(
         Count(alias_name="dup_count"), Min(id_column, alias_name="keep_id"))
 

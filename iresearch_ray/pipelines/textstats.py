@@ -100,7 +100,8 @@ def quality_stats(ds, text_column="text", analyzer="ascii", concurrency=None):
     return ds.map_batches(
         StatelessBatchFn(QualityBatch,
                          dict(text_column=text_column, analyzer=analyzer)),
-        batch_format="pyarrow")
+        batch_format="pyarrow",
+        concurrency=pool_size(concurrency) if concurrency else None)
 
 
 class LangIdBatch:
@@ -134,7 +135,8 @@ def langid(ds, text_column="text", analyzer="ascii", concurrency=None):
     return ds.map_batches(
         StatelessBatchFn(LangIdBatch,
                          dict(text_column=text_column, analyzer=analyzer)),
-        batch_format="pyarrow")
+        batch_format="pyarrow",
+        concurrency=pool_size(concurrency) if concurrency else None)
 
 
 def token_count_by(ds, group_column: str, text_column="text", analyzer="ascii",
@@ -154,8 +156,9 @@ def token_count_by(ds, group_column: str, text_column="text", analyzer="ascii",
             g = df.groupby(group_column, as_index=False)["n"].sum()
             return pa.Table.from_pandas(g, preserve_index=False)
 
-    partial = ds.map_batches(StatelessBatchFn(CountBatch),
-                             batch_format="pyarrow")
+    partial = ds.map_batches(
+        StatelessBatchFn(CountBatch), batch_format="pyarrow",
+        concurrency=pool_size(concurrency) if concurrency else None)
     return partial.groupby(group_column).aggregate(Sum("n", alias_name="total_tokens"))
 
 
@@ -183,7 +186,8 @@ def term_frequencies(ds, text_column="text", analyzer="ascii", concurrency=None)
                 "ttf": pa.array(ttf),
             })
 
-    partial = ds.map_batches(StatelessBatchFn(TermBatch),
-                             batch_format="pyarrow")
+    partial = ds.map_batches(
+        StatelessBatchFn(TermBatch), batch_format="pyarrow",
+        concurrency=pool_size(concurrency) if concurrency else None)
     return partial.groupby("term").aggregate(Sum("df", alias_name="df"),
                                              Sum("ttf", alias_name="ttf"))

@@ -187,15 +187,27 @@ class DistributedSearcher:
             return out
 
         df_map: dict[str, int] = {}
-        futures = []
         terms = sorted(flt.terms_needed())
+        nodes = expansion_nodes(flt)
+        per_actor = []
         for a in self.actors:
+            fs = []
             if terms:
-                futures.append(a.term_dfs.remote(terms))
-            for node in expansion_nodes(flt):
-                futures.append(a.expand_dfs.remote(node))
-        for part in ray.get(futures):
-            for t, d in part.items():
+                fs.append(a.term_dfs.remote(terms))
+            for node in nodes:
+                fs.append(a.expand_dfs.remote(node))
+            per_actor.append(fs)
+        for fs in per_actor:
+            # within ONE actor, the same key reported by two nodes (e.g.
+            # an identical variadic part in two phrase filters, or a term
+            # matched by two overlapping expansions) carries the same
+            # group-local df — merge with max, or the cross-actor sum
+            # below would double-count it
+            mine: dict[str, int] = {}
+            for part in ray.get(fs):
+                for t, d in part.items():
+                    mine[t] = max(mine.get(t, 0), d)
+            for t, d in mine.items():
                 df_map[t] = df_map.get(t, 0) + d
         if mode == "top" and len(self.actors) > 1:
             pilot = ray.get(self.actors[0].execute_topk.remote(

@@ -111,3 +111,22 @@ def test_distributed_nested_expansion_scores(dist):
     assert list(a["doc"]) == list(b["doc"])
     assert np.allclose(a["score"].to_numpy(), b["score"].to_numpy(),
                        rtol=0, atol=0)
+
+
+def test_distributed_shared_part_df_not_double_counted(dist):
+    """Review finding: the same variadic part (or a term matched by two
+    overlapping expansions) appearing in TWO nodes of one query tree must
+    not be summed twice into the global df map."""
+    searcher, local = dist
+
+    cases = [
+        OrFilter([PhraseFilter([{"prefix": "re"}, "name"]),
+                  PhraseFilter([{"prefix": "re"}, "ref"])]),
+        OrFilter([PrefixFilter("abcd"), PrefixFilter("abcd")]),
+    ]
+    for flt in cases:
+        a = searcher.search(flt, k=15)
+        b = local.search(flt, k=15)
+        assert list(a["doc"]) == list(b["doc"])
+        assert np.allclose(a["score"].to_numpy(), b["score"].to_numpy(),
+                           rtol=0, atol=0)

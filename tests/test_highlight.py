@@ -187,3 +187,24 @@ def test_payloads_roundtrip(ray_session, tmp_path):
     # payload-bearing index still answers plain queries
     hits = IndexSearcher(reader, BM25()).search(TermFilter("alpha"), k=10)
     assert sorted(hits["key"]) == ["u0", "u2"]
+
+
+def test_payloads_preserve_case_and_config(ray_session, tmp_path):
+    """Review findings: payload bytes must round-trip VERBATIM (only the
+    term is case-folded), and analyzer_from_config must rebuild the
+    payload analyzer's options."""
+    from iresearch_ray.analysis.tokenizers import (
+        PayloadDelimiterAnalyzer,
+        analyzer_from_config,
+    )
+
+    ana = PayloadDelimiterAnalyzer()
+    toks, pays = ana.tokens_with_payloads("Doc|QWxhZGRpbg== Word|MiXeD")
+    assert toks == ["doc", "word"]          # terms folded
+    assert pays == [b"QWxhZGRpbg==", b"MiXeD"]  # payloads verbatim
+
+    custom = PayloadDelimiterAnalyzer(payload_delimiter=":", lowercase=False)
+    rebuilt = analyzer_from_config(custom.config())
+    assert rebuilt.config() == custom.config()
+    assert rebuilt.tokens_with_payloads("A:p1 B") == (["A", "B"],
+                                                      [b"p1", b""])

@@ -201,3 +201,38 @@ def test_carry_forward_two_level_consolidation(ray_session, tmp_path_factory):
     assert man2["num_docs"] == man["num_docs"]
     after = IndexSearcher(IndexReader(idx), BM25()).search(TF("mterm"), k=500)
     assert list(after["doc"]) == list(deleted_before["doc"])
+
+
+def test_merge_preserves_format_and_norm_feature(ray_session, tmp_path):
+    """Review findings: consolidation must keep the operator's storage
+    format (not silently re-encode in 1_0) and recompute stored
+    norm-feature columns instead of dropping them."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iresearch_ray.index.build import build_index
+    from iresearch_ray.index.merge import consolidate
+    from iresearch_ray.search import IndexReader
+
+    t = pa.table({"url": [f"u{i}" for i in range(60)],
+                  "text": [f"alpha beta row{i % 5}" for i in range(60)]})
+    p = str(tmp_path / "p.parquet")
+    pq.write_table(t, p, row_group_size=20)
+    idx = str(tmp_path / "idx")
+    build_index(p, idx, analyzer="ascii", target_docs=20,
+                index_format="1_1", norm_feature="norm")
+    man = consolidate(idx, 1000)
+    merged = [s["segment_id"] for s in man["segments"]
+              if s["segment_id"].startswith("seg-m")]
+    assert merged
+    seg_dir = f"{idx}/{merged[0]}"
+    md = pq.ParquetFile(f"{seg_dir}/terms.parquet").metadata
+    assert md.row_group(0).column(0).compression == "LZ4"  # format kept
+    r = IndexReader(idx)
+    for sv in r.segments:
+        stored = sv.reader.norms("norm")
+        assert stored is not None
+        dl = sv.reader.doc_len
+        assert np.array_equal(
+            stored,
+            np.float32(1) / np.sqrt(np.maximum(dl, 1).astype(np.float32)))

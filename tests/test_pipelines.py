@@ -447,3 +447,20 @@ def test_embedding_neardup_exact_and_lsh(ray_session):
     got_a = set(zip(approx["id_a"].astype(int), approx["id_b"].astype(int)))
     assert got_a <= want
     assert len(got_a) > 0
+
+
+def test_minhash_checkpoint_resume(ray_session, tmp_path):
+    """Review finding: a reused checkpoint_dir must resume (skip the
+    sketch pass), never append duplicate sketch rows that poison the
+    bucket counts."""
+    rows = [{"doc_id": 1, "text": "alpha beta gamma delta epsilon zeta"},
+            {"doc_id": 2, "text": "alpha beta gamma delta epsilon zeta"},
+            {"doc_id": 3, "text": "other words entirely different here now"}]
+    ckpt = str(tmp_path / "ckpt")
+    ds = ray.data.from_items(rows)
+    p1 = dedup.minhash_lsh_pairs(ds, threshold=0.9,
+                                 checkpoint_dir=ckpt).to_pandas()
+    p2 = dedup.minhash_lsh_pairs(ray.data.from_items(rows), threshold=0.9,
+                                 checkpoint_dir=ckpt).to_pandas()
+    pd.testing.assert_frame_equal(p1, p2)
+    assert set(zip(p1["id_a"], p1["id_b"])) == {(1, 2)}
