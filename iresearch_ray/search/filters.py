@@ -743,10 +743,9 @@ class _PreparedNgramSim(Prepared):
         q = np.concatenate(occ_q)
         # prefilter: chain length <= distinct matched query indexes per doc
         du, dinv = np.unique(d, return_inverse=True)
-        distinct = np.zeros(len(du), dtype=np.int64)
         pair = dinv * np.int64(self.m) + q
         upair = np.unique(pair)
-        np.add.at(distinct, upair // self.m, 1)
+        distinct = np.bincount(upair // self.m, minlength=len(du))
         cand = np.flatnonzero(distinct >= self.min_matches)
         if not len(cand):
             return _empty(self.dtype)
@@ -757,6 +756,44 @@ class _PreparedNgramSim(Prepared):
         order = np.lexsort((-q, p, d))
         d, q = d[order], q[order]
         bounds = np.r_[0, np.flatnonzero(d[1:] != d[:-1]) + 1, len(d)]
+        starts, lens = bounds[:-1], np.diff(bounds)
+        if self.m <= 63:
+            # vectorized patience DP: the tails array of the classic LIS
+            # is a strictly increasing SUBSET of {0..m-1}, i.e. an m-bit
+            # mask per doc.  bisect-replace becomes pure bit ops, and the
+            # per-doc sequential scan vectorizes ACROSS docs by
+            # processing occurrence ordinal r of every doc together
+            T = np.zeros(len(starts), dtype=np.int64)
+            active = np.arange(len(starts), dtype=np.int64)
+            r = 0
+            max_len = int(lens.max()) if len(lens) else 0
+            while r < max_len:
+                live = lens[active] > r
+                active = active[live]
+                t = T[active]
+                x = q[starts[active] + r]
+                xbit = np.int64(1) << x
+                # remove the smallest tail element > x (patience replace);
+                # if x already present the state is unchanged
+                z = (t >> (x + np.int64(1))) << (x + np.int64(1))
+                rm = z & -z
+                T[active] = np.where((t & xbit) != 0, t,
+                                     (t | xbit) & ~rm)
+                r += 1
+            # SWAR popcount of the m-bit tail masks = chain lengths
+            v = T.astype(np.uint64)
+            v = v - ((v >> np.uint64(1)) & np.uint64(0x5555555555555555))
+            v = ((v & np.uint64(0x3333333333333333))
+                 + ((v >> np.uint64(2)) & np.uint64(0x3333333333333333)))
+            v = (v + (v >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+            chains = ((v * np.uint64(0x0101010101010101))
+                      >> np.uint64(56)).astype(np.int64)
+            keep2 = chains >= self.min_matches
+            if not keep2.any():
+                return _empty(self.dtype)
+            docs = d[starts[keep2]]
+            scores = ((chains[keep2] / self.m) * self.boost).astype(self.dtype)
+            return docs, scores
         out_docs, out_scores = [], []
         for s, e in zip(bounds[:-1], bounds[1:]):
             tails: list[int] = []
