@@ -112,3 +112,66 @@ def hopping_aggregate(ds, window_minutes: int = 60, hop_minutes: int = 30):
     return (partials.groupby(["bucket", "event_type"])
             .aggregate(Sum("n", alias_name="n"),
                        Sum("sum_value", alias_name="sum_value")))
+
+
+def sessionize_salted(ds, gap_minutes: int = 30, bucket_hours: int = 24):
+    """Hot-key-safe sessionization: the scale remedy SCALE.md documents
+    for ``sessionize``'s single-group-per-user assumption, implemented.
+
+    Stage 1 groups by (user, TIME bucket) — a pathological user's events
+    split across buckets, so no single group must hold them all — and
+    sessionizes within each bucket, emitting one SUMMARY row per
+    within-bucket session (start/end ts, count, sum).
+    Stage 2 groups by user over those summaries (volume = sessions, not
+    events) and stitches sessions whose cross-bucket gap <= gap.
+    Result is row-identical to ``sessionize``.
+
+    ``bucket_hours`` must dominate the gap (enforced) so a session can
+    only ever span ADJACENT buckets' boundaries, which the ordered stitch
+    handles naturally."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    bucket_us = bucket_hours * 3_600 * 1_000_000
+    if bucket_us <= gap_us:
+        raise ValueError("bucket must be larger than the session gap")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return t.append_column("__bucket", pa.array(ts // bucket_us))
+
+    def bucket_sessions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        ts = df["ts"].astype("int64").to_numpy()
+        new = np.ones(len(ts), dtype=np.int64)
+        if len(ts) > 1:
+            new[1:] = (np.diff(ts) > gap_us).astype(np.int64)
+        sid = np.cumsum(new)
+        vals = df["value"].to_numpy()
+        out = pd.DataFrame({"sid": sid, "ts": ts, "value": vals})
+        g = out.groupby("sid", sort=True).agg(
+            start=("ts", "min"), end=("ts", "max"),
+            n_events=("ts", "size"), sum_value=("value", "sum"))
+        g["user_id"] = df["user_id"].iloc[0]
+        return g.reset_index(drop=True)
+
+    def stitch(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("start").reset_index(drop=True)
+        start = df["start"].astype("int64").to_numpy()
+        end = df["end"].astype("int64").to_numpy()
+        new = np.ones(len(df), dtype=np.int64)
+        if len(df) > 1:
+            new[1:] = (start[1:] - end[:-1] > gap_us).astype(np.int64)
+        sid = np.cumsum(new)
+        out = df.assign(session_id=sid).groupby("session_id", sort=True).agg(
+            n_events=("n_events", "sum"), sum_value=("sum_value", "sum"))
+        return pd.DataFrame({
+            "user_id": np.repeat(df["user_id"].iloc[0], len(out)),
+            "session_id": out.index.to_numpy(),
+            "n_events": out["n_events"].to_numpy().astype(np.int64),
+            "sum_value": out["sum_value"].to_numpy(),
+        })
+
+    summaries = (ds.map_batches(add_bucket, batch_format="pyarrow")
+                 .groupby(["user_id", "__bucket"])
+                 .map_groups(bucket_sessions, batch_format="pandas"))
+    return summaries.groupby("user_id").map_groups(stitch,
+                                                   batch_format="pandas")

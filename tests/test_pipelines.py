@@ -464,3 +464,26 @@ def test_minhash_checkpoint_resume(ray_session, tmp_path):
                                  checkpoint_dir=ckpt).to_pandas()
     pd.testing.assert_frame_equal(p1, p2)
     assert set(zip(p1["id_a"], p1["id_b"])) == {(1, 2)}
+
+
+def test_sessionize_salted_equals_unsalted(ray_session):
+    """The hot-key-safe (time-bucket salted + stitched) sessionization
+    must be row-identical to the single-group path — including sessions
+    that SPAN bucket boundaries."""
+    from iresearch_ray.pipelines.windows import sessionize, sessionize_salted
+
+    ds = ray.data.read_parquet(f"{SF}/events.parquet",
+                               columns=["event_id", "ts", "user_id", "value"])
+    a = sessionize(ds, gap_minutes=30).to_pandas()
+    # 1-hour buckets guarantee many boundary-spanning sessions in testdata
+    b = sessionize_salted(
+        ray.data.read_parquet(f"{SF}/events.parquet",
+                              columns=["event_id", "ts", "user_id", "value"]),
+        gap_minutes=30, bucket_hours=1).to_pandas()
+    key = ["user_id", "session_id"]
+    a = a.sort_values(key).reset_index(drop=True)[a.columns.sort_values()]
+    b = b.sort_values(key).reset_index(drop=True)[b.columns.sort_values()]
+    pd.testing.assert_frame_equal(
+        a.astype({"n_events": np.int64}), b.astype({"n_events": np.int64}))
+    with pytest.raises(ValueError):
+        sessionize_salted(ds, gap_minutes=120, bucket_hours=1)
