@@ -112,9 +112,8 @@ def _lineage(spec: dict, analyzer_cfg: dict, text_column: str, key_column: str,
         lin["index_features"] = sorted(index_features)
     if index_format != "1_0":
         lin["index_format"] = index_format
-    if norm_feature:
-        lin["norm_feature"] = (norm_feature[0] if isinstance(norm_feature, tuple)
-                               else norm_feature)
+    if norm_feature:  # already resolved to 'name' or 'name@codehash'
+        lin["norm_feature"] = norm_feature
     lin["hash"] = hashlib.sha256(
         json.dumps(lin, sort_keys=True).encode()).hexdigest()[:16]
     return lin
@@ -128,6 +127,36 @@ def _segment_done(index_dir: str, segment_id: str, lineage_hash: str) -> bool:
         return meta.get("lineage", {}).get("hash") == lineage_hash
     except (OSError, ValueError):
         return False
+
+
+def _stable_fn_hash(fn) -> str:
+    """Deterministic short hash of a plain function's behavior: bytecode,
+    primitive constants (nested code objects by their bytecode), and
+    captured closure-cell values.  Callables whose identity cannot be
+    hashed stably (no __code__, non-primitive captures) are rejected —
+    version the feature NAME explicitly instead of relying on magic."""
+    code = getattr(fn, "__code__", None)
+    if code is None:
+        raise ValueError(
+            "custom norm feature must be a plain function; for other "
+            "callables version the feature name explicitly (e.g. 'f_v2')")
+
+    def enc(v) -> bytes:
+        if isinstance(v, (str, int, float, bool, bytes, type(None))):
+            return repr(v).encode()
+        if isinstance(v, tuple):
+            return b"(" + b",".join(enc(x) for x in v) + b")"
+        if hasattr(v, "co_code"):  # nested code object (inner lambda)
+            return v.co_code
+        raise ValueError(
+            f"custom norm feature captures non-primitive state "
+            f"({type(v).__name__}); version the feature name explicitly")
+
+    parts = [code.co_code]
+    parts.extend(enc(c) for c in code.co_consts)
+    for cell in (fn.__closure__ or ()):
+        parts.append(enc(cell.cell_contents))
+    return hashlib.sha256(b"|".join(parts)).hexdigest()[:8]
 
 
 class BuildSegmentTask:
@@ -147,24 +176,25 @@ class BuildSegmentTask:
         from iresearch_ray.index.formats import get_format
 
         get_format(index_format)  # fail fast on unknown format names
+        _nf_name = norm_feature[0] if isinstance(norm_feature, tuple) \
+            else norm_feature
+        if _nf_name in ("doc_id", "key", "doc_len"):
+            raise ValueError(
+                f"norm feature name {_nf_name!r} collides with a "
+                "reserved docmap column")
         if isinstance(norm_feature, tuple):
             # custom feature: (name, callable) — registries are
             # per-process, so ship the callable and register it in THIS
             # worker before any segment flush resolves it by name.  The
-            # lineage identity includes a bytecode hash: editing the
-            # callable must invalidate resume, like an analyzer change
-            import hashlib as _hashlib
-
+            # lineage identity includes a stable function hash (bytecode
+            # + consts + CLOSURE cells): editing the callable, including
+            # captured values, must invalidate resume like an analyzer
+            # change; unstably-hashable callables are rejected up front
             from iresearch_ray.index.features import register_norm_feature
 
             name, fn = norm_feature
             register_norm_feature(name, fn)
-            code = getattr(fn, "__code__", None)
-            code_h = _hashlib.sha256(
-                (code.co_code if code else repr(fn).encode())
-                + repr(getattr(code, "co_consts", ())).encode()
-            ).hexdigest()[:8]
-            self._norm_lineage = f"{name}@{code_h}"
+            self._norm_lineage = f"{name}@{_stable_fn_hash(fn)}"
             norm_feature = name
         elif norm_feature is not None:
             from iresearch_ray.index.features import get_norm_feature

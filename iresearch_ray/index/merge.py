@@ -207,6 +207,10 @@ def merge_segment_tables(readers: list[SegmentReader],
             raise NotImplementedError(
                 f"merging segments with different norm features {sorted(norm_names)}")
         name = norm_names.pop()
+        if name in docmap_cols:
+            raise ValueError(
+                f"norm feature name {name!r} collides with a reserved "
+                "docmap column")
         try:
             fn = get_norm_feature(name)
         except KeyError:

@@ -208,6 +208,10 @@ class SegmentWriter:
             # norm2 IS doc_len (always stored); other features add a column
             from iresearch_ray.index.features import get_norm_feature
 
+            if self.norm_feature in docmap_cols:
+                raise ValueError(
+                    f"norm feature name {self.norm_feature!r} collides "
+                    "with a reserved docmap column")
             docmap_cols[self.norm_feature] = pa.array(
                 get_norm_feature(self.norm_feature)(doc_lens))
             meta["norm_feature"] = self.norm_feature
@@ -528,6 +532,7 @@ class SegmentReader:
 
     def _load_docmap(self):
         t = pq.read_table(os.path.join(self.dir, DOCMAP_FILE))
+        self._docmap_tbl = t  # keep: norm-feature columns read from here
         self._doc_len = t["doc_len"].to_numpy()
         self._keys = np.asarray(t["key"].to_pylist(), dtype=object)
 
@@ -555,7 +560,9 @@ class SegmentReader:
         if cache is None:
             cache = self._norms_cache = {}
         if name not in cache:
-            t = pq.read_table(os.path.join(self.dir, DOCMAP_FILE))
+            if getattr(self, "_docmap_tbl", None) is None:
+                self._load_docmap()  # one read serves doc_len/keys/norms
+            t = self._docmap_tbl
             cache[name] = (t[name].to_numpy(zero_copy_only=False)
                            if name in t.column_names else None)
         return cache[name]

@@ -169,25 +169,35 @@ def minhash_lsh_pairs(ds, text_column: str = "text", id_column: str = "doc_id",
     own_ckpt = checkpoint_dir is None
     ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="iresearch_minhash_")
     try:
+        import json as _json
         import os
 
         marker = os.path.join(ckpt, "_sketch_done.json")
+        params = {"num_hashes": num_hashes, "bands": bands,
+                  "shingle_k": shingle_k, "analyzer": analyzer,
+                  "text_column": text_column, "id_column": id_column}
+        resume = False
         if os.path.exists(marker):
-            pass  # resume: sketches already on disk, skip the tokenize pass
-        else:
-            # a dir with parquet but no marker is a half-written previous
-            # attempt — clear it, or write_parquet would APPEND a second
-            # copy of every sketch row and poison the bucket counts
-            if os.path.isdir(ckpt) and any(
-                    f.endswith(".parquet") for f in os.listdir(ckpt)):
+            with open(marker) as f:
+                recorded = _json.load(f)
+            if recorded == params:
+                resume = True  # sketches on disk match this configuration
+            else:
+                # OUR dir (marker proves it) but stale params: rebuild
                 shutil.rmtree(ckpt)
                 os.makedirs(ckpt, exist_ok=True)
+        elif os.path.isdir(ckpt) and any(
+                f.endswith(".parquet") for f in os.listdir(ckpt)):
+            # parquet we did not write (no marker): REFUSE rather than
+            # either appending duplicates or deleting a stranger's data
+            raise ValueError(
+                f"checkpoint_dir {ckpt!r} contains parquet files not "
+                "written by minhash_lsh_pairs; point it at an empty or "
+                "dedicated directory")
+        if not resume:
             sk.write_parquet(ckpt)
-            import json as _json
-
             with open(marker, "w") as f:
-                _json.dump({"num_hashes": num_hashes, "bands": bands,
-                            "shingle_k": shingle_k, "analyzer": analyzer}, f)
+                _json.dump(params, f)
         sk = ray.data.read_parquet(ckpt)
 
         # per-group map_groups over ~n_docs*bands tiny buckets pays Ray's

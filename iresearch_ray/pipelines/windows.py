@@ -49,13 +49,21 @@ def tumbling_aggregate(ds, window_minutes: int = 60):
                        Sum("sum_value", alias_name="sum_value")))
 
 
-def _sessions_of_group(df: pd.DataFrame, gap_us: int) -> pd.DataFrame:
-    df = df.sort_values(["ts", "event_id"])
-    ts = df["ts"].astype("int64").to_numpy()
+def _gap_session_ids(ts: np.ndarray, gap_us: int) -> np.ndarray:
+    """1-based session ordinals over time-sorted event timestamps: a new
+    session starts wherever the gap to the previous event exceeds gap_us.
+    Shared by sessionize and sessionize_salted so boundary semantics can
+    never drift between the two (their row-identity is tested)."""
     new = np.ones(len(ts), dtype=np.int64)
     if len(ts) > 1:
         new[1:] = (np.diff(ts) > gap_us).astype(np.int64)
-    sid = np.cumsum(new)
+    return np.cumsum(new)
+
+
+def _sessions_of_group(df: pd.DataFrame, gap_us: int) -> pd.DataFrame:
+    df = df.sort_values(["ts", "event_id"])
+    ts = df["ts"].astype("int64").to_numpy()
+    sid = _gap_session_ids(ts, gap_us)
     out = pd.DataFrame({"session_id": sid, "value": df["value"].to_numpy()})
     g = out.groupby("session_id", sort=True)["value"].agg(["count", "sum"])
     return pd.DataFrame({
@@ -141,10 +149,7 @@ def sessionize_salted(ds, gap_minutes: int = 30, bucket_hours: int = 24):
     def bucket_sessions(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["ts", "event_id"])
         ts = df["ts"].astype("int64").to_numpy()
-        new = np.ones(len(ts), dtype=np.int64)
-        if len(ts) > 1:
-            new[1:] = (np.diff(ts) > gap_us).astype(np.int64)
-        sid = np.cumsum(new)
+        sid = _gap_session_ids(ts, gap_us)
         vals = df["value"].to_numpy()
         out = pd.DataFrame({"sid": sid, "ts": ts, "value": vals})
         g = out.groupby("sid", sort=True).agg(
@@ -157,6 +162,8 @@ def sessionize_salted(ds, gap_minutes: int = 30, bucket_hours: int = 24):
         df = df.sort_values("start").reset_index(drop=True)
         start = df["start"].astype("int64").to_numpy()
         end = df["end"].astype("int64").to_numpy()
+        # same boundary rule, applied to summary intervals: gap measured
+        # from the previous session's END to this one's START
         new = np.ones(len(df), dtype=np.int64)
         if len(df) > 1:
             new[1:] = (start[1:] - end[:-1] > gap_us).astype(np.int64)

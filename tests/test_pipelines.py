@@ -487,3 +487,27 @@ def test_sessionize_salted_equals_unsalted(ray_session):
         a.astype({"n_events": np.int64}), b.astype({"n_events": np.int64}))
     with pytest.raises(ValueError):
         sessionize_salted(ds, gap_minutes=120, bucket_hours=1)
+
+
+def test_minhash_checkpoint_guards(ray_session, tmp_path):
+    """Param-mismatched markers rebuild; foreign parquet dirs are refused
+    (never deleted, never appended to)."""
+    import os
+
+    rows = [{"doc_id": 1, "text": "alpha beta gamma delta epsilon zeta"},
+            {"doc_id": 2, "text": "alpha beta gamma delta epsilon zeta"}]
+    ckpt = str(tmp_path / "ckpt")
+    dedup.minhash_lsh_pairs(ray.data.from_items(rows), threshold=0.9,
+                            checkpoint_dir=ckpt).to_pandas()
+    # different params -> marker mismatch -> rebuilt, still correct
+    p2 = dedup.minhash_lsh_pairs(ray.data.from_items(rows), threshold=0.9,
+                                 num_hashes=32, checkpoint_dir=ckpt).to_pandas()
+    assert set(zip(p2["id_a"], p2["id_b"])) == {(1, 2)}
+    # a directory holding parquet we did not write is refused verbatim
+    foreign = tmp_path / "foreign"
+    foreign.mkdir()
+    (foreign / "data.parquet").write_bytes(b"not ours")
+    with pytest.raises(ValueError):
+        dedup.minhash_lsh_pairs(ray.data.from_items(rows), threshold=0.9,
+                                checkpoint_dir=str(foreign))
+    assert (foreign / "data.parquet").read_bytes() == b"not ours"

@@ -209,3 +209,46 @@ def test_norm_feature_writer(ray_session, tmp_path):
     r2 = IndexReader(idx2)
     got = r2.segments[0].reader.norms("sqrt_len")
     assert np.allclose(got, np.sqrt(r2.segments[0].reader.doc_len))
+
+
+def test_norm_feature_guards(ray_session, tmp_path):
+    """Reserved docmap names are rejected; custom-callable lineage hashes
+    closure state (edited captures invalidate resume); non-hashable
+    callables are rejected with guidance."""
+    import functools
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iresearch_ray.index.build import BuildSegmentTask, _stable_fn_hash, build_index
+
+    with pytest.raises(ValueError):
+        BuildSegmentTask(str(tmp_path / "x"), "ascii", {}, "text", "url",
+                         norm_feature="doc_len")
+
+    def make(k):
+        return lambda dl: dl * k
+
+    h2, h3 = _stable_fn_hash(make(2)), _stable_fn_hash(make(3))
+    assert h2 != h3                      # closure value is part of identity
+    assert h2 == _stable_fn_hash(make(2))  # and deterministic
+    with pytest.raises(ValueError):
+        _stable_fn_hash(functools.partial(lambda dl, k: dl * k, k=2))
+
+    # end-to-end: rebuilding with a changed capture re-runs the segments
+    t = pa.table({"url": ["a", "b"], "text": ["x y", "x"]})
+    p = str(tmp_path / "p.parquet")
+    pq.write_table(t, p)
+    idx = str(tmp_path / "idx")
+    import numpy as _np
+
+    build_index(p, idx, analyzer="ascii", target_docs=10,
+                norm_feature=("scaled", make(2)))
+    from iresearch_ray.search import IndexReader
+
+    assert list(IndexReader(idx).segments[0].reader.norms("scaled")) == [4, 2]
+    man = build_index(p, idx, analyzer="ascii", target_docs=10,
+                      norm_feature=("scaled", make(3)))
+    assert man["build_stats"]["segments_skipped"] == 0  # resume invalidated
+    # new reader: the old one caches the stale docmap
+    assert list(IndexReader(idx).segments[0].reader.norms("scaled")) == [6, 3]
