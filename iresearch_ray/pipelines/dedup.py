@@ -251,8 +251,8 @@ def minhash_lsh_pairs(ds, text_column: str = "text", id_column: str = "doc_id",
             out_a.extend([ids[i]] * len(hit))
             out_b.extend(ids[i + 1 + hit])
             out_j.extend(eq[hit])
-    pairs = pd.DataFrame({"id_a": np.asarray(out_a, dtype=np.int64),
-                          "id_b": np.asarray(out_b, dtype=np.int64),
+    pairs = pd.DataFrame({"id_a": np.asarray(out_a),  # input id dtype
+                          "id_b": np.asarray(out_b),  # (ints or strings)
                           "est_jaccard": np.asarray(out_j, dtype=np.float64)})
     if len(pairs):
         pairs = (pairs.groupby(["id_a", "id_b"], as_index=False)
@@ -339,6 +339,27 @@ def simhash_groups(ds, text_column: str = "text", id_column: str = "doc_id",
         concurrency=pool_size(concurrency) if concurrency else None)
     return hashed.groupby("simhash").aggregate(
         Count(alias_name="dup_count"), Min(id_column, alias_name="keep_id"))
+
+
+def dedup_drop_set(pairs_df: pd.DataFrame) -> set:
+    """Ids to DROP from the near-duplicate pair set: union-find over the
+    (output-sized) pairs, keep each component's min id.  Ids appearing in
+    no pair are implicitly kept — unlike ``dedup_keep_first`` this never
+    needs the corpus id list on the driver, so it is the 100 TB shape."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs_df["id_a"], pairs_df["id_b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x for x in parent if find(x) != x}
 
 
 def dedup_keep_first(pairs_df: pd.DataFrame, all_ids: np.ndarray) -> np.ndarray:

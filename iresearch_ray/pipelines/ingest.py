@@ -31,13 +31,24 @@ from iresearch_ray.sources.pages import extract_text_batch
 
 def ingest(ds, work_dir: str, *, analyzer: str = "ascii",
            analyzer_opts: dict | None = None, dedup: bool = True,
+           near_dup: str | None = None, near_dup_threshold: float = 0.9,
            key_column: str = "url", target_docs: int = 50_000,
            store_columns: tuple = (), **build_kw) -> dict:
-    """Run the full pipeline; returns the index manifest plus counters."""
+    """Run the full pipeline; returns the index manifest plus counters.
+
+    ``near_dup='minhash'`` additionally drops MinHash-LSH near-duplicates
+    (signature Jaccard >= ``near_dup_threshold``), keeping each duplicate
+    component's min-id member: the candidate-pair set is output-sized, so
+    the union-find and the broadcast drop-set stay small at any corpus
+    size."""
     import ray
     import ray.data
 
-    from iresearch_ray.pipelines.dedup import exact_dedup_groups
+    from iresearch_ray.pipelines.dedup import (
+        dedup_drop_set,
+        exact_dedup_groups,
+        minhash_lsh_pairs,
+    )
 
     staged = os.path.join(work_dir, "staged")
     index_dir = os.path.join(work_dir, "index")
@@ -78,6 +89,24 @@ def ingest(ds, work_dir: str, *, analyzer: str = "ascii",
                 # the counter derives from data already on the driver — no
                 # extra corpus passes just to count
                 n_dropped = sum(g["dup_count"] - 1 for g in dup_groups)
+        n_near_dropped = 0
+        if near_dup == "minhash":
+            pairs = minhash_lsh_pairs(extracted, id_column=key_column,
+                                      threshold=near_dup_threshold).to_pandas()
+            drop = dedup_drop_set(pairs)
+            n_near_dropped = len(drop)
+            if drop:
+                drop_ref = ray.put(drop)
+
+                def drop_near(b: pa.Table) -> pa.Table:
+                    dr = ray.get(drop_ref)
+                    ids = b[key_column].to_pylist()
+                    return b.filter(pa.array([i not in dr for i in ids]))
+
+                extracted = extracted.map_batches(drop_near,
+                                                  batch_format="pyarrow")
+        elif near_dup is not None:
+            raise ValueError(f"unknown near_dup method {near_dup!r}")
         tmp = staged + ".tmp"
         # a crashed prior attempt may have left files here; write_parquet
         # APPENDS new UUID-named files, which would double every doc
@@ -85,15 +114,21 @@ def ingest(ds, work_dir: str, *, analyzer: str = "ascii",
         extracted.write_parquet(tmp)
         os.replace(tmp, staged)
         with open(counters_path, "w") as f:
-            json.dump({"duplicates_dropped": int(n_dropped)}, f)
+            json.dump({"duplicates_dropped": int(n_dropped),
+                       "near_duplicates_dropped": int(n_near_dropped)}, f)
     elif os.path.exists(counters_path):
         with open(counters_path) as f:  # resumed run: report prior counters
-            n_dropped = json.load(f).get("duplicates_dropped", 0)
+            c = json.load(f)
+        n_dropped = c.get("duplicates_dropped", 0)
+        n_near_dropped = c.get("near_duplicates_dropped", 0)
+    else:
+        n_near_dropped = 0
 
     man = build_index(staged, index_dir, analyzer=analyzer,
                       analyzer_opts=analyzer_opts, key_column=key_column,
                       target_docs=target_docs,
                       store_columns=tuple(store_columns), **build_kw)
     man["ingest_counters"] = {"duplicates_dropped": int(n_dropped),
+                              "near_duplicates_dropped": int(n_near_dropped),
                               "staged_dir": staged}
     return man

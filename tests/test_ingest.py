@@ -69,3 +69,46 @@ def test_ingest_crash_resume_no_duplication(ray_session, tmp_path_factory):
                   target_docs=60)
     assert man2["ingest_counters"]["duplicates_dropped"] == dropped  # persisted
     assert man2["num_docs"] == man["num_docs"]
+
+
+def test_ingest_near_dup_minhash(ray_session, tmp_path_factory):
+    """near_dup='minhash' drops near-duplicate docs (signature Jaccard >=
+    threshold), keeping each component's min-key member; exact pipeline
+    behavior is unchanged for the rest of the corpus."""
+    import pyarrow as pa
+
+    base = tmp_path_factory.mktemp("ingest_nd")
+    body = ("the quick brown fox jumps over the lazy dog again and again "
+            "while seven wizards mix quartz flasks beside the old river")
+    rows = []
+    for i in range(40):
+        if i in (5, 17):   # near-duplicates of doc 3 (one word changed)
+            text = body.replace("river", f"canal{i}")
+        elif i == 3:
+            text = body
+        else:
+            text = f"unique document number {i} " + " ".join(
+                f"w{i}x{j}" for j in range(20))
+        rows.append({"url": f"u{i:03d}",
+                     "html": f"<html><body>{text}</body></html>",
+                     "warc_ts": 1700000000000000 + i, "lang": "en",
+                     "text": text})
+    pages = str(base / "pages.parquet")
+    pa.parquet.write_table(pa.Table.from_pylist(rows), pages)
+
+    work = str(base / "work")
+    man = ingest(ray.data.read_parquet(pages), work, analyzer="ascii",
+                 target_docs=100, near_dup="minhash",
+                 near_dup_threshold=0.8, store_columns=("text",))
+    dropped = man["ingest_counters"]["near_duplicates_dropped"]
+    assert dropped == 2  # u005 and u017 fold into u003's component
+    assert man["num_docs"] == 40 - dropped
+    reader = IndexReader(f"{work}/index")
+    keys = set()
+    for sv in reader.segments:
+        keys.update(sv.reader.keys.tolist())
+    assert "u003" in keys and "u005" not in keys and "u017" not in keys
+
+    with pytest.raises(ValueError):
+        ingest(ray.data.read_parquet(pages), str(base / "w2"),
+               near_dup="bogus")
