@@ -15,6 +15,8 @@ expose a query language.  This is the small, deterministic middle:
     a OR b AND c         -> And binds tighter than Or
     -bad good            -> NotFilter(And(good), And(bad))
     term^2.5             -> boost
+    title:hello          -> Fielded('title', term)   (multifield indexes)
+    body:"ref name"      -> Fielded('body', phrase)
 
 Whitespace tokenizes; terms are analyzed literally (caller lowercases to
 match the index analyzer if needed).
@@ -37,8 +39,9 @@ from iresearch_ray.search.filters import (
     WildcardFilter,
 )
 
-_TOKEN_RE = re.compile(r'-?"[^"]*"(?:~same)?(?:\^[\d.]+)?'
-                       r'|-?\[[^\]]+\](?:\^[\d.]+)?|\S+')
+_TOKEN_RE = re.compile(r'-?(?:[A-Za-z_][\w.]*:)?"[^"]*"(?:~same)?(?:\^[\d.]+)?'
+                       r'|-?(?:[A-Za-z_][\w.]*:)?\[[^\]]+\](?:\^[\d.]+)?|\S+')
+_FIELD_RE = re.compile(r"^([A-Za-z_][\w.]*):(?=\S)")
 
 
 def _analyze_word(word: str, analyzer):
@@ -52,6 +55,14 @@ def _analyze_word(word: str, analyzer):
 
 
 def _leaf(tok: str, analyzer=None):
+    # Lucene-style field routing: `title:hello`, `body:"ref name"` —
+    # wraps the leaf in Fielded, resolved against a MultiFieldReader
+    # (plain readers reject Fielded with a clear TypeError)
+    mf = _FIELD_RE.match(tok)
+    if mf:
+        from iresearch_ray.index.multifield import Fielded
+
+        return Fielded(mf.group(1), _leaf(tok[mf.end():], analyzer))
     boost = 1.0
     m = re.search(r"\^([\d.]+)$", tok)
     if m and not tok.endswith("]"):  # boost suffix (ranges end with ])

@@ -85,3 +85,50 @@ def test_parse_with_analyzer():
     # prefixes pass through verbatim (dictionary-level operand)
     p = parse_query("Run*", analyzer=txt)
     assert isinstance(p, PrefixFilter) and p.prefix == "Run"
+
+
+def test_parse_field_routing():
+    """Lucene-style field:term syntax wraps leaves in Fielded (resolved by
+    MultiFieldSearcher; plain readers reject with a clear error)."""
+    from iresearch_ray.index.multifield import Fielded
+    from iresearch_ray.search.query_parser import parse_query
+
+    f = parse_query("title:hello")  # single leaf returns unwrapped
+    assert isinstance(f, Fielded) and f.field == "title"
+    assert isinstance(f.inner, TermFilter) and f.inner.term == "hello"
+
+    g = parse_query('body:"ref name" title:pre*')
+    kinds = {(c.field, type(c.inner).__name__) for c in g.children}
+    assert kinds == {("body", "PhraseFilter"), ("title", "PrefixFilter")}
+
+    # non-field tokens and ranges are untouched
+    assert not isinstance(parse_query("[aaa TO bbb]"), Fielded)
+    assert not isinstance(parse_query("plain"), Fielded)
+
+
+def test_parse_field_routing_end_to_end(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iresearch_ray.index.multifield import (
+        MultiFieldReader,
+        MultiFieldSearcher,
+        build_multifield,
+    )
+    from iresearch_ray.search import BM25
+    from iresearch_ray.search.query_parser import parse_query
+
+    t = pa.table({"url": ["a", "b", "c"],
+                  "title": ["alpha one", "beta two", "alpha three"],
+                  "body": ["x common", "y common", "z common"]})
+    p = str(tmp_path / "p.parquet")
+    pq.write_table(t, p)
+    idx = str(tmp_path / "mf")
+    build_multifield(p, idx, fields={"title": {"analyzer": "ascii"},
+                                    "body": {"analyzer": "ascii"}},
+                     target_docs=10)
+    s = MultiFieldSearcher(MultiFieldReader(idx, default_field="body"), BM25())
+    res = s.search(parse_query("title:alpha body:z"), k=10)
+    assert list(res["key"]) == ["c"]
+    # field term does not leak into the default field
+    assert len(s.search(parse_query("alpha"), k=10)) == 0
