@@ -64,18 +64,54 @@ class Fielded(Filter):
     """Route a filter to a named field's sub-index (the reference's
     per-filter ``field()`` option, e.g. by_term::field)."""
 
+    _PFX = "__field__"
+
     def __init__(self, field: str, inner: Filter):
         self.field = field
         self.inner = inner
 
     def terms_needed(self):
-        return self.inner.terms_needed()
+        # deliberately empty: a flat term collect would count dfs in the
+        # DEFAULT field; expand_dfs below collects them field-prefixed
+        return set()
+
+    def _prefix(self) -> str:
+        return f"{self._PFX}:{self.field}:"
+
+    def expand_dfs(self, reader) -> dict:
+        """Distributed collect for the whole inner tree against THIS
+        field's sub-index: exact-term dfs plus inner expansion/variadic
+        nodes, all keyed with a field prefix so the driver's flat df_map
+        cannot mix fields."""
+        from iresearch_ray.search.filters import df_collect_nodes
+
+        sub = reader.field(self.field)
+        pfx = self._prefix()
+        out: dict[str, int] = {}
+        for t in sorted(self.inner.terms_needed()):
+            total = 0
+            for seg in sub.segments:
+                i = seg.reader.lookup(t)
+                if i >= 0:
+                    total += int(seg.reader.df_array()[i])
+            if total:
+                out[pfx + t] = total
+        for node in df_collect_nodes(self.inner):
+            for k, v in node.expand_dfs(sub).items():
+                # same part in two inner nodes reports the same local df
+                out[pfx + k] = max(out.get(pfx + k, 0), v)
+        return out
 
     def prepare(self, reader, scorer, df_map=None):
-        if not isinstance(reader, MultiFieldReader):
-            raise TypeError("Fielded requires a MultiFieldReader")
+        if not hasattr(reader, "field"):
+            raise TypeError("Fielded requires a multi-field reader")
         sub = reader.field(self.field)
-        return _FieldBound(self.inner.prepare(sub, scorer, df_map),
+        sub_map = None
+        if df_map is not None:
+            pfx = self._prefix()
+            sub_map = {k[len(pfx):]: v for k, v in df_map.items()
+                       if isinstance(k, str) and k.startswith(pfx)}
+        return _FieldBound(self.inner.prepare(sub, scorer, sub_map),
                            {s.id: s for s in sub.segments})
 
 
@@ -166,3 +202,196 @@ def _has_fielded(flt) -> bool:
         if isinstance(kid, Filter) and _has_fielded(kid):
             return True
     return False
+
+
+# ------------------------------------------------ distributed serving ----
+class _FieldGroupView:
+    """One field's slice of a segment group — duck-types the parts of
+    IndexReader that prepare/execute touch (.segments, .stats)."""
+
+    def __init__(self, segments, stats):
+        self.segments = segments
+        self.stats = stats
+
+
+def _make_multifield_group_actor():
+    import ray
+
+    @ray.remote(num_cpus=1, max_restarts=2, max_task_retries=2)
+    class MultiFieldGroupSearcher:
+        """Segment-group actor over ALIGNED per-field sub-segments: holds
+        the same-id segment of every field, so cross-field booleans and
+        Fielded routing work exactly as in the local MultiFieldReader
+        (state rebuilt from plain ctor args on restart)."""
+
+        def __init__(self, index_dir: str, field_dirs: dict,
+                     default_field: str, segment_entries, stats_by_field):
+            from iresearch_ray.index.segment import SegmentReader
+            from iresearch_ray.search.executor import SegmentView
+            from iresearch_ray.search.scorers import FieldStats
+
+            self.views = {}
+            for fname, fdir in field_dirs.items():
+                segs = [SegmentView(
+                    SegmentReader(os.path.join(index_dir, fdir,
+                                               e["segment_id"])),
+                    e["base"]) for e in segment_entries]
+                self.views[fname] = _FieldGroupView(
+                    segs, FieldStats(*stats_by_field[fname]))
+            self.segments = self.views[default_field].segments
+            self.stats = self.views[default_field].stats
+
+        def field(self, name: str):
+            return self.views[name]
+
+        def expand_dfs(self, flt) -> dict:
+            return flt.expand_dfs(self)
+
+        def term_dfs(self, terms: list[str]) -> dict:
+            out: dict[str, int] = {}
+            for t in terms:
+                total = 0
+                for seg in self.segments:
+                    i = seg.reader.lookup(t)
+                    if i >= 0:
+                        total += int(seg.reader.df_array()[i])
+                if total:
+                    out[t] = total
+            return out
+
+        def execute_topk(self, flt, scorer, df_map: dict, k: int,
+                         mode: str = "all",
+                         threshold: float = float("-inf")):
+            from iresearch_ray.search.executor import _wand_term, _wand_union
+            from iresearch_ray.search.filters import (_PreparedTerm,
+                                                      _PreparedUnion)
+
+            prep = flt.prepare(self, scorer, df_map=df_map)
+            docs_l, scores_l, keys_l = [], [], []
+            kept = 0
+            for seg in self.segments:
+                node, eseg = prep.route(seg)
+                if (mode == "top" and isinstance(node, _PreparedTerm)
+                        and eseg is not None):
+                    raw = _wand_term(node, eseg, k, threshold)
+                elif (mode == "top" and isinstance(node, _PreparedUnion)
+                        and eseg is not None
+                        and all(isinstance(c.route(eseg)[0], _PreparedTerm)
+                                for c in node.children)):
+                    raw = _wand_union(node, eseg, threshold)
+                else:
+                    raw = prep.execute(seg)
+                docs, scores = raw
+                if not len(docs):
+                    continue
+                kept += len(docs)
+                if mode == "top" and kept >= k and len(scores):
+                    all_s = np.concatenate(scores_l + [scores]) \
+                        if scores_l else scores
+                    if len(all_s) >= k:
+                        threshold = max(threshold, float(np.nextafter(
+                            np.partition(all_s,
+                                         len(all_s) - k)[len(all_s) - k],
+                            -np.inf)))
+                if len(docs) > k:
+                    kth = np.partition(scores, len(scores) - k)[len(scores) - k]
+                    cand = np.flatnonzero(scores >= kth)
+                    sel = cand[np.lexsort((docs[cand], -scores[cand]))[:k]]
+                    docs, scores = docs[sel], scores[sel]
+                keys_l.append(seg.reader.keys[docs - 1])
+                docs_l.append(docs + seg.base)
+                scores_l.append(scores)
+            if not docs_l:
+                return (np.empty(0, dtype=np.int64),
+                        np.empty(0, dtype=np.float64), [])
+            return (np.concatenate(docs_l),
+                    np.concatenate(scores_l).astype(np.float64),
+                    list(np.concatenate(keys_l)))
+
+    return MultiFieldGroupSearcher
+
+
+class MultiFieldDistributedSearcher:
+    """Distributed top-k over a multi-field index: segment-group actors
+    hold every field's aligned segments; the df collect round keys
+    field-routed stats with a field prefix so rankings match the local
+    MultiFieldSearcher exactly."""
+
+    def __init__(self, index_dir: str, num_groups: int | None = None,
+                 default_field: str | None = None, scorer=None):
+        import ray
+
+        from iresearch_ray.index import manifest as manifest_mod
+        from iresearch_ray.search.scorers import BM25
+
+        self.scorer = scorer or BM25()
+        with open(os.path.join(index_dir, ROOT_META)) as f:
+            self.meta = json.load(f)
+        fields = sorted(self.meta["fields"])
+        self.default_field = default_field or fields[0]
+        field_dirs = {f: self.meta["fields"][f]["dir"] for f in fields}
+        mans = {f: manifest_mod.load(
+            os.path.join(index_dir, field_dirs[f]),
+            self.meta["fields"][f].get("generation")) for f in fields}
+        base_man = mans[self.default_field]
+        entries = []
+        base = 0
+        for s in base_man["segments"]:
+            entries.append({"segment_id": s["segment_id"], "base": base})
+            base += s["num_docs"]
+        if num_groups is None:
+            num_groups = min(len(entries), max(1, int(
+                ray.cluster_resources().get("CPU", 4)) - 2))
+        groups = [entries[i::num_groups] for i in range(num_groups)]
+        groups = [g for g in groups if g]
+        stats_by_field = {f: (m["num_docs"], m["sum_doc_len"])
+                          for f, m in mans.items()}
+        Actor = _make_multifield_group_actor()
+        self.actors = [Actor.remote(index_dir, field_dirs,
+                                    self.default_field, g, stats_by_field)
+                       for g in groups]
+
+    def search(self, flt, k: int = 10, mode: str = "all") -> pd.DataFrame:
+        import ray
+
+        from iresearch_ray.search.filters import df_collect_nodes
+
+        if not isinstance(flt, Fielded) and not _has_fielded(flt):
+            flt = Fielded(self.default_field, flt)
+        df_map: dict = {}
+        terms = sorted(flt.terms_needed())
+        nodes = df_collect_nodes(flt)
+        per_actor = []
+        for a in self.actors:
+            fs = []
+            if terms:
+                fs.append(a.term_dfs.remote(terms))
+            for node in nodes:
+                fs.append(a.expand_dfs.remote(node))
+            per_actor.append(fs)
+        for fs in per_actor:
+            mine: dict = {}
+            for part in ray.get(fs):
+                for t, d in part.items():
+                    mine[t] = max(mine.get(t, 0), d)
+            for t, d in mine.items():
+                df_map[t] = df_map.get(t, 0) + d
+        results = ray.get([a.execute_topk.remote(flt, self.scorer, df_map,
+                                                 k, mode)
+                           for a in self.actors])
+        docs = np.concatenate([r[0] for r in results])
+        scores = np.concatenate([r[1] for r in results])
+        keys = [k_ for r in results for k_ in r[2]]
+        if not len(docs):
+            return pd.DataFrame({"doc": docs, "key": keys, "score": scores})
+        order = np.lexsort((docs, -scores))[:k]
+        return pd.DataFrame({"doc": docs[order],
+                             "key": [keys[i] for i in order],
+                             "score": scores[order]})
+
+    def close(self):
+        import ray
+
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []

@@ -164,31 +164,11 @@ class DistributedSearcher:
         mode='all' because the bound is conservative)."""
         import ray
 
-        from iresearch_ray.search.filters import (Filter, PhraseFilter,
-                                                  _ExpansionFilter)
-
-        def expansion_nodes(f):
-            """Every node needing a global df collect round, wherever it
-            sits (a nested prefix inside an And previously scored zero;
-            a variadic phrase's parts previously used group-local dfs)."""
-            needs = (isinstance(f, _ExpansionFilter)
-                     or (isinstance(f, PhraseFilter) and not f.fixed))
-            out = [f] if needs else []
-            for attr in ("children", "filters"):
-                kids = getattr(f, attr, None)
-                if isinstance(kids, (list, tuple)):
-                    for c in kids:
-                        if isinstance(c, Filter):
-                            out.extend(expansion_nodes(c))
-            for attr in ("positive", "negative", "inner", "parent", "child"):
-                kid = getattr(f, attr, None)
-                if isinstance(kid, Filter):
-                    out.extend(expansion_nodes(kid))
-            return out
+        from iresearch_ray.search.filters import df_collect_nodes
 
         df_map: dict[str, int] = {}
         terms = sorted(flt.terms_needed())
-        nodes = expansion_nodes(flt)
+        nodes = df_collect_nodes(flt)
         per_actor = []
         for a in self.actors:
             fs = []

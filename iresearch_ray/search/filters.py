@@ -109,6 +109,32 @@ class Prepared:
 
 
 
+def df_collect_nodes(flt) -> list:
+    """Nodes of a filter tree that need a global df collect round in
+    distributed serving: dictionary expansions and variadic phrases.
+    Field-routing wrappers (Fielded) are returned AS the node — their
+    expand_dfs covers the inner tree against the right sub-index — and
+    are not descended into."""
+    from iresearch_ray.search.filters import PhraseFilter, _ExpansionFilter
+
+    needs = isinstance(flt, _ExpansionFilter) or (
+        isinstance(flt, PhraseFilter) and not flt.fixed)
+    if type(flt).__name__ == "Fielded":
+        return [flt]
+    out = [flt] if needs else []
+    for attr in ("children", "filters"):
+        kids = getattr(flt, attr, None)
+        if isinstance(kids, (list, tuple)):
+            for c in kids:
+                if isinstance(c, Filter):
+                    out.extend(df_collect_nodes(c))
+    for attr in ("positive", "negative", "inner", "parent", "child"):
+        kid = getattr(flt, attr, None)
+        if isinstance(kid, Filter):
+            out.extend(df_collect_nodes(kid))
+    return out
+
+
 def _isin_sorted(keys: np.ndarray, k: np.ndarray) -> np.ndarray:
     """Membership of sorted ``keys`` in sorted ``k`` via searchsorted —
     no re-sort (np.isin would sort both again)."""

@@ -141,3 +141,46 @@ def test_multifield_wand_equals_all_fuzz(built_large):
         t_ = s.search(make(), k=10, mode="top")
         assert list(a["doc"]) == list(t_["doc"])
         assert np.array_equal(a["score"].to_numpy(), t_["score"].to_numpy())
+
+
+def test_multifield_distributed_equals_local(built_large):
+    """MultiFieldDistributedSearcher must rank exactly like the local
+    MultiFieldSearcher: field-prefixed df collect gives every actor the
+    same global per-field stats (terms, expansions, variadic phrases)."""
+    from iresearch_ray.index.multifield import MultiFieldDistributedSearcher
+    from iresearch_ray.search import OrFilter, PhraseFilter, PrefixFilter
+
+    local = MultiFieldSearcher(
+        MultiFieldReader(built_large, default_field="body"), BM25())
+    dist = MultiFieldDistributedSearcher(built_large, num_groups=2,
+                                         default_field="body")
+    try:
+        cases = [
+            lambda: TermFilter("red"),                       # default field
+            lambda: Fielded("title", TermFilter("alpha")),
+            lambda: AndFilter([Fielded("title", TermFilter("alpha")),
+                               Fielded("body", TermFilter("green"))]),
+            lambda: OrFilter([Fielded("title", TermFilter("beta")),
+                              Fielded("body", TermFilter("blue"))]),
+            lambda: Fielded("title", PrefixFilter("alp")),
+            lambda: OrFilter([Fielded("title", PrefixFilter("alp")),
+                              Fielded("body", PrefixFilter("gr"))]),
+            lambda: Fielded("title", PhraseFilter([{"prefix": "alp"},
+                                                   "beta"])),
+        ]
+        for make in cases:
+            a = dist.search(make(), k=12)
+            b = local.search(make(), k=12)
+            assert list(a["doc"]) == list(b["doc"]), make()
+            assert list(a["key"]) == list(b["key"])
+            assert np.allclose(a["score"].to_numpy(),
+                               b["score"].to_numpy(), rtol=0, atol=0)
+        # WAND mode matches the full scan
+        for make in cases[:4]:
+            t_ = dist.search(make(), k=10, mode="top")
+            b = local.search(make(), k=10, mode="all")
+            assert list(t_["doc"]) == list(b["doc"])
+            assert np.array_equal(t_["score"].to_numpy(),
+                                  b["score"].to_numpy())
+    finally:
+        dist.close()
