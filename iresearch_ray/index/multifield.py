@@ -334,6 +334,13 @@ class MultiFieldDistributedSearcher:
             os.path.join(index_dir, field_dirs[f]),
             self.meta["fields"][f].get("generation")) for f in fields}
         base_man = mans[self.default_field]
+        for f, m in mans.items():
+            if any(s.get("docmask") for s in m["segments"]):
+                raise NotImplementedError(
+                    f"field {f!r} has doc masks; distributed multi-field "
+                    "serving does not load masks yet — use the local "
+                    "MultiFieldSearcher (deletes on multi-field indexes "
+                    "must go through the root, see module docstring)")
         entries = []
         base = 0
         for s in base_man["segments"]:
