@@ -64,6 +64,7 @@ class Fielded(Filter):
     """Route a filter to a named field's sub-index (the reference's
     per-filter ``field()`` option, e.g. by_term::field)."""
 
+    _df_collect_boundary = True  # df_collect_nodes stops here
     _PFX = "__field__"
 
     def __init__(self, field: str, inner: Filter):
@@ -162,7 +163,11 @@ class MultiFieldReader:
         self.stats = base.stats
 
     def field(self, name: str) -> IndexReader:
-        return self.readers[name]
+        try:
+            return self.readers[name]
+        except KeyError:
+            raise KeyError(f"unknown field {name!r}; "
+                           f"known: {self.fields}") from None
 
     @property
     def num_docs(self) -> int:
@@ -242,7 +247,11 @@ def _make_multifield_group_actor():
             self.stats = self.views[default_field].stats
 
         def field(self, name: str):
-            return self.views[name]
+            try:
+                return self.views[name]
+            except KeyError:
+                raise KeyError(f"unknown field {name!r}; "
+                               f"known: {sorted(self.views)}") from None
 
         def expand_dfs(self, flt) -> dict:
             return flt.expand_dfs(self)
@@ -334,6 +343,11 @@ class MultiFieldDistributedSearcher:
             os.path.join(index_dir, field_dirs[f]),
             self.meta["fields"][f].get("generation")) for f in fields}
         base_man = mans[self.default_field]
+        # same alignment invariant the local MultiFieldReader enforces
+        sigs = {tuple((s["segment_id"], s["num_docs"]) for s in m["segments"])
+                for m in mans.values()}
+        if len(sigs) != 1:
+            raise ValueError("field sub-indexes have diverged segments")
         for f, m in mans.items():
             if any(s.get("docmask") for s in m["segments"]):
                 raise NotImplementedError(
@@ -383,9 +397,21 @@ class MultiFieldDistributedSearcher:
                     mine[t] = max(mine.get(t, 0), d)
             for t, d in mine.items():
                 df_map[t] = df_map.get(t, 0) + d
-        results = ray.get([a.execute_topk.remote(flt, self.scorer, df_map,
-                                                 k, mode)
-                           for a in self.actors])
+        if mode == "top" and len(self.actors) > 1:
+            # two-wave threshold sharing, same as DistributedSearcher:
+            # the pilot group's k-th score (one ulp down) prunes the rest
+            pilot = ray.get(self.actors[0].execute_topk.remote(
+                flt, self.scorer, df_map, k, "top"))
+            thr = (float(np.nextafter(np.sort(pilot[1])[-k], -np.inf))
+                   if len(pilot[1]) >= k else float("-inf"))
+            rest = ray.get([a.execute_topk.remote(flt, self.scorer, df_map,
+                                                  k, "top", thr)
+                            for a in self.actors[1:]])
+            results = [pilot, *rest]
+        else:
+            results = ray.get([a.execute_topk.remote(flt, self.scorer,
+                                                     df_map, k, mode)
+                               for a in self.actors])
         docs = np.concatenate([r[0] for r in results])
         scores = np.concatenate([r[1] for r in results])
         keys = [k_ for r in results for k_ in r[2]]

@@ -212,14 +212,16 @@ def minhash_lsh_pairs(ds, text_column: str = "text", id_column: str = "doc_id",
         counts = (sk.select_columns(["band", "band_hash"])
                   .groupby(["band", "band_hash"])
                   .aggregate(Count(alias_name="n")))
+        sch = sk.schema()  # ray Schema wrapper: parallel names/types lists
+        id_dtype = dict(zip(sch.names, sch.types))[id_column].to_pandas_dtype()
         hot = (counts.map_batches(
                    lambda t: t.filter(pc.greater_equal(t["n"], 2)),
                    batch_format="pyarrow")
                .to_pandas())  # bounded by colliding buckets, not corpus
         if not len(hot):
             return ray.data.from_pandas(
-                pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
-                              "id_b": pd.Series([], dtype=np.int64),
+                pd.DataFrame({"id_a": pd.Series([], dtype=id_dtype),
+                              "id_b": pd.Series([], dtype=id_dtype),
                               "est_jaccard": pd.Series([], dtype=np.float64)}))
         hot_keys = np.sort(_combined_bucket_key(
             hot["band"].to_numpy(), hot["band_hash"].to_numpy()))
@@ -251,9 +253,11 @@ def minhash_lsh_pairs(ds, text_column: str = "text", id_column: str = "doc_id",
             out_a.extend([ids[i]] * len(hit))
             out_b.extend(ids[i + 1 + hit])
             out_j.extend(eq[hit])
-    pairs = pd.DataFrame({"id_a": np.asarray(out_a),  # input id dtype
-                          "id_b": np.asarray(out_b),  # (ints or strings)
-                          "est_jaccard": np.asarray(out_j, dtype=np.float64)})
+    pairs = pd.DataFrame({  # id dtype follows the INPUT id column on
+        # every path, including zero-pair results
+        "id_a": pd.Series(out_a, dtype=id_dtype),
+        "id_b": pd.Series(out_b, dtype=id_dtype),
+        "est_jaccard": pd.Series(out_j, dtype=np.float64)})
     if len(pairs):
         pairs = (pairs.groupby(["id_a", "id_b"], as_index=False)
                  ["est_jaccard"].max())

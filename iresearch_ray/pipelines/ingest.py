@@ -50,6 +50,8 @@ def ingest(ds, work_dir: str, *, analyzer: str = "ascii",
         minhash_lsh_pairs,
     )
 
+    if near_dup not in (None, "minhash"):
+        raise ValueError(f"unknown near_dup method {near_dup!r}")
     staged = os.path.join(work_dir, "staged")
     index_dir = os.path.join(work_dir, "index")
     counters_path = os.path.join(work_dir, "ingest.json")
@@ -105,8 +107,6 @@ def ingest(ds, work_dir: str, *, analyzer: str = "ascii",
 
                 extracted = extracted.map_batches(drop_near,
                                                   batch_format="pyarrow")
-        elif near_dup is not None:
-            raise ValueError(f"unknown near_dup method {near_dup!r}")
         tmp = staged + ".tmp"
         # a crashed prior attempt may have left files here; write_parquet
         # APPENDS new UUID-named files, which would double every doc

@@ -119,7 +119,7 @@ def df_collect_nodes(flt) -> list:
 
     needs = isinstance(flt, _ExpansionFilter) or (
         isinstance(flt, PhraseFilter) and not flt.fixed)
-    if type(flt).__name__ == "Fielded":
+    if getattr(flt, "_df_collect_boundary", False):  # Fielded + subclasses
         return [flt]
     out = [flt] if needs else []
     for attr in ("children", "filters"):
@@ -855,10 +855,22 @@ class _ExpansionFilter(Filter):
     def _match(self, seg_reader) -> np.ndarray:
         raise NotImplementedError
 
+    def _node_key(self) -> str:
+        """Content-derived df_map namespace for THIS expansion node.
+        Without it, every entry of the shared flat df_map (sibling exact
+        terms, other nodes' matches, phrase-part sums) would be adopted
+        as a matched-term df and could crowd real matches out of the
+        scored_terms_limit cut (verified ranking corruption)."""
+        params = sorted((k, repr(v)) for k, v in self.__dict__.items()
+                        if k != "boost")
+        return f"__exp__:{type(self).__name__}:{params!r}:"
+
     def expand_dfs(self, reader) -> dict:
         """Matched term -> summed df over ``reader.segments`` (the
         collect half of distributed expansion: each actor reports its
-        groups' contribution, the driver sums)."""
+        groups' contribution, the driver sums).  Keys carry the node's
+        namespace prefix; prepare() only consumes its own entries."""
+        pfx = self._node_key()
         df_by_term: dict[str, int] = defaultdict(int)
         for seg in reader.segments:
             rows = self._match(seg.reader)
@@ -866,13 +878,16 @@ class _ExpansionFilter(Filter):
                 terms = seg.reader.terms[rows]
                 dfs = seg.reader.df_array()[rows]
                 for t, d in zip(terms, dfs):
-                    df_by_term[t] += int(d)
+                    df_by_term[pfx + t] += int(d)
         return dict(df_by_term)
 
     def prepare(self, reader, scorer, df_map=None):
         matches = {seg.id: self._match(seg.reader) for seg in reader.segments}
         if df_map is not None:
-            df_by_term: dict[str, int] = dict(df_map)
+            pfx = self._node_key()
+            df_by_term: dict[str, int] = {
+                k[len(pfx):]: v for k, v in df_map.items()
+                if isinstance(k, str) and k.startswith(pfx)}
         else:  # derive dfs from the matches just computed (no second scan)
             df_by_term = defaultdict(int)
             for seg in reader.segments:

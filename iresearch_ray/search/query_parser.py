@@ -54,15 +54,18 @@ def _analyze_word(word: str, analyzer):
     return toks[0] if toks else word
 
 
-def _leaf(tok: str, analyzer=None):
+def _leaf(tok: str, analyzer=None, allow_field: bool = True):
     # Lucene-style field routing: `title:hello`, `body:"ref name"` —
     # wraps the leaf in Fielded, resolved against a MultiFieldReader
-    # (plain readers reject Fielded with a clear TypeError)
-    mf = _FIELD_RE.match(tok)
-    if mf:
+    # (plain readers reject Fielded with a clear TypeError).  Only the
+    # FIRST colon routes, and URL-ish remainders (`http://...`) stay
+    # literal terms so colon-bearing tokens keep their old meaning.
+    mf = _FIELD_RE.match(tok) if allow_field else None
+    if mf and not tok[mf.end():].startswith("/"):
         from iresearch_ray.index.multifield import Fielded
 
-        return Fielded(mf.group(1), _leaf(tok[mf.end():], analyzer))
+        return Fielded(mf.group(1),
+                       _leaf(tok[mf.end():], analyzer, allow_field=False))
     boost = 1.0
     m = re.search(r"\^([\d.]+)$", tok)
     if m and not tok.endswith("]"):  # boost suffix (ranges end with ])

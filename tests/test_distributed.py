@@ -130,3 +130,28 @@ def test_distributed_shared_part_df_not_double_counted(dist):
         assert list(a["doc"]) == list(b["doc"])
         assert np.allclose(a["score"].to_numpy(), b["score"].to_numpy(),
                            rtol=0, atol=0)
+
+
+def test_distributed_scored_terms_limit_isolated(dist):
+    """Review finding (confirmed repro): sibling exact terms / other
+    nodes' df_map entries must NOT enter an expansion's scored_terms_limit
+    cut — a high-df sibling evicted real matched terms so they scored 0.
+    Node-namespaced df keys keep each expansion's candidate set its own."""
+    searcher, local = dist
+
+    # Or puts the high-df exact term's bare key into the shared df_map;
+    # pre-fix the expansion adopted it into its 1-slot scored cut and the
+    # genuinely matched prefix term scored 0
+    flt = lambda: OrFilter([TermFilter("hterm"),
+                            PrefixFilter("abcd", scored_terms_limit=1)])
+    a = searcher.search(flt(), k=25)
+    b = local.search(flt(), k=25)
+    assert list(a["doc"]) == list(b["doc"])
+    assert np.allclose(a["score"].to_numpy(), b["score"].to_numpy(),
+                       rtol=0, atol=0)
+    pa_ = searcher.search(PrefixFilter("abcd", scored_terms_limit=1), k=25)
+    pb_ = local.search(PrefixFilter("abcd", scored_terms_limit=1), k=25)
+    assert list(pa_["doc"]) == list(pb_["doc"])
+    assert np.allclose(pa_["score"].to_numpy(), pb_["score"].to_numpy(),
+                       rtol=0, atol=0)
+    assert (pa_["score"].to_numpy() > 0).any()

@@ -132,3 +132,16 @@ def test_parse_field_routing_end_to_end(ray_session, tmp_path):
     assert list(res["key"]) == ["c"]
     # field term does not leak into the default field
     assert len(s.search(parse_query("alpha"), k=10)) == 0
+
+
+def test_parse_colon_tokens_stay_literal():
+    """URL-ish tokens keep their pre-field-syntax meaning; only the first
+    colon of a plain token routes."""
+    from iresearch_ray.index.multifield import Fielded
+    from iresearch_ray.search.query_parser import parse_query
+
+    f = parse_query("http://example.com/page")
+    assert isinstance(f, TermFilter)  # not Fielded('http', ...)
+    g = parse_query("title:a:b")
+    assert isinstance(g, Fielded) and g.field == "title"
+    assert isinstance(g.inner, TermFilter) and g.inner.term == "a:b"
