@@ -311,8 +311,13 @@ def build_lsh_index(ds, index_dir: str, planes: int = 8,
     """One-time sign-LSH layout: assign each vector its bucket, write
     ``index_dir/bucket=<b>/*.parquet`` (hive-partitioned).  Returns meta.
     Resumable: an existing index with the same config is kept as-is."""
+    from iresearch_ray.util import input_fingerprint
+
+    # "input" makes resume corpus-aware: rerunning against changed data in
+    # the same dir rebuilds instead of silently serving stale partitions
     meta = {"kind": "lsh", "planes": planes, "seed": seed,
-            "id_column": id_column, "vec_column": vec_column}
+            "id_column": id_column, "vec_column": vec_column,
+            "input": input_fingerprint(ds)}
     meta_path = os.path.join(index_dir, _ANN_META)
     if os.path.exists(meta_path):
         old = _load_meta(index_dir)
@@ -376,9 +381,12 @@ def build_ivf_index(ds, index_dir: str, n_cells: int = 16,
     write ``index_dir/cell=<c>/*.parquet``; centroids persist alongside."""
     import ray
 
+    from iresearch_ray.util import input_fingerprint
+
     meta = {"kind": "ivf", "n_cells": n_cells, "seed": seed,
             "train_sample": train_sample,
-            "id_column": id_column, "vec_column": vec_column}
+            "id_column": id_column, "vec_column": vec_column,
+            "input": input_fingerprint(ds)}
     meta_path = os.path.join(index_dir, _ANN_META)
     if os.path.exists(meta_path):
         old = _load_meta(index_dir)

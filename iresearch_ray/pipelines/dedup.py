@@ -34,6 +34,48 @@ def _md5_hex(values: list[str]) -> list[str]:
     return [hashlib.md5(v.encode()).hexdigest() for v in values]
 
 
+def _input_fingerprint(ds) -> str:
+    from iresearch_ray.util import input_fingerprint
+
+    return input_fingerprint(ds)
+
+
+def _sketch_checkpoint(sk, ckpt: str, params: dict):
+    """Write the sketch Dataset to ``ckpt`` as Parquet ONCE and re-read it,
+    so downstream passes read files instead of pinning the object store or
+    re-running the upstream pipeline.  Resumes when the marker matches
+    ``params`` exactly (callers include an input fingerprint); a matching
+    dir built by US with stale params is rebuilt; parquet we did not write
+    (no marker) is REFUSED rather than appended-to or deleted."""
+    import json as _json
+    import os
+    import shutil
+
+    import ray.data
+
+    marker = os.path.join(ckpt, "_sketch_done.json")
+    resume = False
+    if os.path.exists(marker):
+        with open(marker) as f:
+            recorded = _json.load(f)
+        if recorded == params:
+            resume = True  # sketches on disk match config + input
+        else:
+            shutil.rmtree(ckpt)
+            os.makedirs(ckpt, exist_ok=True)
+    elif os.path.isdir(ckpt) and any(
+            f.endswith(".parquet") for f in os.listdir(ckpt)):
+        raise ValueError(
+            f"checkpoint_dir {ckpt!r} contains parquet files not written "
+            "by this sketch pipeline; point it at an empty or dedicated "
+            "directory")
+    if not resume:
+        sk.write_parquet(ckpt)
+        with open(marker, "w") as f:
+            _json.dump(params, f)
+    return ray.data.read_parquet(ckpt)
+
+
 def exact_dedup_groups(ds, text_column: str = "text", id_column: str = "doc_id"):
     """Group exact duplicates: -> (text_hash, dup_count, keep_id=min id).
 
@@ -169,36 +211,11 @@ def minhash_lsh_pairs(ds, text_column: str = "text", id_column: str = "doc_id",
     own_ckpt = checkpoint_dir is None
     ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="iresearch_minhash_")
     try:
-        import json as _json
-        import os
-
-        marker = os.path.join(ckpt, "_sketch_done.json")
         params = {"num_hashes": num_hashes, "bands": bands,
                   "shingle_k": shingle_k, "analyzer": analyzer,
-                  "text_column": text_column, "id_column": id_column}
-        resume = False
-        if os.path.exists(marker):
-            with open(marker) as f:
-                recorded = _json.load(f)
-            if recorded == params:
-                resume = True  # sketches on disk match this configuration
-            else:
-                # OUR dir (marker proves it) but stale params: rebuild
-                shutil.rmtree(ckpt)
-                os.makedirs(ckpt, exist_ok=True)
-        elif os.path.isdir(ckpt) and any(
-                f.endswith(".parquet") for f in os.listdir(ckpt)):
-            # parquet we did not write (no marker): REFUSE rather than
-            # either appending duplicates or deleting a stranger's data
-            raise ValueError(
-                f"checkpoint_dir {ckpt!r} contains parquet files not "
-                "written by minhash_lsh_pairs; point it at an empty or "
-                "dedicated directory")
-        if not resume:
-            sk.write_parquet(ckpt)
-            with open(marker, "w") as f:
-                _json.dump(params, f)
-        sk = ray.data.read_parquet(ckpt)
+                  "text_column": text_column, "id_column": id_column,
+                  "input": _input_fingerprint(ds)}
+        sk = _sketch_checkpoint(sk, ckpt, params)
 
         # per-group map_groups over ~n_docs*bands tiny buckets pays Ray's
         # per-group UDF cost on EVERY bucket; near-dup collisions are rare,
@@ -393,20 +410,26 @@ def embedding_neardup_pairs(ds, threshold: float = 0.9,
                             vec_column: str = "embedding",
                             planes: int = 0, seed: int = 42,
                             concurrency: int | None = None,
-                            dtype=np.float32):
+                            dtype=np.float32,
+                            checkpoint_dir: str | None = None):
     """Embedding-cosine near-duplicate pairs -> Dataset(id_a, id_b, cosine)
     with id_a < id_b and cosine >= threshold.
 
-    ``planes=0`` (exact): the normalized corpus matrix is broadcast ONCE
-    (`ray.put`) and every batch runs one matmul against it — exact
-    all-pairs semantics with O(n^2) compute spread across batches; right
-    for corpora whose embedding matrix fits worker memory (n x dim
-    floats), which covers dedup-after-clustering and per-shard passes.
+    ``planes=0`` (exact): the corpus is held as PER-BLOCK normalized
+    matrices in the object store (one ref per input block — never
+    concatenated on the driver, spillable individually) and every batch
+    matmuls against each block ref in turn — exact all-pairs semantics
+    with O(n^2) compute spread across (batch, block) tiles.  Plasma
+    caches each block once per node, so a ref is shipped per NODE, not
+    per batch.
 
     ``planes>0`` (scale path): sign-LSH bucketing first — only same-bucket
-    pairs are scored (the MinHash-LSH shape over vectors).  Approximate:
-    recall follows bucket collision probability; use as the 100 TB route
-    where the corpus matrix cannot be broadcast."""
+    pairs are scored (the MinHash-LSH shape over vectors).  The bucketed
+    sketch is CHECKPOINTED to Parquet (``checkpoint_dir``; scratch dir by
+    default) exactly like the MinHash path, so neither the count pass nor
+    the membership filter pins corpus-sized objects in the object store.
+    Approximate: recall follows bucket collision probability; use as the
+    100 TB route where O(n^2) tiles are unaffordable."""
     import ray
 
     from iresearch_ray.pipelines.ann import (
@@ -425,35 +448,61 @@ def embedding_neardup_pairs(ds, threshold: float = 0.9,
     if planes <= 0:
         import ray.data
 
-        tabs = [t for t in ray.get(
-            ds.select_columns([id_column, vec_column]).to_arrow_refs())
-            if t.num_rows]
-        full = pa.concat_tables(tabs).combine_chunks()
-        ids_all = full[id_column].to_numpy(zero_copy_only=False)
-        M = _as_matrix(full[vec_column], dtype)
-        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
-        ref = ray.put((ids_all, Mn))
+        # per-block (ids, normalized matrix) refs: built INSIDE tasks from
+        # the block refs — the driver never holds more than one ObjectRef
+        # list, and each block can spill independently
+        @ray.remote
+        def _norm_block(t: pa.Table):
+            ids = t[id_column].to_numpy(zero_copy_only=False)
+            M = _as_matrix(t[vec_column], dtype)
+            Mn = M / np.maximum(
+                np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+            return ids, Mn
+
+        refs = ds.select_columns([id_column, vec_column]).to_arrow_refs()
+        if not refs:
+            return ray.data.from_pandas(_pairs_frame([], [], []))
+        block_refs = [_norm_block.remote(r) for r in refs]
 
         def batch_pairs(t: pa.Table) -> pa.Table:
-            ids_all_, Mn_ = ray.get(ref)
             ids = t[id_column].to_numpy(zero_copy_only=False)
-            m = _as_matrix(t[vec_column], dtype)
-            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
-            sims = mn @ Mn_.T  # (batch, n)
-            r, c = np.nonzero(sims >= threshold)
-            keep = ids[r] < ids_all_[c]  # id_a < id_b, each pair once
+            out_a = [np.empty(0, np.int64)]
+            out_b = [np.empty(0, np.int64)]
+            out_c = [np.empty(0, np.float64)]
+            if len(ids):
+                m = _as_matrix(t[vec_column], dtype)
+                mn = m / np.maximum(
+                    np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+                for br in block_refs:
+                    ids_all_, Mn_ = ray.get(br)  # node-cached after 1st use
+                    if not len(ids_all_):
+                        continue
+                    sims = mn @ Mn_.T  # (batch, block)
+                    r, c = np.nonzero(sims >= threshold)
+                    keep = ids[r] < ids_all_[c]  # id_a < id_b, each once
+                    out_a.append(ids[r][keep].astype(np.int64))
+                    out_b.append(ids_all_[c][keep].astype(np.int64))
+                    out_c.append(sims[r, c][keep].astype(np.float64))
             return pa.table({
-                "id_a": pa.array(ids[r][keep], type=pa.int64()),
-                "id_b": pa.array(ids_all_[c][keep], type=pa.int64()),
-                "cosine": pa.array(sims[r, c][keep].astype(np.float64)),
+                "id_a": pa.array(np.concatenate(out_a)),
+                "id_b": pa.array(np.concatenate(out_b)),
+                "cosine": pa.array(np.concatenate(out_c)),
             })
 
-        return ds.map_batches(batch_pairs, batch_format="pyarrow",
-                              concurrency=pool_size(concurrency))
+        # reuse the already-materialized block refs as the streaming side
+        # too — no second read of the source
+        return ray.data.from_arrow_refs(refs).map_batches(
+            batch_pairs, batch_format="pyarrow",
+            concurrency=pool_size(concurrency))
 
-    # LSH-bucketed candidates: bucket assign in map_batches, hot-bucket
-    # broadcast filter (same machinery as MinHash-LSH), pairwise within
-    # buckets on the candidate-sized survivors
+    # LSH-bucketed candidates: bucket assign in map_batches, Parquet sketch
+    # checkpoint (shared machinery with MinHash-LSH), hot-bucket broadcast
+    # filter, vectorized pairwise within buckets on the candidate-sized
+    # survivors
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
     import ray.data
 
     P = None
@@ -468,37 +517,57 @@ def embedding_neardup_pairs(ds, threshold: float = 0.9,
                          vec_column: t[vec_column],
                          "bucket": pa.array(b, type=pa.int64())})
 
-    sk = ds.map_batches(assign, batch_format="pyarrow").materialize()
-    from ray.data.aggregate import Count
+    own_ckpt = checkpoint_dir is None
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="iresearch_embdup_")
+    try:
+        params = {"planes": planes, "seed": seed, "id_column": id_column,
+                  "vec_column": vec_column,
+                  "input": _input_fingerprint(ds)}
+        sk = _sketch_checkpoint(
+            ds.map_batches(assign, batch_format="pyarrow"), ckpt, params)
+        from ray.data.aggregate import Count
 
-    counts = (sk.select_columns(["bucket"]).groupby("bucket")
-              .aggregate(Count(alias_name="n")))
-    import pyarrow.compute as pc
+        counts = (sk.select_columns(["bucket"]).groupby("bucket")
+                  .aggregate(Count(alias_name="n")))
+        hot = (counts.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["n"], 2)),
+            batch_format="pyarrow").to_pandas())
+        if not len(hot):
+            return ray.data.from_pandas(_pairs_frame([], [], []))
+        hot_keys = np.sort(hot["bucket"].to_numpy())
+        href = ray.put(hot_keys)
 
-    hot = (counts.map_batches(
-        lambda t: t.filter(pc.greater_equal(t["n"], 2)),
-        batch_format="pyarrow").to_pandas())
-    if not len(hot):
+        def keep_hot(t: pa.Table) -> pa.Table:
+            keys = ray.get(href)
+            b = t["bucket"].to_numpy()
+            at = np.searchsorted(keys, b)
+            at[at == len(keys)] = 0
+            return t.filter(pa.array(keys[at] == b))
+
+        # candidate-sized pull, kept as ONE Arrow table (no pandas object
+        # rows); sorted by (bucket, id) so each bucket is a contiguous run
+        tabs = [t for t in ray.get(
+            sk.map_batches(keep_hot, batch_format="pyarrow")
+            .to_arrow_refs()) if t.num_rows]
+    finally:
+        if own_ckpt:
+            shutil.rmtree(ckpt, ignore_errors=True)
+    if not tabs:
         return ray.data.from_pandas(_pairs_frame([], [], []))
-    hot_keys = np.sort(hot["bucket"].to_numpy())
-    href = ray.put(hot_keys)
-
-    def keep_hot(t: pa.Table) -> pa.Table:
-        keys = ray.get(href)
-        b = t["bucket"].to_numpy()
-        at = np.searchsorted(keys, b)
-        at[at == len(keys)] = 0
-        return t.filter(pa.array(keys[at] == b))
-
-    cand = sk.map_batches(keep_hot, batch_format="pyarrow").to_pandas()
+    cand = pa.concat_tables(tabs).combine_chunks().sort_by(
+        [("bucket", "ascending"), (id_column, "ascending")])
+    buckets = cand["bucket"].to_numpy()
+    ids_all = cand[id_column].to_numpy(zero_copy_only=False)
+    Mn = _as_matrix(cand[vec_column], np.float32)
+    Mn = Mn / np.maximum(np.linalg.norm(Mn, axis=1, keepdims=True), 1e-30)
+    starts = np.flatnonzero(np.r_[True, buckets[1:] != buckets[:-1]])
+    bounds = np.r_[starts, len(buckets)]
     out_a, out_b, out_c = [], [], []
-    for _, g in cand.groupby("bucket", sort=True):
-        if len(g) < 2:
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        if e - s < 2:
             continue
-        g = g.sort_values(id_column)
-        ids = g[id_column].to_numpy()
-        m = np.asarray(list(g[vec_column]), dtype=np.float32)
-        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        ids = ids_all[s:e]
+        mn = Mn[s:e]
         sims = mn @ mn.T
         r, c = np.nonzero(np.triu(sims >= threshold, k=1))
         out_a.extend(ids[r])

@@ -58,32 +58,51 @@ def ingest(ds, work_dir: str, *, analyzer: str = "ascii",
     n_dropped = 0
 
     if not os.path.isdir(staged) or not os.listdir(staged):
+        import pyarrow.compute as pc
+
         extracted = ds.map_batches(extract_text_batch, batch_format="pyarrow")
         if dedup:
             groups = exact_dedup_groups(extracted, id_column=key_column)
-            dup_groups = groups.filter(lambda r: r["dup_count"] > 1).take_all()
-            keep = {g["keep_id"] for g in dup_groups}
+            # Arrow kernel filter (one row per DISTINCT hash flows through
+            # here — corpus-cardinality when most docs are unique, so a
+            # per-row lambda would be a hot Python loop)
+            dup_groups = (groups.map_batches(
+                lambda t: t.filter(pc.greater(t["dup_count"], 1)),
+                batch_format="pyarrow").take_all())  # output-sized
             # drop-set = duplicate members minus each group's survivor;
             # needs member ids, which exact_dedup aggregates away — rebuild
             # them from a second hash pass filtered to duplicated hashes
             # (both passes ship only (hash, id) pairs)
-            dup_hashes = {g["text_hash"] for g in dup_groups}
-            if dup_hashes:
-                import hashlib
+            if dup_groups:
+                from iresearch_ray.pipelines.dedup import _md5_hex
 
-                hashes_ref = ray.put(dup_hashes)
-                keep_ref = ray.put(keep)
+                # sorted fixed-width arrays -> searchsorted membership (no
+                # per-row Python set lookups), same shape as dedup.keep_hot
+                dup_hash_arr = np.sort(np.array(
+                    [g["text_hash"] for g in dup_groups], dtype="S32"))
+                keep_arr = np.sort(np.array(
+                    [g["keep_id"] for g in dup_groups]))
+                hashes_ref = ray.put(dup_hash_arr)
+                keep_ref = ray.put(keep_arr)
+
+                def _member_mask(sorted_arr, values):
+                    at = np.searchsorted(sorted_arr, values)
+                    at[at == len(sorted_arr)] = 0
+                    return sorted_arr[at] == values
 
                 def drop_dups(b: pa.Table) -> pa.Table:
+                    if not b.num_rows:
+                        return b
                     hs = ray.get(hashes_ref)
                     kp = ray.get(keep_ref)
-                    texts = b["text"].to_pylist()
-                    ids = b[key_column].to_pylist()
-                    mask = [
-                        (hashlib.md5(t.encode()).hexdigest() not in hs)
-                        or (i in kp)
-                        for t, i in zip(texts, ids)
-                    ]
+                    h = np.array(_md5_hex(b["text"].to_pylist()), dtype="S32")
+                    is_dup = _member_mask(hs, h)
+                    mask = ~is_dup
+                    if is_dup.any():  # survivors: each group's keep_id
+                        # no astype: numpy compares mixed-width unicode
+                        # exactly; a width cast could truncate long ids
+                        ids = np.asarray(b[key_column].to_pylist())
+                        mask[is_dup] = _member_mask(kp, ids[is_dup])
                     return b.filter(pa.array(mask))
 
                 extracted = extracted.map_batches(drop_dups,
@@ -98,12 +117,17 @@ def ingest(ds, work_dir: str, *, analyzer: str = "ascii",
             drop = dedup_drop_set(pairs)
             n_near_dropped = len(drop)
             if drop:
-                drop_ref = ray.put(drop)
+                drop_arr = np.sort(np.asarray(list(drop)))
+                drop_ref = ray.put(drop_arr)
 
                 def drop_near(b: pa.Table) -> pa.Table:
+                    if not b.num_rows:
+                        return b
                     dr = ray.get(drop_ref)
-                    ids = b[key_column].to_pylist()
-                    return b.filter(pa.array([i not in dr for i in ids]))
+                    ids = np.asarray(b[key_column].to_pylist())
+                    at = np.searchsorted(dr, ids)
+                    at[at == len(dr)] = 0
+                    return b.filter(pa.array(dr[at] != ids))
 
                 extracted = extracted.map_batches(drop_near,
                                                   batch_format="pyarrow")

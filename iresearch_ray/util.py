@@ -20,6 +20,34 @@ def pool_size(requested: int | None = None, reserve: int = 2, floor: int = 1) ->
     return cap if requested is None else max(floor, min(requested, cap))
 
 
+def input_fingerprint(ds) -> str:
+    """Cheap fingerprint of a Dataset's INPUT so checkpoint/index resume
+    detects a changed corpus (same role as segment lineage input specs):
+    md5 of the sorted (source file, size) list when the dataset has one,
+    else of the row count (metadata-cheap for in-memory datasets — counts
+    catch add/remove but not in-place edits; Parquet inputs get the
+    stronger file+size key)."""
+    import hashlib
+    import json
+    import os
+
+    try:
+        files = sorted(ds.input_files() or [])
+    except Exception:
+        files = []
+    if files:
+        def _size(p):
+            try:
+                return os.path.getsize(p)
+            except OSError:
+                return -1  # remote path: name-only entry
+
+        key = json.dumps([[f, _size(f)] for f in files])
+    else:
+        key = f"count={ds.count()}"
+    return hashlib.md5(key.encode()).hexdigest()
+
+
 class StatelessBatchFn:
     """Pickle-friendly map_batches callable with lazy per-worker state.
 

@@ -511,3 +511,68 @@ def test_minhash_checkpoint_guards(ray_session, tmp_path):
         dedup.minhash_lsh_pairs(ray.data.from_items(rows), threshold=0.9,
                                 checkpoint_dir=str(foreign))
     assert (foreign / "data.parquet").read_bytes() == b"not ours"
+
+
+def test_embedding_lsh_checkpoint_no_pin(ray_session, tmp_path):
+    """The LSH scale path must checkpoint the bucketed sketch to Parquet
+    (never materialize() a corpus-sized object in the object store),
+    resume from an unchanged checkpoint, and rebuild when the input
+    changes (fingerprinted marker)."""
+    import os
+
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    ckpt = str(tmp_path / "emb_ckpt")
+    a = dedup.embedding_neardup_pairs(
+        ds, threshold=0.35, planes=4, checkpoint_dir=ckpt).to_pandas()
+    # the sketch went to Parquet — this is the no-object-store-pin proof
+    assert os.path.exists(os.path.join(ckpt, "_sketch_done.json"))
+    pq_files = sorted(f for f in os.listdir(ckpt) if f.endswith(".parquet"))
+    assert pq_files
+    mtimes = [os.path.getmtime(os.path.join(ckpt, f)) for f in pq_files]
+    # unchanged corpus + params: resume — identical pairs, sketch NOT rewritten
+    b = dedup.embedding_neardup_pairs(
+        ray.data.read_parquet(f"{SF}/embeddings.parquet"),
+        threshold=0.35, planes=4, checkpoint_dir=ckpt).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    assert [os.path.getmtime(os.path.join(ckpt, f)) for f in pq_files] == mtimes
+    # changed input (row-count fingerprint for in-memory data): rebuild,
+    # never stale results from the old corpus
+    rows = [{"vec_id": 1, "embedding": [1.0, 0.0]},
+            {"vec_id": 2, "embedding": [1.0, 0.0]},
+            {"vec_id": 3, "embedding": [0.0, 1.0]}]
+    c = dedup.embedding_neardup_pairs(
+        ray.data.from_items(rows), threshold=0.9, planes=2,
+        checkpoint_dir=ckpt).to_pandas()
+    assert set(zip(c["id_a"], c["id_b"])) == {(1, 2)}
+
+
+def test_ann_index_rebuilds_on_input_change(ray_session, tmp_path):
+    """ADVICE fix: build_lsh_index resume compares an input fingerprint,
+    so a changed corpus in the same index_dir rebuilds instead of serving
+    stale partitions."""
+    rows1 = [{"vec_id": i, "embedding": [1.0, 0.0]} for i in range(4)]
+    d = str(tmp_path / "lsh_idx")
+    ann.build_lsh_index(ray.data.from_items(rows1), d, planes=2)
+    top1 = ann.lsh_index_topk(d, np.array([1.0, 0.0]), k=8, multiprobe=2)
+    assert set(top1["vec_id"]) == {0, 1, 2, 3}
+    # same dir, GROWN corpus: must rebuild and serve the new rows
+    rows2 = rows1 + [{"vec_id": 9, "embedding": [1.0, 0.0]}]
+    ann.build_lsh_index(ray.data.from_items(rows2), d, planes=2)
+    top2 = ann.lsh_index_topk(d, np.array([1.0, 0.0]), k=8, multiprobe=2)
+    assert 9 in set(top2["vec_id"])
+
+
+def test_embedding_exact_streams_blocks(ray_session):
+    """Exact path: multi-block input must produce each qualifying pair
+    exactly once (block-tiled matmuls, no driver-side corpus concat)."""
+    rows = ([{"vec_id": i, "embedding": [1.0, 0.0, 0.0]} for i in range(6)]
+            + [{"vec_id": 10 + i, "embedding": [0.0, 1.0, 0.0]}
+               for i in range(6)])
+    ds = ray.data.from_items(rows).repartition(5)
+    out = dedup.embedding_neardup_pairs(ds, threshold=0.9).to_pandas()
+    want = ({(a, b) for a in range(6) for b in range(a + 1, 6)}
+            | {(10 + a, 10 + b) for a in range(6) for b in range(a + 1, 6)})
+    assert set(zip(out["id_a"], out["id_b"])) == want
+    # exactly once each (duplicate pairs would break downstream union-find
+    # counters)
+    assert len(out) == len(want)
