@@ -58,15 +58,14 @@ def decode_segment_full(reader: SegmentReader) -> dict:
 
     Returns: terms (object), df, p_docs / freqs (concatenated per-posting,
     term-major order), poss (concatenated position occurrences),
-    posting_offs (len n_postings+1 into poss).
+    posting_offs (len n_postings+1 into poss).  When the segment was built
+    with the OFFS/PAY features the occurrence-aligned streams decode too
+    (offs_starts/offs_lens, pay_sizes/pay_bytes) — they lay out exactly
+    like positions, so the same whole-column sweeps recover them (the
+    reference merges all index features through the same doc-id remap,
+    merge_writer.cpp:1116-1174).
     """
     tbl = reader.terms_table
-    if ("offs_start_blob" in tbl.column_names
-            or "pay_blob" in tbl.column_names):
-        raise NotImplementedError(
-            "consolidation of OFFS/PAY-indexed segments is not supported "
-            "yet — rebuild instead of merging, or build the index with "
-            "index_features=('pos',)")
     df = tbl["df"].to_numpy().astype(np.int64)
     n_post = int(df.sum())
     term_offs = np.zeros(len(df) + 1, dtype=np.int64)
@@ -91,9 +90,26 @@ def decode_segment_full(reader: SegmentReader) -> dict:
     pprior = np.r_[0, pglob][posting_offs[:-1]]
     poss = pglob - np.repeat(pprior, freqs)
 
-    return {"terms": np.asarray(tbl["term"].to_pylist(), dtype=object), "df": df,
-            "p_docs": p_docs, "freqs": freqs, "poss": poss,
-            "posting_offs": posting_offs}
+    out = {"terms": np.asarray(tbl["term"].to_pylist(), dtype=object), "df": df,
+           "p_docs": p_docs, "freqs": freqs, "poss": poss,
+           "posting_offs": posting_offs}
+    if "offs_start_blob" in tbl.column_names:
+        # starts delta-encode per posting run (like positions); lens are
+        # plain varints — both one occurrence per position entry
+        s_blob, _ = _column_blob(tbl, "offs_start_blob")
+        s_deltas = codec.varint_decode(s_blob).astype(np.int64)
+        sglob = np.cumsum(s_deltas)
+        sprior = np.r_[0, sglob][posting_offs[:-1]]
+        out["offs_starts"] = sglob - np.repeat(sprior, freqs)
+        l_blob, _ = _column_blob(tbl, "offs_len_blob")
+        out["offs_lens"] = codec.varint_decode(l_blob).astype(np.int64)
+        assert len(out["offs_starts"]) == len(poss)
+    if "pay_blob" in tbl.column_names:
+        sz_blob, _ = _column_blob(tbl, "pay_size_blob")
+        out["pay_sizes"] = codec.varint_decode(sz_blob).astype(np.int64)
+        out["pay_bytes"], _ = _column_blob(tbl, "pay_blob")
+        assert len(out["pay_sizes"]) == len(poss)
+    return out
 
 
 def merge_segment_tables(readers: list[SegmentReader],
@@ -170,12 +186,48 @@ def merge_segment_tables(readers: list[SegmentReader],
               + (np.arange(total, dtype=np.int64) - np.repeat(out_offs[:-1], freqs)))
     poss = poss_all[gather] if total else np.empty(0, dtype=np.int64)
 
+    # OFFS/PAY streams are occurrence-aligned with positions, so the same
+    # gather permutation remaps them (deleted postings' runs drop out with
+    # their position runs)
+    has_offs = [("offs_starts" in d) for d in decoded]
+    has_pay = [("pay_sizes" in d) for d in decoded]
+    if any(has_offs) != all(has_offs) or any(has_pay) != all(has_pay):
+        raise NotImplementedError(
+            "merging segments with mixed index features (some with "
+            "offs/pay, some without) — consolidate like with like")
+    offs = None
+    if decoded and all(has_offs):
+        starts_all = np.concatenate([d["offs_starts"] for d in decoded])
+        lens_all = np.concatenate([d["offs_lens"] for d in decoded])
+        starts = starts_all[gather] if total else np.empty(0, dtype=np.int64)
+        lens = lens_all[gather] if total else np.empty(0, dtype=np.int64)
+        offs = (starts, starts + lens)
+    pays = None
+    if decoded and all(has_pay):
+        sizes_all = np.concatenate([d["pay_sizes"] for d in decoded])
+        blob_all = (np.concatenate([d["pay_bytes"] for d in decoded])
+                    if decoded else np.empty(0, dtype=np.uint8))
+        by_bounds = np.zeros(len(sizes_all) + 1, dtype=np.int64)
+        np.cumsum(sizes_all, out=by_bounds[1:])
+        new_sizes = sizes_all[gather] if total else np.empty(0, dtype=np.int64)
+        new_cum = np.zeros(len(new_sizes) + 1, dtype=np.int64)
+        np.cumsum(new_sizes, out=new_cum[1:])
+        nbytes = int(new_cum[-1])
+        if nbytes:
+            byte_gather = (np.repeat(by_bounds[:-1][gather], new_sizes)
+                           + (np.arange(nbytes, dtype=np.int64)
+                              - np.repeat(new_cum[:-1], new_sizes)))
+            new_blob = blob_all[byte_gather]
+        else:
+            new_blob = np.empty(0, dtype=np.uint8)
+        pays = (new_sizes, new_blob)
+
     # compact the dictionary to terms that still have postings (a fully
     # masked term vanishes, like the reference's merged term dictionary)
     used = (np.asarray(uniques, dtype=object)[sc[term_post_offs[:-1]]]
             if len(sc) else np.empty(0, dtype=object))
     terms_tbl = encode_postings_table(used, term_post_offs, p_docs, freqs,
-                                      poss, out_offs)
+                                      poss, out_offs, offs=offs, pays=pays)
     keep_rows = (np.concatenate(keep_rows_parts) if keep_rows_parts
                  else np.empty(0, dtype=bool))
     all_keys = (np.concatenate([r.keys for r in readers])[keep_rows]
@@ -282,6 +334,12 @@ def merge_run(index_dir: str, segment_ids: list[str], out_id: str,
         # (write_segment_dir would otherwise re-encode in default 1_0)
         "format": readers[0].meta.get("format", "1_0"),
         "segment_id": out_id,
+        # features derive from the merged table itself (offs/pay streams
+        # carry through the doc-id remap like positions)
+        "index_features": sorted(
+            {"pos"}
+            | ({"offs"} if "offs_start_blob" in terms_tbl.column_names else set())
+            | ({"pay"} if "pay_blob" in terms_tbl.column_names else set())),
         **stats,
         "analyzer": readers[0].meta.get("analyzer", {}),
         "analyzer_hash": readers[0].meta.get("analyzer_hash", ""),

@@ -302,7 +302,7 @@ def encode_postings_table(uniques: np.ndarray, term_post_offs: np.ndarray,
                           poss: np.ndarray,
                           posting_offs_in_tokens: np.ndarray,
                           offs: tuple[np.ndarray, np.ndarray] | None = None,
-                          pays: np.ndarray | None = None) -> pa.Table:
+                          pays: "np.ndarray | tuple | None" = None) -> pa.Table:
     """Encode already-inverted postings into the terms.parquet schema.
 
     Inputs: sorted unique terms; per-term posting offsets (len n_terms+1);
@@ -426,16 +426,23 @@ def encode_postings_table(uniques: np.ndarray, term_post_offs: np.ndarray,
     if pays is not None:
         # PAY feature (reference formats_10.cpp .pay stream): raw payload
         # bytes concatenated in occurrence order + varint sizes, sliced
-        # per term exactly like the position blobs
-        sizes = np.fromiter((len(p) for p in pays), dtype=np.int64,
-                            count=len(pays))
+        # per term exactly like the position blobs.  Accepts either a
+        # sequence of bytes objects (build path) or an already-flattened
+        # (sizes, blob) pair (segment merge — avoids round-tripping every
+        # occurrence through a Python bytes object)
+        if isinstance(pays, tuple):
+            sizes = np.asarray(pays[0], dtype=np.int64)
+            blob = np.asarray(pays[1], dtype=np.uint8)
+        else:
+            sizes = np.fromiter((len(p) for p in pays), dtype=np.int64,
+                                count=len(pays))
+            blob = np.frombuffer(b"".join(pays), dtype=np.uint8) \
+                if len(pays) else np.empty(0, dtype=np.uint8)
         sz_nb = codec.varint_nbytes(sizes)
         sz_cum = np.zeros(len(sizes) + 1, dtype=np.int64)
         np.cumsum(sz_nb, out=sz_cum[1:])
         by_cum = np.zeros(len(sizes) + 1, dtype=np.int64)
         np.cumsum(sizes, out=by_cum[1:])
-        blob = np.frombuffer(b"".join(pays), dtype=np.uint8) if len(pays) \
-            else np.empty(0, dtype=np.uint8)
         tok_offs = posting_offs_in_tokens[term_post_offs]
         cols["pay_size_blob"] = _binary_array(codec.varint_encode(sizes),
                                               sz_cum[tok_offs])

@@ -119,21 +119,107 @@ def test_highlight_indexed_equals_retokenize(built_offs):
 
 
 def test_offs_feature_guards(built, built_offs, tmp_path):
-    """Plain indexes reject postings_offsets; offs-indexes reject
-    consolidation (documented limitation); offs needs an offset-capable
-    analyzer."""
-    from iresearch_ray.index.merge import consolidate
+    """Plain indexes reject postings_offsets; offs needs an offset-capable
+    analyzer; merging offs with non-offs segments is rejected."""
+    from iresearch_ray.index.merge import merge_segment_tables
 
     plain_reader, _ = built
     with pytest.raises(ValueError):
         plain_reader.segments[0].reader.postings_offsets(0)
     offs_reader, _ = built_offs
     with pytest.raises(NotImplementedError):
-        consolidate(offs_reader.index_dir, 10_000)
+        merge_segment_tables([plain_reader.segments[0].reader,
+                              offs_reader.segments[0].reader])
     from iresearch_ray.index.build import BuildSegmentTask
     with pytest.raises(ValueError):
         BuildSegmentTask(str(tmp_path / "x"), "keyword", {}, "text", "url",
                          index_features=("pos", "offs"))
+
+
+def test_offs_consolidation_roundtrip(ray_session, tmp_path):
+    """Consolidating OFFS segments carries the offset streams through the
+    k-way merge (reference merge_writer.cpp:1116-1174 merges every index
+    feature): highlight_indexed spans and ranks are identical before and
+    after, on fewer segments."""
+    import pandas as pd
+
+    from iresearch_ray.index.merge import consolidate
+    from iresearch_ray.search.highlight import highlight_indexed
+
+    rng = np.random.default_rng(11)
+    words = ["probe", "alpha", "beta", "gamma", "filler"]
+    texts = ["The Probe term appears here, then probe again later.",
+             "probe at the very start"]
+    texts += [" ".join(rng.choice(words, size=rng.integers(3, 12)))
+              for _ in range(120)]
+    t = pa.table({"url": [f"u{i:03d}" for i in range(len(texts))],
+                  "text": texts})
+    p = str(tmp_path / "p.parquet")
+    pq.write_table(t, p, row_group_size=16)
+    idx = str(tmp_path / "idx")
+    build_index(p, idx, analyzer="ascii", target_docs=20,
+                store_columns=("text",), index_features=("pos", "offs"))
+    before = IndexReader(idx)
+    n_before = len(before.segments)
+    assert n_before > 1
+    res_b = IndexSearcher(before, BM25()).search(TermFilter("probe"), k=200)
+    spans_b = highlight_indexed(before, res_b["doc"].to_numpy(),
+                                ["probe", "alpha"])
+    consolidate(idx, 10_000)
+    after = IndexReader(idx)
+    assert len(after.segments) < n_before
+    assert all(s.reader.has_offsets for s in after.segments)
+    assert all("offs" in s.reader.meta["index_features"]
+               for s in after.segments)
+    res_a = IndexSearcher(after, BM25()).search(TermFilter("probe"), k=200)
+    pd.testing.assert_frame_equal(
+        res_b.sort_values("key").reset_index(drop=True)[["key", "score"]],
+        res_a.sort_values("key").reset_index(drop=True)[["key", "score"]])
+    spans_a = highlight_indexed(after, res_a["doc"].to_numpy(),
+                                ["probe", "alpha"])
+    key = ["doc", "term", "start", "end"]
+    pd.testing.assert_frame_equal(
+        spans_b[key].sort_values(key).reset_index(drop=True),
+        spans_a[key].sort_values(key).reset_index(drop=True))
+    # merged offsets still index the ORIGINAL text
+    for _, r in spans_a.iterrows():
+        assert texts[int(r["doc"]) - 1][r["start"]:r["end"]].lower() == r["term"]
+
+
+def test_offs_consolidation_with_deletes(ray_session, tmp_path):
+    """Masked docs purge during an OFFS merge: their offset runs vanish
+    with their postings, survivors' spans still index the original text."""
+    from iresearch_ray.index.delete import delete_by_filter
+    from iresearch_ray.index.merge import consolidate
+
+    texts = ["probe alpha probe", "drop me probe", "alpha then probe end",
+             "drop probe too", "probe"]
+    t = pa.table({"url": [f"u{i}" for i in range(len(texts))],
+                  "text": texts})
+    p = str(tmp_path / "p.parquet")
+    pq.write_table(t, p, row_group_size=2)
+    idx = str(tmp_path / "idx")
+    build_index(p, idx, analyzer="ascii", target_docs=2,
+                store_columns=("text",), index_features=("pos", "offs"))
+    delete_by_filter(idx, TermFilter("drop"))
+    consolidate(idx, 10_000)
+    reader = IndexReader(idx)
+    assert len(reader.segments) == 1
+    res = IndexSearcher(reader, BM25()).search(TermFilter("probe"), k=10)
+    assert sorted(res["key"]) == ["u0", "u2", "u4"]
+    ana = get_analyzer("ascii")
+    survivors = [s for i, s in enumerate(texts) if i not in (1, 3)]
+    seg = reader.segments[0].reader
+    i = seg.lookup("probe")
+    docs, freqs, starts, ends, run_offs = seg.postings_offsets(i)
+    assert sorted(docs.tolist()) == [1, 2, 3]  # densely remapped
+    for j, d in enumerate(docs):
+        src = survivors[int(d) - 1]
+        toks, ts, te = ana.tokens_with_offsets(src)
+        want = [(s, e) for t_, s, e in zip(toks, ts, te) if t_ == "probe"]
+        got = list(zip(starts[run_offs[j]:run_offs[j + 1]],
+                       ends[run_offs[j]:run_offs[j + 1]]))
+        assert got == want
 
 
 def test_payloads_roundtrip(ray_session, tmp_path):
@@ -174,19 +260,36 @@ def test_payloads_roundtrip(ray_session, tmp_path):
                     list(pays[run_offs[j]:run_offs[j + 1]])
     assert got == want
     # guards: plain index rejects payload decode; pay needs the protocol;
-    # offs+pay combination rejected; consolidation rejects pay segments
+    # offs+pay combination rejected
     with pytest.raises(ValueError):
         BuildSegmentTask(idx, "ascii", {}, "text", "url",
                          index_features=("pos", "pay"))
     with pytest.raises(ValueError):
         BuildSegmentTask(idx, "payload-delimiter", {}, "text", "url",
                          index_features=("pos", "pay", "offs"))
+    # consolidation carries the payload stream through the merge: the
+    # exact per-occurrence bytes survive on the merged segment
     from iresearch_ray.index.merge import consolidate
-    with pytest.raises(NotImplementedError):
-        consolidate(idx, 10_000)
-    # payload-bearing index still answers plain queries
-    hits = IndexSearcher(reader, BM25()).search(TermFilter("alpha"), k=10)
-    assert sorted(hits["key"]) == ["u0", "u2"]
+    consolidate(idx, 10_000)
+    merged = IndexReader(idx)
+    assert len(merged.segments) == 1
+    assert merged.segments[0].reader.has_payloads
+    got2: dict = {}
+    for sv in merged.segments:
+        seg = sv.reader
+        for term in want:
+            i = seg.lookup(term)
+            if i < 0:
+                continue
+            docs, freqs, pays, run_offs = seg.postings_payloads(i)
+            for j, d in enumerate(docs):
+                got2.setdefault(term, {})[int(d + sv.base)] = \
+                    list(pays[run_offs[j]:run_offs[j + 1]])
+    assert got2 == want
+    # payload-bearing index still answers plain queries (both generations)
+    for rd in (reader, merged):
+        hits = IndexSearcher(rd, BM25()).search(TermFilter("alpha"), k=10)
+        assert sorted(hits["key"]) == ["u0", "u2"]
 
 
 def test_payloads_preserve_case_and_config(ray_session, tmp_path):
