@@ -21,7 +21,6 @@ from __future__ import annotations
 import json
 import os
 
-import numpy as np
 import pandas as pd
 
 from iresearch_ray.index.build import build_index
@@ -222,12 +221,17 @@ class _FieldGroupView:
 def _make_multifield_group_actor():
     import ray
 
+    from iresearch_ray.search.distributed_core import GroupSearchCore
+
     @ray.remote(num_cpus=1, max_restarts=2, max_task_retries=2)
-    class MultiFieldGroupSearcher:
+    class MultiFieldGroupSearcher(GroupSearchCore):
         """Segment-group actor over ALIGNED per-field sub-segments: holds
         the same-id segment of every field, so cross-field booleans and
         Fielded routing work exactly as in the local MultiFieldReader
-        (state rebuilt from plain ctor args on restart)."""
+        (state rebuilt from plain ctor args on restart).  Collect/execute
+        logic lives in GroupSearchCore; the hooks below swap the mask
+        guard for Fielded routing (this path refuses masked manifests at
+        construction, so raw results pass through unmasked)."""
 
         def __init__(self, index_dir: str, field_dirs: dict,
                      default_field: str, segment_entries, stats_by_field):
@@ -253,69 +257,17 @@ def _make_multifield_group_actor():
                 raise KeyError(f"unknown field {name!r}; "
                                f"known: {sorted(self.views)}") from None
 
-        def expand_dfs(self, flt) -> dict:
-            return flt.expand_dfs(self)
+        def _wand_route(self, prep, seg):
+            return prep.route(seg)
 
-        def term_dfs(self, terms: list[str]) -> dict:
-            out: dict[str, int] = {}
-            for t in terms:
-                total = 0
-                for seg in self.segments:
-                    i = seg.reader.lookup(t)
-                    if i >= 0:
-                        total += int(seg.reader.df_array()[i])
-                if total:
-                    out[t] = total
-            return out
+        def _union_children_wandable(self, node, eseg) -> bool:
+            from iresearch_ray.search.filters import _PreparedTerm
 
-        def execute_topk(self, flt, scorer, df_map: dict, k: int,
-                         mode: str = "all",
-                         threshold: float = float("-inf")):
-            from iresearch_ray.search.executor import _wand_term, _wand_union
-            from iresearch_ray.search.filters import (_PreparedTerm,
-                                                      _PreparedUnion)
+            return all(isinstance(c.route(eseg)[0], _PreparedTerm)
+                       for c in node.children)
 
-            prep = flt.prepare(self, scorer, df_map=df_map)
-            docs_l, scores_l, keys_l = [], [], []
-            kept = 0
-            for seg in self.segments:
-                node, eseg = prep.route(seg)
-                if (mode == "top" and isinstance(node, _PreparedTerm)
-                        and eseg is not None):
-                    raw = _wand_term(node, eseg, k, threshold)
-                elif (mode == "top" and isinstance(node, _PreparedUnion)
-                        and eseg is not None
-                        and all(isinstance(c.route(eseg)[0], _PreparedTerm)
-                                for c in node.children)):
-                    raw = _wand_union(node, eseg, threshold)
-                else:
-                    raw = prep.execute(seg)
-                docs, scores = raw
-                if not len(docs):
-                    continue
-                kept += len(docs)
-                if mode == "top" and kept >= k and len(scores):
-                    all_s = np.concatenate(scores_l + [scores]) \
-                        if scores_l else scores
-                    if len(all_s) >= k:
-                        threshold = max(threshold, float(np.nextafter(
-                            np.partition(all_s,
-                                         len(all_s) - k)[len(all_s) - k],
-                            -np.inf)))
-                if len(docs) > k:
-                    kth = np.partition(scores, len(scores) - k)[len(scores) - k]
-                    cand = np.flatnonzero(scores >= kth)
-                    sel = cand[np.lexsort((docs[cand], -scores[cand]))[:k]]
-                    docs, scores = docs[sel], scores[sel]
-                keys_l.append(seg.reader.keys[docs - 1])
-                docs_l.append(docs + seg.base)
-                scores_l.append(scores)
-            if not docs_l:
-                return (np.empty(0, dtype=np.int64),
-                        np.empty(0, dtype=np.float64), [])
-            return (np.concatenate(docs_l),
-                    np.concatenate(scores_l).astype(np.float64),
-                    list(np.concatenate(keys_l)))
+        def _apply_mask(self, seg, raw):
+            return raw
 
     return MultiFieldGroupSearcher
 
@@ -360,67 +312,25 @@ class MultiFieldDistributedSearcher:
         for s in base_man["segments"]:
             entries.append({"segment_id": s["segment_id"], "base": base})
             base += s["num_docs"]
-        if num_groups is None:
-            num_groups = min(len(entries), max(1, int(
-                ray.cluster_resources().get("CPU", 4)) - 2))
-        groups = [entries[i::num_groups] for i in range(num_groups)]
-        groups = [g for g in groups if g]
+        from iresearch_ray.search.distributed_core import plan_groups
+
         stats_by_field = {f: (m["num_docs"], m["sum_doc_len"])
                           for f, m in mans.items()}
         Actor = _make_multifield_group_actor()
         self.actors = [Actor.remote(index_dir, field_dirs,
                                     self.default_field, g, stats_by_field)
-                       for g in groups]
+                       for g in plan_groups(entries, num_groups)]
 
     def search(self, flt, k: int = 10, mode: str = "all") -> pd.DataFrame:
-        import ray
-
-        from iresearch_ray.search.filters import df_collect_nodes
+        from iresearch_ray.search.distributed_core import (
+            collect_df_map,
+            distributed_topk,
+        )
 
         if not isinstance(flt, Fielded) and not _has_fielded(flt):
             flt = Fielded(self.default_field, flt)
-        df_map: dict = {}
-        terms = sorted(flt.terms_needed())
-        nodes = df_collect_nodes(flt)
-        per_actor = []
-        for a in self.actors:
-            fs = []
-            if terms:
-                fs.append(a.term_dfs.remote(terms))
-            for node in nodes:
-                fs.append(a.expand_dfs.remote(node))
-            per_actor.append(fs)
-        for fs in per_actor:
-            mine: dict = {}
-            for part in ray.get(fs):
-                for t, d in part.items():
-                    mine[t] = max(mine.get(t, 0), d)
-            for t, d in mine.items():
-                df_map[t] = df_map.get(t, 0) + d
-        if mode == "top" and len(self.actors) > 1:
-            # two-wave threshold sharing, same as DistributedSearcher:
-            # the pilot group's k-th score (one ulp down) prunes the rest
-            pilot = ray.get(self.actors[0].execute_topk.remote(
-                flt, self.scorer, df_map, k, "top"))
-            thr = (float(np.nextafter(np.sort(pilot[1])[-k], -np.inf))
-                   if len(pilot[1]) >= k else float("-inf"))
-            rest = ray.get([a.execute_topk.remote(flt, self.scorer, df_map,
-                                                  k, "top", thr)
-                            for a in self.actors[1:]])
-            results = [pilot, *rest]
-        else:
-            results = ray.get([a.execute_topk.remote(flt, self.scorer,
-                                                     df_map, k, mode)
-                               for a in self.actors])
-        docs = np.concatenate([r[0] for r in results])
-        scores = np.concatenate([r[1] for r in results])
-        keys = [k_ for r in results for k_ in r[2]]
-        if not len(docs):
-            return pd.DataFrame({"doc": docs, "key": keys, "score": scores})
-        order = np.lexsort((docs, -scores))[:k]
-        return pd.DataFrame({"doc": docs[order],
-                             "key": [keys[i] for i in order],
-                             "score": scores[order]})
+        df_map = collect_df_map(self.actors, flt)
+        return distributed_topk(self.actors, flt, self.scorer, df_map, k, mode)
 
     def close(self):
         import ray
