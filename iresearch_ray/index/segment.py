@@ -42,14 +42,17 @@ META_FILE = "segment.json"
 
 def _cache_entry_size(entry) -> int:
     """Element count of one postings-LRU entry (tuple of decoded arrays,
-    an occurrence-key array, a skips dict, or None)."""
+    an occurrence-key array, a skips dict, an expansion match-row array,
+    or None).  Every entry counts at least 1 so zero-length artifacts
+    (empty match sets, skip-less terms) still age out instead of
+    accumulating key overhead forever."""
     if entry is None:
-        return 0
+        return 1
     if isinstance(entry, np.ndarray):
-        return len(entry)
+        return max(len(entry), 1)
     if isinstance(entry, dict):
-        return sum(len(v) for v in entry.values())
-    return sum(len(a) for a in entry if isinstance(a, np.ndarray))
+        return max(sum(len(v) for v in entry.values()), 1)
+    return max(sum(len(a) for a in entry if isinstance(a, np.ndarray)), 1)
 
 
 def _binary_array(blob: np.ndarray, byte_offsets: np.ndarray) -> pa.Array:
@@ -650,28 +653,41 @@ class SegmentReader:
     # worst case ~16 MB/reader, and only readers actually serving head
     # queries ever fill it
     _CACHE_MAX_POSTINGS = 2_000_000
+    _MISSING = object()
 
-    def postings(self, idx: int, positions: bool = False):
-        """Decode term row `idx` -> (docs, freqs[, pos_runs, run_offsets])."""
+    def cached_entry(self, key, build, oversize_bypass: bool = False):
+        """Get-or-build in the postings LRU: every query-hot derived
+        artifact (decoded postings, packed occurrence keys, skip dicts,
+        expansion match rows) shares ONE size-bounded cache, so total
+        reader memory stays bounded no matter which query mix is hot.
+        ``oversize_bypass``: serve entries larger than 1/4 of the budget
+        uncached instead of letting one head-term artifact evict
+        everything else (the 1M-doc LRU-thrash fix)."""
         cache = getattr(self, "_post_cache", None)
         if cache is None:
             from collections import OrderedDict
 
             cache = self._post_cache = OrderedDict()
             self._post_cache_size = 0
-        key = (idx, positions)
-        hit = cache.get(key)
-        if hit is not None:
+        hit = cache.get(key, self._MISSING)
+        if hit is not self._MISSING:
             cache.move_to_end(key)
             return hit
-        out = self._decode_postings(idx, positions)
-        n = sum(len(a) for a in out if isinstance(a, np.ndarray))
+        out = build()
+        n = _cache_entry_size(out)
+        if oversize_bypass and n > self._CACHE_MAX_POSTINGS // 4:
+            return out
         cache[key] = out
         self._post_cache_size += n
         while self._post_cache_size > self._CACHE_MAX_POSTINGS and cache:
             _, old = cache.popitem(last=False)
             self._post_cache_size -= _cache_entry_size(old)
         return out
+
+    def postings(self, idx: int, positions: bool = False):
+        """Decode term row `idx` -> (docs, freqs[, pos_runs, run_offsets])."""
+        return self.cached_entry(
+            (idx, positions), lambda: self._decode_postings(idx, positions))
 
     def _decode_postings(self, idx: int, positions: bool = False):
         tbl = self.terms_table
@@ -708,32 +724,14 @@ class SegmentReader:
         term row ``idx`` — the phrase-intersection working set, cached in
         the postings LRU so repeated phrase queries over the same (head)
         terms skip the repeat/shift rebuild (the dominant warm-phrase
-        cost)."""
-        cache = getattr(self, "_post_cache", None)
-        if cache is None:
-            from collections import OrderedDict
+        cost).  Oversized head-term arrays serve uncached (the rebuild is
+        one vectorized repeat+shift over cached postings)."""
+        def build():
+            docs, freqs, pos, _ = self.postings(idx, positions=True)
+            return (np.repeat(docs.astype(np.int64, copy=False), freqs)
+                    << np.int64(self.pos_bits)) | pos
 
-            cache = self._post_cache = OrderedDict()
-            self._post_cache_size = 0
-        key = (idx, "keys")
-        hit = cache.get(key)
-        if hit is not None:
-            cache.move_to_end(key)
-            return hit
-        docs, freqs, pos, _ = self.postings(idx, positions=True)
-        keys = (np.repeat(docs.astype(np.int64, copy=False), freqs)
-                << np.int64(self.pos_bits)) | pos
-        if len(keys) > self._CACHE_MAX_POSTINGS // 4:
-            # an oversized head-term key array would evict the whole
-            # postings cache for one entry — serve it uncached (the
-            # rebuild is one vectorized repeat+shift over cached postings)
-            return keys
-        cache[key] = keys
-        self._post_cache_size += len(keys)
-        while self._post_cache_size > self._CACHE_MAX_POSTINGS and cache:
-            _, old = cache.popitem(last=False)
-            self._post_cache_size -= _cache_entry_size(old)
-        return keys
+        return self.cached_entry((idx, "keys"), build, oversize_bypass=True)
 
     @property
     def has_offsets(self) -> bool:
@@ -793,33 +791,24 @@ class SegmentReader:
         postings LRU: WAND touches every term's skips on every query, and
         the Arrow list-column extraction dominated the union-WAND profile
         when re-done per call."""
-        cache = getattr(self, "_post_cache", None)
-        if cache is None:
-            from collections import OrderedDict
+        def build():
+            tbl = self.terms_table
 
-            cache = self._post_cache = OrderedDict()
-            self._post_cache_size = 0
-        key = (idx, "skips")
-        if key in cache:
-            cache.move_to_end(key)
-            return cache[key]
-        tbl = self.terms_table
+            def col(name):
+                return tbl[name][idx].values.to_numpy(
+                    zero_copy_only=False).astype(np.int64)
 
-        def col(name):
-            return tbl[name][idx].values.to_numpy(zero_copy_only=False).astype(np.int64)
+            last = col("skip_last_doc")
+            return None if len(last) == 0 else {
+                "last_doc": last,
+                "max_freq": col("skip_max_freq"),
+                "doc_off": col("skip_doc_off"),
+                "freq_off": col("skip_freq_off"),
+                "pos_off": col("skip_pos_off"),
+                "pos_cnt": col("skip_pos_cnt"),
+            }
 
-        last = col("skip_last_doc")
-        out = None if len(last) == 0 else {
-            "last_doc": last,
-            "max_freq": col("skip_max_freq"),
-            "doc_off": col("skip_doc_off"),
-            "freq_off": col("skip_freq_off"),
-            "pos_off": col("skip_pos_off"),
-            "pos_cnt": col("skip_pos_cnt"),
-        }
-        cache[key] = out
-        self._post_cache_size += 6 * len(last)
-        return out
+        return self.cached_entry((idx, "skips"), build)
 
     def decode_blocks(self, idx: int, block_mask: np.ndarray):
         """Decode only the selected 128-posting blocks (WAND path)."""

@@ -855,6 +855,26 @@ class _ExpansionFilter(Filter):
     def _match(self, seg_reader) -> np.ndarray:
         raise NotImplementedError
 
+    def _match_key(self) -> tuple:
+        """Cache key of the *match set* — the matching params only
+        (boost / scored_terms_limit change scoring, not which dictionary
+        rows match), so repeated fuzzy/prefix/wildcard probes with
+        different scoring knobs still share one cached row array."""
+        params = sorted((k, repr(v)) for k, v in self.__dict__.items()
+                        if k not in ("boost", "scored_terms_limit"))
+        return ("__match__", type(self).__name__, tuple(params))
+
+    def _cached_match(self, seg_reader) -> np.ndarray:
+        """Matched dictionary rows, cached in the reader's postings LRU
+        (the reference caches parametric-Levenshtein automata per
+        (term, distance), levenshtein_default_pdp.cpp — here the cached
+        artifact is the matched-row array itself, so a repeated fuzzy /
+        wildcard probe skips the banded DP / regex sweep entirely)."""
+        ce = getattr(seg_reader, "cached_entry", None)
+        if ce is None:
+            return self._match(seg_reader)
+        return ce(self._match_key(), lambda: self._match(seg_reader))
+
     def _node_key(self) -> str:
         """Content-derived df_map namespace for THIS expansion node.
         Without it, every entry of the shared flat df_map (sibling exact
@@ -873,7 +893,7 @@ class _ExpansionFilter(Filter):
         pfx = self._node_key()
         df_by_term: dict[str, int] = defaultdict(int)
         for seg in reader.segments:
-            rows = self._match(seg.reader)
+            rows = self._cached_match(seg.reader)
             if len(rows):
                 terms = seg.reader.terms[rows]
                 dfs = seg.reader.df_array()[rows]
@@ -882,7 +902,8 @@ class _ExpansionFilter(Filter):
         return dict(df_by_term)
 
     def prepare(self, reader, scorer, df_map=None):
-        matches = {seg.id: self._match(seg.reader) for seg in reader.segments}
+        matches = {seg.id: self._cached_match(seg.reader)
+                   for seg in reader.segments}
         if df_map is not None:
             pfx = self._node_key()
             df_by_term: dict[str, int] = {

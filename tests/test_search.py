@@ -381,3 +381,69 @@ def test_empty_filter(index):
     assert list(both["doc"]) == list(just_term["doc"])
     assert len(searcher.search(
         AndFilter([TermFilter("hterm"), EmptyFilter()]), k=10)) == 0
+
+
+def test_expansion_match_cache(index):
+    """Repeated fuzzy/wildcard probes reuse the cached matched-row array
+    from the reader's postings LRU (reference parametric-DFA cache role,
+    levenshtein_default_pdp.cpp): the DP runs once per (probe, distance)
+    per segment, and scoring knobs (boost, scored_terms_limit) share it."""
+    reader, oracle = index
+    for seg in reader.segments:  # reset any earlier test's cache
+        seg.reader._post_cache = None
+    seg_reader = reader.segments[0].reader
+
+    calls = {"n": 0}
+    orig = FuzzyFilter._match
+
+    def counting(self, r):
+        calls["n"] += 1
+        return orig(self, r)
+
+    FuzzyFilter._match = counting
+    try:
+        f1 = FuzzyFilter("fuzzy", max_distance=1)
+        d1, s1 = _engine_matches(reader, f1)
+        first = calls["n"]
+        assert first == len(reader.segments)
+        # same probe again, different scoring knobs -> zero new DP runs
+        d2, s2 = _engine_matches(reader, FuzzyFilter("fuzzy", max_distance=1,
+                                                     boost=2.0))
+        assert calls["n"] == first
+        assert np.array_equal(d1, d2)
+        assert np.allclose(s2, 2.0 * s1)
+        # different distance -> its own cache entry
+        _engine_matches(reader, FuzzyFilter("fuzzy", max_distance=2))
+        assert calls["n"] == 2 * first
+    finally:
+        FuzzyFilter._match = orig
+    assert any(isinstance(k, tuple) and k and k[0] == "__match__"
+               for k in seg_reader._post_cache)
+
+
+def test_postings_lru_eviction_covers_all_entry_kinds():
+    """Every artifact kind in the shared postings LRU (postings tuples,
+    skip dicts, occurrence keys, match rows, None, empties) participates
+    in size-bounded eviction — a sweep over many distinct entries cannot
+    grow the cache past the budget (round-2 advice: skips() never ran
+    the eviction loop)."""
+    from iresearch_ray.index.segment import SegmentReader, _cache_entry_size
+
+    assert _cache_entry_size(None) == 1
+    assert _cache_entry_size(np.empty(0, dtype=np.int64)) == 1
+    assert _cache_entry_size({"a": np.arange(3), "b": np.arange(2)}) == 5
+    assert _cache_entry_size((np.arange(4), np.arange(4))) == 8
+
+    r = SegmentReader.__new__(SegmentReader)
+    budget = SegmentReader._CACHE_MAX_POSTINGS
+    # many mid-size entries: size must stay bounded by the budget
+    for i in range(50):
+        r.cached_entry(("skips", i), lambda: {"last_doc": np.arange(budget // 10)})
+    assert r._post_cache_size <= budget
+    assert len(r._post_cache) <= 11
+    # oversize bypass: huge occurrence-key arrays never enter the cache
+    before = r._post_cache_size
+    out = r.cached_entry(("keys", 0), lambda: np.arange(budget // 2),
+                         oversize_bypass=True)
+    assert len(out) == budget // 2
+    assert r._post_cache_size == before
