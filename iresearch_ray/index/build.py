@@ -141,21 +141,45 @@ def _stable_fn_hash(fn) -> str:
             "custom norm feature must be a plain function; for other "
             "callables version the feature name explicitly (e.g. 'f_v2')")
 
-    def enc(v) -> bytes:
+    import builtins
+    import types
+
+    def enc(v, what: str = "captures non-primitive state") -> bytes:
         if isinstance(v, (str, int, float, bool, bytes, type(None))):
             return repr(v).encode()
         if isinstance(v, tuple):
-            return b"(" + b",".join(enc(x) for x in v) + b")"
+            return b"(" + b",".join(enc(x, what) for x in v) + b")"
         if hasattr(v, "co_code"):  # nested code object (inner lambda)
             return v.co_code
+        if isinstance(v, types.ModuleType):  # stable dependency, by name
+            return v.__name__.encode()
+        if hasattr(v, "__code__"):  # helper function: its bytecode
+            return v.__code__.co_code
         raise ValueError(
-            f"custom norm feature captures non-primitive state "
+            f"custom norm feature {what} "
             f"({type(v).__name__}); version the feature name explicitly")
 
     parts = [code.co_code]
     parts.extend(enc(c) for c in code.co_consts)
     for cell in (fn.__closure__ or ()):
         parts.append(enc(cell.cell_contents))
+    # module-level globals the function reads are behavior too: editing
+    # one would otherwise change the feature without invalidating
+    # lineage-based resume.  Builtins are excluded (stable); resolved
+    # globals must be primitives / modules / plain functions, like
+    # closure captures.
+    fn_globals = getattr(fn, "__globals__", {})
+
+    def names_of(c):
+        yield from c.co_names
+        for const in c.co_consts:
+            if hasattr(const, "co_code"):
+                yield from names_of(const)
+
+    for name in sorted(set(names_of(code))):
+        if name in fn_globals and not hasattr(builtins, name):
+            parts.append(name.encode() + b"=" + enc(
+                fn_globals[name], f"reads non-primitive global {name!r}"))
     return hashlib.sha256(b"|".join(parts)).hexdigest()[:8]
 
 

@@ -21,20 +21,28 @@ import pandas as pd
 import pyarrow as pa
 
 
+def _partial_sums(t: pa.Table) -> pa.Table:
+    """(bucket, event_type) partial sums of n / sum_value, renamed BY NAME
+    (pyarrow's aggregate-output column ORDER has changed across versions;
+    a positional rename would silently mislabel bucket/n columns)."""
+    agg = t.group_by(["bucket", "event_type"]).aggregate(
+        [("n", "sum"), ("sum_value", "sum")])
+    ren = {"n_sum": "n", "sum_value_sum": "sum_value"}
+    agg = agg.rename_columns([ren.get(c, c) for c in agg.column_names])
+    return agg.select(["bucket", "event_type", "n", "sum_value"])
+
+
 def _bucket_partial(batch: pa.Table, unit_us: int) -> pa.Table:
     import pyarrow.compute as pc
 
     ts = batch["ts"].cast(pa.int64())
     bucket = pc.multiply(pc.divide(ts, unit_us), unit_us)
-    t = pa.table({
+    return _partial_sums(pa.table({
         "bucket": bucket,
         "event_type": batch["event_type"],
         "n": pa.array(np.ones(len(ts), dtype=np.int64)),
         "sum_value": batch["value"],
-    })
-    return t.group_by(["bucket", "event_type"]).aggregate(
-        [("n", "sum"), ("sum_value", "sum")]).rename_columns(
-        ["bucket", "event_type", "n", "sum_value"])
+    }))
 
 
 def tumbling_aggregate(ds, window_minutes: int = 60):
@@ -102,7 +110,7 @@ def hopping_aggregate(ds, window_minutes: int = 60, hop_minutes: int = 30):
         # k window starts per event, vectorized: (base - j) * hop
         buckets = ((np.repeat(base, k)
                     - np.tile(np.arange(k, dtype=np.int64), n)) * hop_us)
-        t = pa.table({
+        return _partial_sums(pa.table({
             "bucket": pa.array(buckets),
             "event_type": pa.array(
                 np.repeat(np.asarray(batch["event_type"].to_pylist(),
@@ -111,10 +119,7 @@ def hopping_aggregate(ds, window_minutes: int = 60, hop_minutes: int = 30):
             "n": pa.array(np.ones(n * k, dtype=np.int64)),
             "sum_value": pa.array(np.repeat(
                 batch["value"].to_numpy(zero_copy_only=False), k)),
-        })
-        return t.group_by(["bucket", "event_type"]).aggregate(
-            [("n", "sum"), ("sum_value", "sum")]).rename_columns(
-            ["bucket", "event_type", "n", "sum_value"])
+        }))
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return (partials.groupby(["bucket", "event_type"])

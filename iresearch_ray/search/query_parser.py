@@ -54,18 +54,23 @@ def _analyze_word(word: str, analyzer):
     return toks[0] if toks else word
 
 
-def _leaf(tok: str, analyzer=None, allow_field: bool = True):
+def _leaf(tok: str, analyzer=None, fields=True):
     # Lucene-style field routing: `title:hello`, `body:"ref name"` —
     # wraps the leaf in Fielded, resolved against a MultiFieldReader
     # (plain readers reject Fielded with a clear TypeError).  Only the
     # FIRST colon routes, and URL-ish remainders (`http://...`) stay
     # literal terms so colon-bearing tokens keep their old meaning.
-    mf = _FIELD_RE.match(tok) if allow_field else None
-    if mf and not tok[mf.end():].startswith("/"):
+    # ``fields``: True routes any field-shaped prefix; False keeps every
+    # colon token a literal term (single-field indexes); a collection
+    # routes ONLY those names, so `to:alice` on an index without a `to`
+    # field degrades to a literal term instead of a TypeError.
+    mf = _FIELD_RE.match(tok) if fields else None
+    if (mf and not tok[mf.end():].startswith("/")
+            and (fields is True or mf.group(1) in fields)):
         from iresearch_ray.index.multifield import Fielded
 
         return Fielded(mf.group(1),
-                       _leaf(tok[mf.end():], analyzer, allow_field=False))
+                       _leaf(tok[mf.end():], analyzer, fields=False))
     boost = 1.0
     m = re.search(r"\^([\d.]+)$", tok)
     if m and not tok.endswith("]"):  # boost suffix (ranges end with ])
@@ -100,12 +105,18 @@ def _leaf(tok: str, analyzer=None, allow_field: bool = True):
     return TermFilter(_analyze_word(tok, analyzer), boost=boost)
 
 
-def parse_query(q: str, analyzer=None):
+def parse_query(q: str, analyzer=None, fields=True):
     """Parse a query string into a Filter tree (see module docstring).
 
     ``analyzer``: apply the index's analyzer to term/phrase/fuzzy words
     (stemmed or case-folding indexes need query words transformed the
-    same way); prefix/wildcard/range operands pass through verbatim."""
+    same way); prefix/wildcard/range operands pass through verbatim.
+
+    ``fields``: field-routing policy for ``name:term`` tokens — ``True``
+    routes any field-shaped prefix (multifield indexes), ``False``
+    disables routing entirely, and a collection of field NAMES routes
+    only those (unknown prefixes like ``to:alice`` stay literal terms,
+    the safe setting when query strings come from users)."""
     toks = _TOKEN_RE.findall(q.strip())
     if not toks:
         raise ValueError("empty query")
@@ -128,9 +139,9 @@ def parse_query(q: str, analyzer=None):
         pos, neg = [], []
         for p in parts:
             if p.startswith("-") and len(p) > 1:
-                neg.append(_leaf(p[1:], analyzer))
+                neg.append(_leaf(p[1:], analyzer, fields))
             else:
-                pos.append(_leaf(p, analyzer))
+                pos.append(_leaf(p, analyzer, fields))
         if not pos:
             raise ValueError("clause needs at least one positive term")
         node = pos[0] if len(pos) == 1 else AndFilter(pos)

@@ -145,3 +145,21 @@ def test_parse_colon_tokens_stay_literal():
     g = parse_query("title:a:b")
     assert isinstance(g, Fielded) and g.field == "title"
     assert isinstance(g.inner, TermFilter) and g.inner.term == "a:b"
+
+
+def test_parse_fields_policy():
+    """``fields=`` opts colon routing in/out: False keeps every colon
+    token a literal term (single-field indexes), a collection routes only
+    known field names so `to:alice` degrades gracefully."""
+    from iresearch_ray.index.multifield import Fielded
+    from iresearch_ray.search.filters import TermFilter
+
+    assert isinstance(parse_query("title:x", fields=False), TermFilter)
+    assert parse_query("title:x", fields=False).term == "title:x"
+    known = parse_query("title:x to:alice", fields={"title", "body"})
+    a, b = known.children
+    assert isinstance(a, Fielded) and a.field == "title"
+    assert isinstance(b, TermFilter) and b.term == "to:alice"
+    # negated leaves obey the same policy
+    n = parse_query("good -title:bad", fields=False)
+    assert isinstance(n.negative, TermFilter)

@@ -252,3 +252,48 @@ def test_norm_feature_guards(ray_session, tmp_path):
     assert man["build_stats"]["segments_skipped"] == 0  # resume invalidated
     # new reader: the old one caches the stale docmap
     assert list(IndexReader(idx).segments[0].reader.norms("scaled")) == [6, 3]
+
+
+_NORM_SCALE = 7  # module-level global read by the feature below
+
+
+def test_norm_feature_hash_covers_globals():
+    """A custom norm feature's lineage hash covers module-level globals it
+    reads (round-2 advice: editing one silently kept stale resume), while
+    module / helper-function globals stay hashable and builtins are free."""
+    import numpy as _np
+
+    from iresearch_ray.index.build import _stable_fn_hash
+
+    def reads_global(dl):
+        return dl * _NORM_SCALE
+
+    def reads_module(dl):
+        return _np.log1p(dl)
+
+    def reads_builtin(dl):
+        return max(dl, 1)
+
+    h1 = _stable_fn_hash(reads_global)
+    assert h1 == _stable_fn_hash(reads_global)
+    g = globals()
+    try:
+        g["_NORM_SCALE"] = 8
+        assert _stable_fn_hash(reads_global) != h1  # global edit invalidates
+    finally:
+        g["_NORM_SCALE"] = 7
+    assert _stable_fn_hash(reads_global) == h1
+    # module + function globals hash stably; non-primitive data rejected
+    assert _stable_fn_hash(reads_module) == _stable_fn_hash(reads_module)
+    assert _stable_fn_hash(reads_builtin) == _stable_fn_hash(reads_builtin)
+    import pytest as _pytest
+
+    def reads_array(dl):
+        return dl * _BAD_GLOBAL_ARR  # noqa: F821
+
+    g["_BAD_GLOBAL_ARR"] = _np.arange(3)
+    try:
+        with _pytest.raises(ValueError, match="non-primitive global"):
+            _stable_fn_hash(reads_array)
+    finally:
+        del g["_BAD_GLOBAL_ARR"]
