@@ -195,14 +195,26 @@ def _topk(sf_dir: str, flt, k: int = 10, mode: str = "all") -> pd.DataFrame:
     float64 scores agree only to ~1e-15)."""
     if mode == "all":
         df = _all_matches(sf_dir, flt)
-    else:  # WAND: over-fetch by exact score, then re-rank rounded (ties at
-        # the k-boundary are within this buffer for realistic corpora)
+    else:  # WAND: over-fetch by exact score, then re-rank rounded.  The
+        # over-fetch is ADAPTIVE: if the smallest rounded score in the
+        # buffer still ties the k-th rounded score, docs outside the
+        # buffer could tie rank k too (rounding is monotonic, so a clean
+        # strict gap at the buffer edge proves they cannot) — re-query
+        # with a larger k until the boundary is tie-free or exhausted.
         from iresearch_ray.search import IndexSearcher
 
         reader = _index_reader(sf_dir)
-        raw = IndexSearcher(reader, _scorer()).search(flt, k=3 * k, mode=mode)
+        searcher = IndexSearcher(reader, _scorer())
+        fetch = 3 * k
+        while True:
+            raw = searcher.search(flt, k=fetch, mode=mode)
+            scores = np.round(raw["score"].to_numpy(), 4)
+            if (len(raw) < fetch or len(scores) < k
+                    or scores.min() < np.sort(scores)[::-1][k - 1]):
+                break
+            fetch *= 4
         df = pd.DataFrame({"doc_id": [_doc_id(x) for x in raw["key"]],
-                           "score": np.round(raw["score"].to_numpy(), 4)})
+                           "score": scores})
     return (df.sort_values(["score", "doc_id"], ascending=[False, True])
             .head(k).reset_index(drop=True))
 
@@ -634,7 +646,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dedup.fingerprint_dedup_groups(ray_docs(sf_dir, ["doc_id", "text"])).to_pandas()
 
     def minhash_pairs(sf_dir):
-        return dedup.minhash_lsh_pairs(ray_docs(sf_dir, ["doc_id", "text"]), threshold=0.9).to_pandas()
+        # md5 shingle hashes so the DuckDB oracle reproduces signatures
+        # bit-for-bit (md5_number_lower + inlined affine params)
+        out = dedup.minhash_lsh_pairs(ray_docs(sf_dir, ["doc_id", "text"]),
+                                      threshold=0.9, hash="md5").to_pandas()
+        return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
     def simhash_q(sf_dir):
         # md5 token hashes so the DuckDB oracle reproduces the sketch
@@ -749,9 +765,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_sessions": window_sessions,
         "dedup_exact": dedup_exact,
         "dedup_fingerprint": dedup_fingerprint,
-        "minhash_pairs": minhash_pairs,            # rows-only
-        "simhash_groups": simhash_q,               # rows-only
-        "doc_fingerprints": fingerprints_q,        # rows-only
+        "minhash_pairs": minhash_pairs,
+        "simhash_groups": simhash_q,
+        "doc_fingerprints": fingerprints_q,
         # --- similarity search ---
         "ann_cosine": ann_cosine,
         "ann_lsh": ann_lsh,                        # rows-only (approximate)
@@ -759,6 +775,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal plumbing ---
         "multimodal_features": multimodal_q,       # rows-only
     }
+
+
+def _minhash_oracle_sql() -> str:
+    """SQL twin of minhash_lsh_pairs(threshold=0.9, hash='md5'): the 64
+    seeded affine params are inlined so DuckDB computes the exact same
+    signatures (uint64-wraparound a*x+b, then mod 2^61-1) as
+    analysis/minhash.py:minhash_signatures."""
+    from iresearch_ray.analysis.minhash import _affine_params
+
+    a, b = _affine_params(64, 42)
+    params_rows = ",".join(f"({h},{int(a[h])}::HUGEINT,{int(b[h])}::HUGEINT)"
+                           for h in range(64))
+    m64 = "18446744073709551616::HUGEINT"       # 2^64 (numpy wraparound)
+    mers = "2305843009213693951::HUGEINT"       # 2^61 - 1
+    return f"""
+{_TOK_CTE},
+params(h, a, b) AS (VALUES {params_rows}),
+sh AS (SELECT doc_id, ts, least(len(ts), 3) AS kk, len(ts) AS n
+       FROM tok WHERE len(ts) > 0),
+shingle AS (
+  SELECT doc_id, array_to_string(ts[i+1:i+kk], ' ') AS s
+  FROM (SELECT doc_id, ts, kk, unnest(range(n - kk + 1)) AS i FROM sh)),
+shash AS (SELECT doc_id, md5_number_lower(s)::HUGEINT AS x FROM shingle),
+sig AS (
+  SELECT doc_id, p.h, min((p.a * x + p.b) % {m64} % {mers}) AS v
+  FROM shash CROSS JOIN params p GROUP BY doc_id, p.h),
+cand AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM sig x JOIN sig y ON x.h = y.h AND x.v = y.v AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id, x.h // 4
+  HAVING count(*) = 4),
+pairs AS (SELECT DISTINCT id_a, id_b FROM cand),
+est AS (
+  SELECT p.id_a, p.id_b,
+         sum(CASE WHEN x.v = y.v THEN 1 ELSE 0 END) / 64.0 AS est_jaccard
+  FROM pairs p
+  JOIN sig x ON x.doc_id = p.id_a
+  JOIN sig y ON y.doc_id = p.id_b AND y.h = x.h
+  GROUP BY p.id_a, p.id_b)
+SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, est_jaccard
+FROM est WHERE est_jaccard >= 0.9
+ORDER BY id_a, id_b
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1054,7 +1113,14 @@ SELECT DISTINCT doc_id,
          AS fingerprint
 FROM pick
 """,
-        # minhash_pairs / ann_lsh / ann_ivf / multimodal_features remain
-        # intentionally omitted: banding + approximate probing are not
+        # MinHash-LSH: md5 shingle hashes (md5_number_lower) + the 64
+        # affine params INLINED from the engine's seeded generator make
+        # the whole sketch SQL-reproducible; LSH band collision = exact
+        # equality of the band's 4 signature components (band_hash is a
+        # 64-bit mix of exactly those, so collision <=> slice equality
+        # up to a ~2^-64 accident).
+        "minhash_pairs": _minhash_oracle_sql(),
+        # ann_lsh / ann_ivf / multimodal_features remain intentionally
+        # omitted: approximate probing / stub decode are not
         # ANSI-SQL-expressible -> rows-only.
     }

@@ -119,13 +119,15 @@ class MinHashBatch:
     """Batch stage: text -> (doc_id, band, band_hash, signature).
     Run via StatelessBatchFn (cheap analyzer state, once per worker)."""
 
-    def __init__(self, text_column, id_column, analyzer, num_hashes, bands, shingle_k):
+    def __init__(self, text_column, id_column, analyzer, num_hashes, bands,
+                 shingle_k, hash="stable"):
         self.text_column = text_column
         self.id_column = id_column
         self.analyzer = get_analyzer(analyzer)
         self.num_hashes = num_hashes
         self.bands = bands
         self.shingle_k = shingle_k
+        self.hasher = _term_hasher(hash)
 
     def __call__(self, b: pa.Table) -> pa.Table:
         texts = b[self.text_column].to_pylist()
@@ -143,7 +145,7 @@ class MinHashBatch:
             sh = shingles(self.analyzer.tokens(t), self.shingle_k)
             all_shingles.extend(sh)
             offsets[i + 1] = len(all_shingles)
-        hashes = stable_hash_strings(all_shingles) if all_shingles else np.empty(0, np.uint64)
+        hashes = self.hasher(all_shingles) if all_shingles else np.empty(0, np.uint64)
         sigs = minhash_signatures(hashes, offsets, self.num_hashes)
         bh = band_hashes(sigs, self.bands)
         n, B = len(texts), self.bands
@@ -177,7 +179,7 @@ def minhash_lsh_pairs(ds, text_column: str = "text", id_column: str = "doc_id",
                       analyzer: str = "ascii", num_hashes: int = 64,
                       bands: int = 16, shingle_k: int = 3,
                       threshold: float = 0.8, concurrency: int | None = None,
-                      checkpoint_dir: str | None = None):
+                      checkpoint_dir: str | None = None, hash: str = "stable"):
     """Near-duplicate candidate pairs via MinHash + LSH banding.
 
     map_batches(sketch) -> count-only groupby finds buckets with >= 2
@@ -202,7 +204,8 @@ def minhash_lsh_pairs(ds, text_column: str = "text", id_column: str = "doc_id",
     sk = ds.map_batches(
         StatelessBatchFn(MinHashBatch, dict(
             text_column=text_column, id_column=id_column, analyzer=analyzer,
-            num_hashes=num_hashes, bands=bands, shingle_k=shingle_k)),
+            num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+            hash=hash)),
         batch_format="pyarrow",
         concurrency=pool_size(concurrency) if concurrency else None)
     # checkpoint the (corpus-small, but not driver-small) sketches to
@@ -214,7 +217,7 @@ def minhash_lsh_pairs(ds, text_column: str = "text", id_column: str = "doc_id",
         params = {"num_hashes": num_hashes, "bands": bands,
                   "shingle_k": shingle_k, "analyzer": analyzer,
                   "text_column": text_column, "id_column": id_column,
-                  "input": _input_fingerprint(ds)}
+                  "hash": hash, "input": _input_fingerprint(ds)}
         sk = _sketch_checkpoint(sk, ckpt, params)
 
         # per-group map_groups over ~n_docs*bands tiny buckets pays Ray's

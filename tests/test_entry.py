@@ -79,3 +79,29 @@ def test_entry_smoke(ray_session):
     # deterministic across calls
     df2 = entrymod.entry()
     pd.testing.assert_frame_equal(df, df2)
+
+
+def test_topk_adaptive_overfetch_on_ties(ray_session, tmp_path):
+    """mode='top' must equal mode='all' even when EVERY matching doc has
+    the same rounded score: the fixed 3k over-fetch would cut an
+    arbitrary subset of the tie run; the adaptive re-query keeps growing
+    the buffer until the k-boundary is tie-free or exhausted."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iresearch_ray.search import TermFilter
+
+    sf = tmp_path / "sf_tie"
+    sf.mkdir()
+    n = 120  # 4x the initial 3*k buffer at k=10
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(1, n + 1), type=pa.int64()),
+        "text": pa.array(["same words here"] * n),
+        "lang": pa.array(["en"] * n),
+        "source": pa.array(["tie"] * n),
+        "n_chars": pa.array([15] * n, type=pa.int64()),
+    }), str(sf / "documents.parquet"))
+    top = entrymod._topk(str(sf), TermFilter("same"), k=10, mode="top")
+    allm = entrymod._topk(str(sf), TermFilter("same"), k=10, mode="all")
+    assert list(top["doc_id"]) == list(allm["doc_id"]) == list(range(1, 11))
+    assert np.array_equal(top["score"].to_numpy(), allm["score"].to_numpy())
