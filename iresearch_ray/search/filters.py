@@ -783,7 +783,12 @@ class _PreparedNgramSim(Prepared):
         d, q = d[order], q[order]
         bounds = np.r_[0, np.flatnonzero(d[1:] != d[:-1]) + 1, len(d)]
         starts, lens = bounds[:-1], np.diff(bounds)
-        if self.m <= 63:
+        # kernel choice is a SIZE crossover, measured interleaved on the
+        # 200k-doc bench: the bitmask DP pays ~10 whole-array numpy ops
+        # per occurrence ordinal, which beats the per-doc Python bisect
+        # loop only once a segment has >=~100 candidate docs (HighNGram
+        # 312 docs/seg: 1.6x faster; LowNGram 4 docs/seg: 1.35x slower)
+        if self.m <= 63 and len(starts) >= 128:
             # vectorized patience DP: the tails array of the classic LIS
             # is a strictly increasing SUBSET of {0..m-1}, i.e. an m-bit
             # mask per doc.  bisect-replace becomes pure bit ops, and the

@@ -115,3 +115,50 @@ def test_ngram_similarity_validation():
         NgramSimilarityFilter([])
     with pytest.raises(ValueError):
         NgramSimilarityFilter(["ab"], threshold=0.0)
+
+
+def test_ngram_lis_kernels_identical(ray_session, tmp_path_factory):
+    """The bitmask patience-DP LIS (picked for segments with >=128
+    candidate docs) and the classic bisect LIS (small-segment path) must
+    rank identically: run one corpus large enough to engage the bitmask
+    kernel, then force the classic branch and compare exactly."""
+    import iresearch_ray.search.filters as F
+
+    base = tmp_path_factory.mktemp("ngramkern")
+    rng = np.random.default_rng(11)
+    words = ["abcdef", "abcxef", "abdcfe", "fedcba", "abcdff", "xbcdef"]
+    n = 400  # single segment of ~400 candidates > the 128 crossover
+    texts = [" ".join(rng.choice(words, size=4)) for _ in range(n)]
+    t = pa.table({"url": [f"u{i}" for i in range(n)], "text": texts})
+    path = str(base / "p.parquet")
+    pq.write_table(t, path, row_group_size=200)
+    index_dir = str(base / "idx")
+    build_index(path, index_dir, analyzer="ngram",
+                analyzer_opts={"min_gram": 2, "max_gram": 2}, target_docs=n)
+    s = IndexSearcher(IndexReader(index_dir), BM25())
+    ng = NgramAnalyzer(min_gram=2, max_gram=2)
+    qgrams = ng.tokens("abcdef")
+
+    import inspect
+    import textwrap
+
+    src = inspect.getsource(F._PreparedNgramSim.execute)
+    assert "if self.m <= 63 and len(starts) >= 128:" in src
+    classic_src = src.replace("if self.m <= 63 and len(starts) >= 128:",
+                              "if False:")
+    ns = dict(F.__dict__)
+    exec(textwrap.dedent(classic_src), ns)
+    orig = F._PreparedNgramSim.execute
+    try:
+        for threshold in (0.4, 0.7, 1.0):
+            flt = NgramSimilarityFilter(qgrams, threshold)
+            res_fast = s.search(flt, k=n)
+            F._PreparedNgramSim.execute = ns["execute"]
+            res_slow = s.search(flt, k=n)
+            F._PreparedNgramSim.execute = orig
+            assert list(res_fast["doc"]) == list(res_slow["doc"]), threshold
+            assert np.array_equal(res_fast["score"].to_numpy(),
+                                  res_slow["score"].to_numpy())
+        assert len(res_fast) > 128  # the bitmask branch actually engaged
+    finally:
+        F._PreparedNgramSim.execute = orig
