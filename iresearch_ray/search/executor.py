@@ -199,6 +199,30 @@ class IndexSearcher:
                              "score": scores.astype(np.float64)})
 
 
+def _block_ub(node, cseg, i: int) -> np.ndarray | None:
+    """Per-block score upper bounds of term row ``i`` (block max_freq at
+    the most favorable doc length), cached in the reader's postings LRU
+    keyed by the scorer's determining constants — for a static index the
+    same term always yields the same df/idf, so repeated WAND queries
+    (and every query sharing the term) skip the per-block re-scoring.
+    None when the term has no skip metadata (short list)."""
+    sk = cseg.reader.skips(i)
+    if sk is None:
+        return None
+    sp = node.sp
+
+    def build():
+        return sp.score(sk["max_freq"],
+                        np.zeros(len(sk["max_freq"]), dtype=np.int64),
+                        cseg.tiny)
+
+    key = getattr(sp, "key", None)
+    if key is None:  # registry-registered scorer without a stable key
+        return build()
+    return cseg.reader.cached_entry((i, "blockub", key(), cseg.tiny),
+                                    build)
+
+
 def _wand_union(prep, seg: SegmentView,
                 threshold: float) -> tuple[np.ndarray, np.ndarray]:
     """Block-max pruning for a UNION of term children (reference
@@ -220,23 +244,20 @@ def _wand_union(prep, seg: SegmentView,
     # pruned here — run the plain exact union and skip the whole
     # skip-fetch + per-block-ub machinery (measured ~30% of union-WAND
     # time on Or4High where pruning never engages)
-    pre: list[float | None] = []
-    for c in kids:
-        node, cseg = c.route(seg)
-        i = node.idx_by_seg.get(cseg.id, -1) if cseg is not None else -1
-        if i < 0:
-            pre.append(None)
-            continue
-        mf = np.array([cseg.reader.term_max_freq(i)], dtype=np.int64)
-        pre.append(float(node.sp.score(mf, np.zeros(1, dtype=np.int64),
-                                       cseg.tiny)[0]))
-    live_ub = [u for u in pre if u is not None]
-    if not live_ub:
-        return np.empty(0, dtype=np.int64), np.empty(0, dtype=dtype)
-    tot0 = sum(live_ub)
-    if all(threshold <= tot0 - u for u in live_ub):
+    # dense-streak short-circuit: once 8 consecutive segments of this
+    # query chose the dense accumulator, stop checking (pruning potential
+    # is a corpus property — on uniform segments it won't re-appear; if
+    # it would have, the dense path is still EXACT, only slower).  The
+    # streak lives on the per-query prepared node, so every query
+    # re-evaluates its first segments.
+    streak = getattr(prep, "_wand_dense_streak", 0)
+    if streak >= 8:
         return prep.execute(seg)
-    infos: list[dict | None] = []
+    # one pass per child: cached per-block ub array; its max IS the
+    # term-level bound (score is monotonic in freq), so no separate
+    # term_max_freq scoring.  Short lists decode+score now — exact, tiny,
+    # and reused verbatim by the block path below.
+    pre: list[tuple | None] = []
     for c in kids:
         # per-child routing: a field-bound child reads ITS sub-index's
         # aligned segment (postings, skips, doc_len norms) — local doc ids
@@ -244,22 +265,52 @@ def _wand_union(prep, seg: SegmentView,
         node, cseg = c.route(seg)
         i = node.idx_by_seg.get(cseg.id, -1) if cseg is not None else -1
         if i < 0:
-            infos.append(None)
+            pre.append(None)
             continue
-        sk = cseg.reader.skips(i)
-        if sk is None or len(sk["last_doc"]) < 8:
+        ub = _block_ub(node, cseg, i)
+        if ub is None or len(ub) < 8:
             docs, freqs = cseg.reader.postings(i)
             docs = docs.astype(np.int64, copy=False)
             scores = node.sp.score(freqs, cseg.reader.doc_len[docs - 1],
                                    cseg.tiny)
-            infos.append({"full": (docs, scores),
-                          "max_ub": float(scores.max()) if len(scores) else 0.0})
+            mu = float(scores.max()) if len(scores) else 0.0
+            pre.append((node, cseg, i, None, mu, (docs, scores)))
         else:
-            ub = node.sp.score(sk["max_freq"],
-                               np.zeros(len(sk["max_freq"]), dtype=np.int64),
-                               cseg.tiny)
-            infos.append({"sk": sk, "i": i, "ub": ub, "prep": node,
-                          "seg": cseg, "max_ub": float(ub.max())})
+            pre.append((node, cseg, i, ub, float(ub.max()), None))
+    live_pre = [p for p in pre if p is not None]
+    if not live_pre:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=dtype)
+    tot0 = sum(p[4] for p in live_pre)
+    # union-level cost model (two levels): (a) term-level bail-out — no
+    # block of any child can prune when threshold <= tot0 - mu for all;
+    # (b) prune-fraction — some block COULD prune, but below 25% of
+    # blocks the dense accumulator beats the per-block machinery
+    # (without this, 63/64 Or4High segments ran the block path pruning
+    # nothing, costing +30% over mode=all).
+    dense = all(threshold <= tot0 - p[4] for p in live_pre)
+    if not dense:
+        prunable = total_b = 0
+        for p in live_pre:
+            if p[3] is not None:
+                total_b += len(p[3])
+                prunable += int((p[3] <= (threshold - (tot0 - p[4]))).sum())
+        dense = total_b == 0 or prunable < 0.25 * total_b
+    if dense:
+        prep._wand_dense_streak = streak + 1
+        return prep.execute(seg)
+    prep._wand_dense_streak = 0
+    infos: list[dict | None] = []
+    for ci, c in enumerate(kids):
+        p = pre[ci]
+        if p is None:
+            infos.append(None)
+            continue
+        node, cseg, i, ub, mu, full = p
+        if full is not None:
+            infos.append({"full": full, "max_ub": mu})
+        else:
+            infos.append({"sk": cseg.reader.skips(i), "i": i, "ub": ub,
+                          "prep": node, "seg": cseg, "max_ub": mu})
     live = [x for x in infos if x is not None]
     if not live:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=dtype)
@@ -360,8 +411,7 @@ def _wand_term(prep: _PreparedTerm, seg: SegmentView, k: int,
         docs = docs.astype(np.int64, copy=False)
         return docs, prep.sp.score(freqs, seg.reader.doc_len[docs - 1], seg.tiny)
     # best-case upper bound per block: max_freq at the most favorable length
-    ub = prep.sp.score(sk["max_freq"], np.zeros(len(sk["max_freq"]), dtype=np.int64),
-                       seg.tiny)
+    ub = _block_ub(prep, seg, i)
     if float((ub > threshold).mean()) > 0.5:
         # pruning degenerates (uniform head-term block maxima / loose
         # threshold): one whole-blob varint pass beats decoding most

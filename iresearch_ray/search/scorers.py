@@ -73,6 +73,13 @@ class PreparedBM25:
         c1 = self.norm_const + self.norm_length * doc_lens.astype(f)
         return c0 - c0 * c1 / (c1 + tf)
 
+    def key(self) -> tuple:
+        """Constants that fully determine score(freq, doc_len=0) — the
+        block-ub cache key.  Stable across queries for a static index
+        (same term -> same df -> same idf) + fixed scorer config."""
+        return ("bm25", float(self.c0), float(self.norm_const),
+                float(self.norm_length), self.b == 0.0)
+
 
 class BM25:
     """k=1.2, b=0.75 default; b=1 -> BM11, b=0 -> BM15 (bm25.hpp:36-44)."""
@@ -106,6 +113,9 @@ class PreparedTFIDF:
             s = s / np.sqrt(np.maximum(doc_lens, 1).astype(f))
         return s
 
+    def key(self) -> tuple:
+        return ("tfidf", float(self.num), self.with_norms)
+
 
 class TFIDF:
     """sqrt(tf) * (log((N+1)/(df+1)) + 1), optional 1/sqrt(|d|) norm
@@ -134,6 +144,9 @@ class PreparedBoost:
 
     def score(self, freqs, doc_lens, tiny):
         return np.full(len(freqs), self.boost, dtype=self.dtype)
+
+    def key(self):
+        return ("boost", float(self.boost))
 
 
 class BoostScore:
