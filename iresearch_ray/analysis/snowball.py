@@ -9,7 +9,7 @@ function str -> str over already-lowercased words.
 
 from __future__ import annotations
 
-__all__ = ["stem_en", "stem_de", "snowball_stemmer"]
+__all__ = ["stem_en", "stem_de", "stem_fr", "snowball_stemmer"]
 
 # ---------------------------------------------------------------- english ---
 
@@ -275,8 +275,255 @@ def stem_de(word: str) -> str:
     return (w.replace("ä", "a").replace("ö", "o").replace("ü", "u"))
 
 
+# ----------------------------------------------------------------- french ---
+
+_FR_VOWELS = frozenset("aeiouyâàëéêèïîôûù")
+
+
+def _fr_prelude(word: str) -> str:
+    """Mark u/i between vowels, y next to a vowel, and u after q as
+    consonants (upper-cased), left to right on the evolving word — a
+    marked letter is no longer a vowel for later positions."""
+    cs = list(word)
+    n = len(cs)
+
+    def isv(j):
+        return 0 <= j < n and cs[j] in _FR_VOWELS
+
+    for i in range(n):
+        c = cs[i]
+        if c in "ui" and isv(i - 1) and isv(i + 1):
+            cs[i] = c.upper()
+        elif c == "y" and (isv(i - 1) or isv(i + 1)):
+            cs[i] = "Y"
+        elif c == "u" and i > 0 and cs[i - 1] == "q":
+            cs[i] = "U"
+    return "".join(cs)
+
+
+def _fr_regions(w: str) -> tuple[int, int, int]:
+    n = len(w)
+    if n >= 2 and w[0] in _FR_VOWELS and w[1] in _FR_VOWELS and n >= 3:
+        rv = 3
+    elif w[:3] in ("par", "col", "tap"):
+        rv = 3
+    else:
+        rv = n
+        for i in range(1, n):
+            if w[i] in _FR_VOWELS:
+                rv = i + 1
+                break
+    r1 = n
+    for i in range(1, n):
+        if w[i] not in _FR_VOWELS and w[i - 1] in _FR_VOWELS:
+            r1 = i + 1
+            break
+    r2 = n
+    for i in range(r1 + 1, n):
+        if w[i] not in _FR_VOWELS and w[i - 1] in _FR_VOWELS:
+            r2 = i + 1
+            break
+    return rv, r1, r2
+
+
+# step-1 standard suffixes: (suffix, group) — longest textual match wins,
+# then the group's rule applies (and may do nothing)
+_FR_STEP1 = sorted((
+    [(s, 1) for s in ("ance", "iqUe", "isme", "able", "iste", "eux",
+                      "ances", "iqUes", "ismes", "ables", "istes")]
+    + [(s, 2) for s in ("atrice", "ateur", "ation",
+                        "atrices", "ateurs", "ations")]
+    + [("logie", 3), ("logies", 3)]
+    + [(s, 4) for s in ("usion", "ution", "usions", "utions")]
+    + [("ence", 5), ("ences", 5)]
+    + [("ement", 6), ("ements", 6)]
+    + [("ité", 7), ("ités", 7)]
+    + [(s, 8) for s in ("if", "ive", "ifs", "ives")]
+    + [("eaux", 9), ("aux", 10), ("euse", 11), ("euses", 11)]
+    + [("issement", 12), ("issements", 12)]
+    + [("amment", 13), ("emment", 14), ("ment", 15), ("ments", 15)]
+), key=lambda t: -len(t[0]))
+
+_FR_STEP2A = sorted((
+    "îmes", "ît", "îtes", "i", "ie", "ies", "ir", "ira", "irai", "iraIent",
+    "irais", "irait", "iras", "irent", "irez", "iriez", "irions", "irons",
+    "iront", "is", "issaIent", "issais", "issait", "issant", "issante",
+    "issantes", "issants", "isse", "issent", "isses", "issez", "issiez",
+    "issions", "issons", "it",
+), key=len, reverse=True)
+
+_FR_STEP2B = sorted(
+    [("ions", 1)]
+    + [(s, 2) for s in ("é", "ée", "ées", "és", "èrent", "er", "era", "erai",
+                        "eraIent", "erais", "erait", "eras", "erez", "eriez",
+                        "erions", "erons", "eront", "ez", "iez")]
+    + [(s, 3) for s in ("âmes", "ât", "âtes", "a", "ai", "aIent", "ais",
+                        "ait", "ant", "ante", "antes", "ants", "as", "asse",
+                        "assent", "asses", "assiez", "assions")],
+    key=lambda t: -len(t[0]))
+
+_FR_STEP4 = sorted(
+    [("ion", 1), ("ier", 2), ("ière", 2), ("Ier", 3), ("Ière", 3),
+     ("e", 4), ("ë", 5)], key=lambda t: -len(t[0]))
+
+
+def _longest_in(w: str, table, minpos: int):
+    """Longest (suffix, group) whose match lies fully at/after minpos
+    (Snowball's ``setlimit tomark pV`` among semantics)."""
+    for suf, grp in table:
+        p = len(w) - len(suf)
+        if p >= minpos and w.endswith(suf):
+            return suf, grp, p
+    return None, 0, -1
+
+
+def stem_fr(word: str) -> str:
+    """French Snowball stemmer over a lowercase word (implemented from
+    the published specification at snowballstem.org/algorithms/french;
+    the ë/ï -> He/Hi refinement of the newest revision is not applied —
+    documented deviation, those letters stay plain vowels)."""
+    w = _fr_prelude(word)
+    rv, r1, r2 = _fr_regions(w)
+    changed = False
+    matched_ment = False
+
+    # ---- step 1: standard suffix removal (longest textual match) ----
+    suf = next((s for s, _ in _FR_STEP1 if w.endswith(s)), None)
+    if suf is not None:
+        grp = next(g for s, g in _FR_STEP1 if s == suf)
+        p = len(w) - len(suf)
+        matched_ment = grp in (13, 14, 15)
+        if grp == 1 and p >= r2:
+            w = w[:p]; changed = True
+        elif grp == 2 and p >= r2:
+            w = w[:p]; changed = True
+            if w.endswith("ic"):
+                q = len(w) - 2
+                w = w[:q] if q >= r2 else w[:q] + "iqU"
+        elif grp == 3 and p >= r2:
+            w = w[:p] + "log"; changed = True
+        elif grp == 4 and p >= r2:
+            w = w[:p] + "u"; changed = True
+        elif grp == 5 and p >= r2:
+            w = w[:p] + "ent"; changed = True
+        elif grp == 6 and p >= rv:
+            w = w[:p]; changed = True
+            if w.endswith("iv") and len(w) - 2 >= r2:
+                w = w[:-2]
+                if w.endswith("at") and len(w) - 2 >= r2:
+                    w = w[:-2]
+            elif w.endswith("eus"):
+                q = len(w) - 3
+                if q >= r2:
+                    w = w[:q]
+                elif q >= r1:
+                    w = w[:q] + "eux"
+            elif w.endswith(("abl", "iqU")) and len(w) - 3 >= r2:
+                w = w[:-3]
+            elif w.endswith(("ièr", "Ièr")) and len(w) - 3 >= rv:
+                w = w[:-3] + "i"
+        elif grp == 7 and p >= r2:
+            w = w[:p]; changed = True
+            if w.endswith("abil"):
+                q = len(w) - 4
+                w = w[:q] if q >= r2 else w[:q] + "abl"
+            elif w.endswith("ic"):
+                q = len(w) - 2
+                w = w[:q] if q >= r2 else w[:q] + "iqU"
+            elif w.endswith("iv") and len(w) - 2 >= r2:
+                w = w[:-2]
+        elif grp == 8 and p >= r2:
+            w = w[:p]; changed = True
+            if w.endswith("at") and len(w) - 2 >= r2:
+                w = w[:-2]
+                if w.endswith("ic"):
+                    q = len(w) - 2
+                    w = w[:q] if q >= r2 else w[:q] + "iqU"
+        elif grp == 9:
+            w = w[:p] + "eau"; changed = True
+        elif grp == 10 and p >= r1:
+            w = w[:p] + "al"; changed = True
+        elif grp == 11:
+            if p >= r2:
+                w = w[:p]; changed = True
+            elif p >= r1:
+                w = w[:p] + "eux"; changed = True
+        elif grp == 12 and p >= r1 and p > 0 and w[p - 1] not in _FR_VOWELS:
+            w = w[:p]; changed = True
+        elif grp == 13 and p >= rv:
+            w = w[:p] + "ant"; changed = True
+        elif grp == 14 and p >= rv:
+            w = w[:p] + "ent"; changed = True
+        elif grp == 15 and p > 0 and w[p - 1] in _FR_VOWELS and p - 1 >= rv:
+            w = w[:p]; changed = True
+
+    # ---- step 2a: verb suffixes beginning i (in RV) ----
+    step2a_ran = not changed or matched_ment
+    removed_2a = False
+    if step2a_ran:
+        suf2 = next((s for s in _FR_STEP2A
+                     if len(w) - len(s) >= rv and w.endswith(s)), None)
+        if suf2 is not None:
+            p = len(w) - len(suf2)
+            if p - 1 >= rv and w[p - 1] not in _FR_VOWELS:
+                w = w[:p]
+                changed = removed_2a = True
+        # ---- step 2b: other verb suffixes (if 2a removed nothing) ----
+        if not removed_2a:
+            suf2, grp, p = _longest_in(w, _FR_STEP2B, rv)
+            if suf2 is not None:
+                if grp == 1:
+                    if p >= r2:
+                        w = w[:p]; changed = True
+                elif grp == 2:
+                    w = w[:p]; changed = True
+                else:
+                    w = w[:p]; changed = True
+                    if w.endswith("e") and len(w) - 1 >= rv:
+                        w = w[:-1]
+
+    if changed:
+        # ---- step 3 ----
+        if w.endswith("Y"):
+            w = w[:-1] + "i"
+        elif w.endswith("ç"):
+            w = w[:-1] + "c"
+    else:
+        # ---- step 4: residual suffixes ----
+        if w.endswith("s") and (len(w) < 2 or w[-2] not in "aiouès"):
+            w = w[:-1]
+        suf4, grp, p = _longest_in(w, _FR_STEP4, rv)
+        if suf4 is not None:
+            if grp == 1:
+                if p >= r2 and p - 1 >= rv and w[p - 1] in "st":
+                    w = w[:p]
+            elif grp == 2:
+                w = w[:p] + "i"
+            elif grp == 3:
+                w = w[:p] + "I"
+            elif grp == 4:
+                w = w[:p]
+            elif grp == 5 and w[:p].endswith("gu"):
+                w = w[:p]
+
+    # ---- step 5: undouble ----
+    if w.endswith(("enn", "onn", "ett", "ell", "eill")):
+        w = w[:-1]
+    # ---- step 6: un-accent é/è before trailing non-vowels ----
+    i = len(w) - 1
+    cnt = 0
+    while i >= 0 and w[i] not in _FR_VOWELS:
+        i -= 1
+        cnt += 1
+    if cnt >= 1 and i >= 0 and w[i] in "éè":
+        w = w[:i] + "e" + w[i + 1:]
+    # postlude: unmark
+    return w.replace("I", "i").replace("U", "u").replace("Y", "y")
+
+
 _STEMMERS = {"en": stem_en, "english": stem_en,
-             "de": stem_de, "german": stem_de}
+             "de": stem_de, "german": stem_de,
+             "fr": stem_fr, "french": stem_fr}
 
 
 def snowball_stemmer(locale: str):

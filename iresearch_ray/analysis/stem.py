@@ -165,9 +165,12 @@ class TextAnalyzer(Analyzer):
 
     Options mirror the reference's ``options_t``:
     - ``locale``: selects the Snowball stemmer ('en' -> Porter2, 'de' ->
-      German; other locales stem-fallback to identity, documented) and is
-      recorded in the config.  ``locale=None`` keeps the round-1 behavior
-      (classic Porter) so existing indexes reconstruct identically.
+      German, 'fr' -> French; other locales stem-fallback to identity,
+      documented) and is recorded in the config.  ``locale=None`` keeps
+      the round-1 behavior (classic Porter) so existing indexes
+      reconstruct identically.  With ``kind='icu'`` the locale also
+      drives the word-break tier (PyICU when importable, CJK-aware
+      regex fallback otherwise).
     - ``case``: 'lower' | 'none' | 'upper' (case_convert_t).
     - ``accent``: False strips combining marks (NFD -> remove marks ->
       NFC), the reference's accent=false default; True preserves them.
@@ -184,8 +187,10 @@ class TextAnalyzer(Analyzer):
                  case: str = "lower", accent: bool = True):
         if case not in ("lower", "none", "upper"):
             raise ValueError(f"bad case convert {case!r}")
+        tok_opts = {"locale": locale or "en"} if kind == "icu" else {}
         self.tokenizer = RegexTokenizer(kind=kind,
-                                        lowercase=(case == "lower"))
+                                        lowercase=(case == "lower"),
+                                        **tok_opts)
         self.stopwords = frozenset(stopwords)
         self.stemming = stemming
         self.locale = locale

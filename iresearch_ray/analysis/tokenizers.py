@@ -73,6 +73,30 @@ class Analyzer:
         return {"name": self.name}
 
 
+# ICU word-break fallback classes: Han ideographs emit as unigrams (the
+# public Lucene StandardTokenizer convention for unsegmented scripts),
+# hiragana / katakana runs as single tokens (script change = boundary),
+# every other word run via \w+ excluding CJK and underscore.  Real
+# locale-aware dictionary segmentation needs PyICU (not in this
+# container) — the import-gated path below uses it when available.
+_HAN = "\\u4e00-\\u9fff\\u3400-\\u4dbf\\uf900-\\ufaff"
+_HIRA = "\\u3040-\\u309f"
+_KATA = "\\u30a0-\\u30ff\\u31f0-\\u31ff"
+_ICU_FALLBACK_PATTERN = (rf"[{_HAN}]|[{_HIRA}]+|[{_KATA}]+"
+                         rf"|[^\W_{_HAN}{_HIRA}{_KATA}]+")
+
+
+def _icu_break_iterator(locale: str):
+    """A PyICU word BreakIterator for ``locale``, or None when PyICU is
+    not importable (reference: text_token_stream.cpp:1098-1135 uses UBRK
+    word boundaries; this is the same public ICU API via PyICU)."""
+    try:
+        import icu
+    except ImportError:
+        return None
+    return icu.BreakIterator.createWordInstance(icu.Locale(locale))
+
+
 class RegexTokenizer(Analyzer):
     """Word tokenizer: case-fold then emit regex word matches.
 
@@ -80,10 +104,13 @@ class RegexTokenizer(Analyzer):
     analyzer's alpha-word mode); ``kind='ascii'`` uses ``[a-z0-9]+`` over the
     lowercased text — exactly reproducible in ANSI SQL
     (``string_split_regex(lower(text), '[^a-z0-9]+')``), which the DuckDB
-    correctness oracle relies on.
+    correctness oracle relies on.  ``kind='icu'`` is the locale-aware
+    tier: PyICU UBRK word boundaries when importable, else a documented
+    CJK-aware regex fallback (Han unigrams, kana runs, \\w words).
     """
 
-    def __init__(self, kind: str = "unicode", lowercase: bool = True):
+    def __init__(self, kind: str = "unicode", lowercase: bool = True,
+                 locale: str = "en"):
         if kind == "unicode":
             self._pat = re.compile(r"\w+", re.UNICODE)
             self.arrow_split_pattern = None
@@ -93,13 +120,38 @@ class RegexTokenizer(Analyzer):
             # (flatten_batch_arrow); RE2 [^a-z0-9]+ splits identically to
             # findall('[a-z0-9]+') on lowered text
             self.arrow_split_pattern = "[^a-z0-9]+" if lowercase else None
+        elif kind == "icu":
+            self._pat = re.compile(_ICU_FALLBACK_PATTERN)
+            self.arrow_split_pattern = None
+            self._brk = _icu_break_iterator(locale)
         else:
             raise ValueError(f"unknown RegexTokenizer kind: {kind}")
         self.kind = kind
+        self.locale = locale
         self.lowercase = lowercase
         self.name = f"regex-{kind}"
 
+    def _icu_words(self, text: str):
+        """(tokens, starts, ends) over the ORIGINAL text via ICU word
+        breaks; rule status 0 (UBRK_WORD_NONE) spans are whitespace /
+        punctuation and are dropped."""
+        brk = self._brk
+        brk.setText(text)
+        toks, starts, ends = [], [], []
+        start = brk.first()
+        for end in brk:
+            if brk.getRuleStatus() != 0:
+                t = text[start:end]
+                toks.append(t.lower() if self.lowercase else t)
+                starts.append(start)
+                ends.append(end)
+            start = end
+        return (toks, np.asarray(starts, dtype=np.int64),
+                np.asarray(ends, dtype=np.int64))
+
     def tokens(self, text: str) -> list[str]:
+        if self.kind == "icu" and self._brk is not None:
+            return self._icu_words(text)[0]
         if self.lowercase:
             text = text.lower()
         return self._pat.findall(text)
@@ -134,7 +186,14 @@ class RegexTokenizer(Analyzer):
         return toks, np.asarray(starts, dtype=np.int64), np.asarray(ends, dtype=np.int64)
 
     def config(self) -> dict:
-        return {"name": self.name, "kind": self.kind, "lowercase": self.lowercase}
+        cfg = {"name": self.name, "kind": self.kind,
+               "lowercase": self.lowercase}
+        if self.kind == "icu":
+            # locale changes segmentation -> part of segment lineage; so
+            # does whether PyICU was actually present at build time
+            cfg["locale"] = self.locale
+            cfg["icu"] = self._brk is not None
+        return cfg
 
 
 class DelimiterAnalyzer(Analyzer):
@@ -274,7 +333,8 @@ def analyzer_from_config(cfg: dict) -> Analyzer:
     name = cfg.get("name", "unicode")
     if name.startswith("regex-"):
         return RegexTokenizer(kind=cfg.get("kind", name.split("-", 1)[1]),
-                              lowercase=bool(cfg.get("lowercase", True)))
+                              lowercase=bool(cfg.get("lowercase", True)),
+                              locale=cfg.get("locale", "en"))
     if name == "delimiter":
         return DelimiterAnalyzer(cfg.get("delimiter", ","))
     if name == "ngram":
@@ -321,6 +381,7 @@ def analyzer_from_config(cfg: dict) -> Analyzer:
 register_analyzer("ascii", lambda **o: RegexTokenizer(kind="ascii", **o))
 register_analyzer("unicode", lambda **o: RegexTokenizer(kind="unicode", **o))
 register_analyzer("segmentation", lambda **o: RegexTokenizer(kind="unicode", **o))
+register_analyzer("icu", lambda **o: RegexTokenizer(kind="icu", **o))
 register_analyzer("delimiter", lambda **o: DelimiterAnalyzer(**o))
 register_analyzer("ngram", lambda **o: NgramAnalyzer(**o))
 register_analyzer("norm", lambda **o: NormalizeAnalyzer(**o))

@@ -205,3 +205,85 @@ def test_analyzer_from_config_roundtrip():
         rebuilt = analyzer_from_config(ana.config())
         assert rebuilt.tokens(text) == ana.tokens(text), ana.config()
         assert rebuilt.config() == ana.config()
+
+
+def test_icu_tokenizer_fallback_cjk():
+    """Without PyICU (this container), kind='icu' segments with the
+    documented fallback: Han ideographs as unigrams (the public Lucene
+    StandardTokenizer convention), kana runs as single tokens, other
+    scripts via word runs with underscore as a boundary."""
+    from iresearch_ray.analysis.tokenizers import (RegexTokenizer,
+                                                   analyzer_from_config,
+                                                   get_analyzer)
+
+    t = get_analyzer("icu", locale="ja")
+    assert t._brk is None  # PyICU absent here
+    assert t.tokens("Hello 世界の平和 カタカナ a_b") == \
+        ["hello", "世", "界", "の", "平", "和", "カタカナ", "a", "b"]
+    toks, starts, ends = t.tokens_with_offsets("ab 世界")
+    assert toks == ["ab", "世", "界"]
+    assert list(starts) == [0, 3, 4] and list(ends) == [2, 4, 5]
+    # locale + icu-presence are lineage-relevant and must round-trip
+    cfg = t.config()
+    assert cfg["locale"] == "ja" and cfg["icu"] is False
+    rebuilt = analyzer_from_config(cfg)
+    assert rebuilt.tokens("世界 peace") == t.tokens("世界 peace")
+    assert rebuilt.config() == cfg
+    assert RegexTokenizer(kind="unicode").config().get("locale") is None
+
+
+def test_icu_tokenizer_pyicu_plumbing(monkeypatch):
+    """With a (fake) PyICU importable, kind='icu' routes through the
+    BreakIterator word-boundary API: setText -> iterate boundaries ->
+    keep spans whose rule status is not UBRK_WORD_NONE."""
+    import sys
+
+    import iresearch_ray.analysis.tokenizers as T
+
+    class FakeBreak:
+        def createWordInstance(loc):  # noqa: N805 - mimics classmethod
+            return FakeBreak()
+
+        def setText(self, text):
+            self._text = text
+            self._bounds = []
+            self._status = []
+            pos = 0
+            for part in text.split(" "):
+                if part:
+                    self._bounds.append(pos + len(part))
+                    self._status.append(200)  # UBRK_WORD_LETTER
+                pos += len(part)
+                if pos < len(text):
+                    self._bounds.append(pos + 1)
+                    self._status.append(0)  # separator span
+                    pos += 1
+            self._i = -1
+
+        def first(self):
+            return 0
+
+        def __iter__(self):
+            return self
+
+        def __next__(self):
+            self._i += 1
+            if self._i >= len(self._bounds):
+                raise StopIteration
+            return self._bounds[self._i]
+
+        def getRuleStatus(self):
+            return self._status[self._i]
+
+    fake = type(sys)("icu")
+    fake.BreakIterator = FakeBreak
+    fake.Locale = lambda loc: loc
+    monkeypatch.setitem(sys.modules, "icu", fake)
+
+    t = T.RegexTokenizer(kind="icu", locale="th")
+    assert t._brk is not None
+    assert t.tokens("Hello World X") == ["hello", "world", "x"]
+    toks, starts, ends = t._icu_words("ab cd")
+    assert toks == ["ab", "cd"]
+    assert list(starts) == [0, 3] and list(ends) == [2, 5]
+    assert t.config()["icu"] is True

@@ -4,7 +4,8 @@ hand-traced through the published Snowball specifications."""
 
 import pytest
 
-from iresearch_ray.analysis.snowball import snowball_stemmer, stem_de, stem_en
+from iresearch_ray.analysis.snowball import (snowball_stemmer, stem_de,
+                                             stem_en, stem_fr)
 from iresearch_ray.analysis.stem import TextAnalyzer
 from iresearch_ray.analysis.tokenizers import analyzer_from_config
 
@@ -42,6 +43,31 @@ DE_GOLDEN = {
 }
 
 
+FR_GOLDEN = {
+    # step 2b verb endings (after step 1 / 2a fail)
+    "continuait": "continu", "payer": "pai", "premier": "premi",
+    # step 1 standard suffixes
+    "adoration": "ador",           # -ation in R2
+    "communication": "commun",     # -ation + preceding -ic deleted
+    "grandement": "grand",         # -ement in RV
+    "heureusement": "heureux",     # -ement, then eus -> eux in R1
+    "possibilité": "possibil",     # -ité in R2
+    "activité": "activ",           # -ité; iv not in R2 -> kept
+    "jouissance": "jouiss",        # -ance in R2 (U-marked u)
+    "généreux": "géner",           # -eux in R2 + step-6 un-accent
+    # aux / eaux
+    "nationaux": "national", "chevaux": "cheval", "châteaux": "château",
+    # ment(s) found -> step 2a verb pass runs
+    "sentiments": "sent", "puissamment": "puiss",
+    # step 2a i-verbs
+    "ennemis": "ennem",
+    # step 4 residual e / ion
+    "vengeance": "vengeanc", "belle": "bel", "condition": "condit",
+    # step 6 un-accent
+    "complètement": "complet",
+}
+
+
 @pytest.mark.parametrize("word,expected", sorted(EN_GOLDEN.items()))
 def test_porter2_golden(word, expected):
     assert stem_en(word) == expected
@@ -52,7 +78,12 @@ def test_german_golden(word, expected):
     assert stem_de(word) == expected
 
 
-@pytest.mark.parametrize("stem", [stem_en, stem_de])
+@pytest.mark.parametrize("word,expected", sorted(FR_GOLDEN.items()))
+def test_french_golden(word, expected):
+    assert stem_fr(word) == expected
+
+
+@pytest.mark.parametrize("stem", [stem_en, stem_de, stem_fr])
 def test_stemmers_edge_inputs(stem):
     """Degenerate inputs must not crash and must stay deterministic
     (Snowball stemmers are deliberately NOT idempotent — e.g. Porter2
@@ -67,7 +98,9 @@ def test_snowball_registry():
     assert snowball_stemmer("en") is stem_en
     assert snowball_stemmer("en_US") is stem_en
     assert snowball_stemmer("de-DE") is stem_de
-    assert snowball_stemmer("fr") is None  # documented fallback: no stem
+    assert snowball_stemmer("fr") is stem_fr
+    assert snowball_stemmer("fr_CA") is stem_fr
+    assert snowball_stemmer("pt") is None  # documented fallback: no stem
 
 
 def test_text_analyzer_locale_en():
@@ -141,3 +174,12 @@ def test_text_analyzer_builds_index(ray_session, tmp_path):
     q = ana.tokens("Häuser")[0]
     hits = IndexSearcher(IndexReader(idx), BM25()).search(TermFilter(q), k=10)
     assert sorted(hits["key"]) == ["a", "b"]
+
+
+def test_text_analyzer_locale_fr():
+    ana = TextAnalyzer(locale="fr")
+    assert ana.tokens("Les châteaux nationaux") == \
+        ["le", "château", "national"]
+    rebuilt = analyzer_from_config(ana.config())
+    assert rebuilt.tokens("complètement heureusement") == \
+        ["complet", "heureux"]
