@@ -163,6 +163,11 @@ class RegexTokenizer(Analyzer):
         search/highlight.py for the scale rationale)."""
         import numpy as np
 
+        if self.kind == "icu" and self._brk is not None:
+            # MUST segment the same way tokens() does, or OFFS-built
+            # indexes desync from query-time analysis and highlights
+            # point at the wrong spans
+            return self._icu_words(text)
         low = text.lower() if self.lowercase else text
         if len(low) != len(text):
             # rare: case-folding changed the length (e.g. 'İ' -> 'i̇');

@@ -131,12 +131,15 @@ def _segment_done(index_dir: str, segment_id: str, lineage_hash: str) -> bool:
 
 def _stable_fn_hash(fn) -> str:
     """Deterministic short hash of a plain function's behavior: bytecode,
-    primitive constants (nested code objects by their bytecode), and
-    captured closure-cell values.  Callables whose identity cannot be
-    hashed stably (no __code__, non-primitive captures) are rejected —
-    version the feature NAME explicitly instead of relying on magic."""
-    code = getattr(fn, "__code__", None)
-    if code is None:
+    primitive constants, captured closure-cell values, and the module
+    globals it reads.  Referenced plain functions are fingerprinted
+    RECURSIVELY (bytecode + consts + captures + their own globals —
+    editing only a helper's constants must still invalidate resume);
+    modules and C-implemented callables (numpy ufuncs, builtins imported
+    by name) are stable dependencies hashed by qualified name.  Anything
+    else is rejected — version the feature NAME explicitly instead of
+    relying on magic."""
+    if getattr(fn, "__code__", None) is None:
         raise ValueError(
             "custom norm feature must be a plain function; for other "
             "callables version the feature name explicitly (e.g. 'f_v2')")
@@ -144,31 +147,29 @@ def _stable_fn_hash(fn) -> str:
     import builtins
     import types
 
+    seen: set = set()
+
     def enc(v, what: str = "captures non-primitive state") -> bytes:
         if isinstance(v, (str, int, float, bool, bytes, type(None))):
             return repr(v).encode()
         if isinstance(v, tuple):
             return b"(" + b",".join(enc(x, what) for x in v) + b")"
-        if hasattr(v, "co_code"):  # nested code object (inner lambda)
-            return v.co_code
+        if hasattr(v, "co_code"):  # nested code object (inner lambda);
+            # its globals are the OUTER fn's and hashed by its names_of
+            return code_parts(v, None, None)
         if isinstance(v, types.ModuleType):  # stable dependency, by name
             return v.__name__.encode()
-        if hasattr(v, "__code__"):  # helper function: its bytecode
-            return v.__code__.co_code
+        if hasattr(v, "__code__"):  # helper function: FULL fingerprint
+            return fn_parts(v)
+        if (callable(v) and not isinstance(v, type)
+                and getattr(v, "__name__", None)):
+            # C-implemented callable (numpy ufunc, C function imported by
+            # name): stable dependency, like a module
+            mod = getattr(v, "__module__", None) or type(v).__module__
+            return f"{mod}.{getattr(v, '__qualname__', v.__name__)}".encode()
         raise ValueError(
             f"custom norm feature {what} "
             f"({type(v).__name__}); version the feature name explicitly")
-
-    parts = [code.co_code]
-    parts.extend(enc(c) for c in code.co_consts)
-    for cell in (fn.__closure__ or ()):
-        parts.append(enc(cell.cell_contents))
-    # module-level globals the function reads are behavior too: editing
-    # one would otherwise change the feature without invalidating
-    # lineage-based resume.  Builtins are excluded (stable); resolved
-    # globals must be primitives / modules / plain functions, like
-    # closure captures.
-    fn_globals = getattr(fn, "__globals__", {})
 
     def names_of(c):
         yield from c.co_names
@@ -176,11 +177,31 @@ def _stable_fn_hash(fn) -> str:
             if hasattr(const, "co_code"):
                 yield from names_of(const)
 
-    for name in sorted(set(names_of(code))):
-        if name in fn_globals and not hasattr(builtins, name):
-            parts.append(name.encode() + b"=" + enc(
-                fn_globals[name], f"reads non-primitive global {name!r}"))
-    return hashlib.sha256(b"|".join(parts)).hexdigest()[:8]
+    def code_parts(c, fn_globals, closure) -> bytes:
+        parts = [c.co_code]
+        parts.extend(enc(x) for x in c.co_consts)
+        for cell in (closure or ()):
+            parts.append(enc(cell.cell_contents))
+        # module-level globals the function reads are behavior too:
+        # editing one would otherwise change the feature without
+        # invalidating lineage-based resume.  Builtins are excluded
+        # (stable).
+        if fn_globals is not None:
+            for name in sorted(set(names_of(c))):
+                if name in fn_globals and not hasattr(builtins, name):
+                    parts.append(name.encode() + b"=" + enc(
+                        fn_globals[name],
+                        f"reads non-primitive global {name!r}"))
+        return b"{" + b"|".join(parts) + b"}"
+
+    def fn_parts(f) -> bytes:
+        if id(f) in seen:  # mutually recursive helpers
+            return b"<rec>"
+        seen.add(id(f))
+        return code_parts(f.__code__, getattr(f, "__globals__", {}),
+                          f.__closure__)
+
+    return hashlib.sha256(fn_parts(fn)).hexdigest()[:8]
 
 
 class BuildSegmentTask:

@@ -148,7 +148,20 @@ class MinHashBatch:
         hashes = self.hasher(all_shingles) if all_shingles else np.empty(0, np.uint64)
         sigs = minhash_signatures(hashes, offsets, self.num_hashes)
         bh = band_hashes(sigs, self.bands)
-        n, B = len(texts), self.bands
+        # token-less docs have an EMPTY shingle set: Jaccard with anything
+        # is undefined, and their untouched all-max signatures would
+        # otherwise collide with every other empty doc at est 1.0
+        keep = np.diff(offsets) > 0
+        if not keep.all():
+            ids, sigs, bh = ids[keep], sigs[keep], bh[keep]
+        n, B = int(keep.sum()), self.bands
+        if n == 0:
+            return pa.table({
+                self.id_column: pa.array([], type=b[self.id_column].type),
+                "band": pa.array([], type=pa.int64()),
+                "band_hash": pa.array([], type=pa.int64()),
+                "signature": pa.array([], type=pa.binary()),
+            })
         sig_bytes = np.ascontiguousarray(sigs).view(np.uint8).reshape(n, -1)
         # fixed-width binary signatures (one blob per band row): no Python
         # list rows, shuffle-friendly

@@ -878,7 +878,11 @@ class _ExpansionFilter(Filter):
         ce = getattr(seg_reader, "cached_entry", None)
         if ce is None:
             return self._match(seg_reader)
-        return ce(self._match_key(), lambda: self._match(seg_reader))
+        # oversize_bypass: one broad wildcard/range can match most of a
+        # large dictionary — serving it uncached beats flushing every
+        # postings/skips entry for an array too big to retain anyway
+        return ce(self._match_key(), lambda: self._match(seg_reader),
+                  oversize_bypass=True)
 
     def _node_key(self) -> str:
         """Content-derived df_map namespace for THIS expansion node.

@@ -117,6 +117,10 @@ def parse_query(q: str, analyzer=None, fields=True):
     disables routing entirely, and a collection of field NAMES routes
     only those (unknown prefixes like ``to:alice`` stay literal terms,
     the safe setting when query strings come from users)."""
+    if isinstance(fields, str):
+        # a bare string would do SUBSTRING matching ("tit" in "title")
+        # in the routing check — treat it as a one-field collection
+        fields = frozenset((fields,))
     toks = _TOKEN_RE.findall(q.strip())
     if not toks:
         raise ValueError("empty query")

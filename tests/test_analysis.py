@@ -287,3 +287,9 @@ def test_icu_tokenizer_pyicu_plumbing(monkeypatch):
     assert toks == ["ab", "cd"]
     assert list(starts) == [0, 3] and list(ends) == [2, 5]
     assert t.config()["icu"] is True
+    # the offsets path MUST segment identically to tokens(): the fake
+    # splits on spaces only, so "can't" stays one token where the regex
+    # fallback would split it — a desync here corrupts OFFS indexes
+    toks2, starts2, ends2 = t.tokens_with_offsets("can't x")
+    assert toks2 == ["can't", "x"]
+    assert list(starts2) == [0, 6] and list(ends2) == [5, 7]

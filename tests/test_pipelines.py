@@ -68,6 +68,23 @@ def test_minhash_identical_docs_pair(ray_session):
     assert 1 in keep and 3 in keep and 2 not in keep
 
 
+def test_minhash_tokenless_docs_emit_no_pairs(ray_session):
+    """Docs whose text yields zero shingles (punctuation-only) have an
+    empty shingle set — Jaccard with anything is undefined, so they must
+    not pair with each other via untouched all-max signatures (and the
+    SQL oracle excludes them, so emitting them would break the exact
+    comparison)."""
+    rows = [{"doc_id": 1, "text": "!!! ... ???"},
+            {"doc_id": 2, "text": "--- ;;; :::"},
+            {"doc_id": 3, "text": "alpha beta gamma delta epsilon zeta"},
+            {"doc_id": 4, "text": "alpha beta gamma delta epsilon zeta"}]
+    pairs = dedup.minhash_lsh_pairs(
+        ray.data.from_items(rows), threshold=0.5).to_pandas()
+    assert not ((pairs["id_a"] == 1) | (pairs["id_b"] == 1)).any()
+    assert not ((pairs["id_a"] == 2) | (pairs["id_b"] == 2)).any()
+    assert ((pairs["id_a"] == 3) & (pairs["id_b"] == 4)).any()
+
+
 def test_minhash_signature_estimates_jaccard():
     a = [f"tok{i}" for i in range(100)]
     b = [f"tok{i}" for i in range(20, 120)]  # true J = 80/120 = 0.666

@@ -163,3 +163,9 @@ def test_parse_fields_policy():
     # negated leaves obey the same policy
     n = parse_query("good -title:bad", fields=False)
     assert isinstance(n.negative, TermFilter)
+    # a bare string means ONE field, not substring matching: "tit" must
+    # not route just because it is a substring of "title"
+    s = parse_query("tit:x", fields="title")
+    assert isinstance(s, TermFilter) and s.term == "tit:x"
+    s2 = parse_query("title:x", fields="title")
+    assert isinstance(s2, Fielded) and s2.field == "title"

@@ -447,3 +447,25 @@ def test_postings_lru_eviction_covers_all_entry_kinds():
                          oversize_bypass=True)
     assert len(out) == budget // 2
     assert r._post_cache_size == before
+
+
+def test_expansion_match_cache_uses_oversize_bypass():
+    """Expansion match-row arrays enter the LRU with oversize_bypass: one
+    broad wildcard/range matching most of a large dictionary must not
+    flush every postings/skips entry for an array too big to retain."""
+    from iresearch_ray.search.filters import _ExpansionFilter
+
+    seen = {}
+
+    class FakeReader:
+        def cached_entry(self, key, build, oversize_bypass=False):
+            seen["bypass"] = oversize_bypass
+            return build()
+
+    class Probe(_ExpansionFilter):
+        def _match(self, seg_reader):
+            return np.arange(3)
+
+    out = Probe()._cached_match(FakeReader())
+    assert list(out) == [0, 1, 2]
+    assert seen["bypass"] is True

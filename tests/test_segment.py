@@ -297,3 +297,34 @@ def test_norm_feature_hash_covers_globals():
             _stable_fn_hash(reads_array)
     finally:
         del g["_BAD_GLOBAL_ARR"]
+
+
+def test_norm_feature_hash_helper_depth_and_c_callables():
+    """Referenced helper functions are fingerprinted RECURSIVELY — two
+    helpers with identical bytecode but different constants must yield
+    different feature hashes (else editing a helper's constant keeps a
+    stale resume) — and C-implemented callables like numpy ufuncs are
+    accepted as stable named dependencies, not rejected."""
+    import numpy as _np
+
+    from iresearch_ray.index.build import _stable_fn_hash
+
+    def helper_a(x):
+        return x * 3.0
+
+    def helper_b(x):
+        return x * 4.0
+
+    assert helper_a.__code__.co_code == helper_b.__code__.co_code
+
+    def mk(h):
+        def f(dl):
+            return h(dl)
+        return f
+
+    assert _stable_fn_hash(mk(helper_a)) != _stable_fn_hash(mk(helper_b))
+    assert _stable_fn_hash(mk(helper_a)) == _stable_fn_hash(mk(helper_a))
+    # numpy ufuncs captured directly (`from numpy import sqrt` style)
+    h_sqrt = _stable_fn_hash(mk(_np.sqrt))
+    assert h_sqrt == _stable_fn_hash(mk(_np.sqrt))
+    assert h_sqrt != _stable_fn_hash(mk(_np.log1p))
