@@ -652,6 +652,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                       threshold=0.9, hash="md5").to_pandas()
         return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
+    def ngram_jaccard(sf_dir):
+        # EXACT shingle-set Jaccard (prefix-filtered candidates, true
+        # intersections) — hash choice cannot affect the output, so the
+        # fast stable hash serves even under the exact oracle
+        out = dedup.ngram_jaccard_pairs(
+            ray_docs(sf_dir, ["doc_id", "text"]),
+            threshold=0.8).to_pandas()
+        return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
     def simhash_q(sf_dir):
         # md5 token hashes so the DuckDB oracle reproduces the sketch
         # bit-for-bit (md5_number_lower)
@@ -766,6 +775,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": dedup_exact,
         "dedup_fingerprint": dedup_fingerprint,
         "minhash_pairs": minhash_pairs,
+        "ngram_jaccard": ngram_jaccard,
         "simhash_groups": simhash_q,
         "doc_fingerprints": fingerprints_q,
         # --- similarity search ---
@@ -1120,6 +1130,26 @@ FROM pick
         # 64-bit mix of exactly those, so collision <=> slice equality
         # up to a ~2^-64 accident).
         "minhash_pairs": _minhash_oracle_sql(),
+        "ngram_jaccard": f"""
+{_TOK_CTE},
+sh AS (SELECT doc_id, ts, least(len(ts), 3) AS kk, len(ts) AS nt
+       FROM tok WHERE len(ts) > 0),
+shingle AS (
+  SELECT DISTINCT doc_id, array_to_string(ts[i+1:i+kk], ' ') AS s
+  FROM (SELECT doc_id, ts, kk, unnest(range(nt - kk + 1)) AS i FROM sh)),
+sizes AS (SELECT doc_id, count(*) AS n FROM shingle GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::DOUBLE AS i
+  FROM shingle a JOIN shingle b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b,
+       i / (sa.n + sb.n - i) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE i / (sa.n + sb.n - i) >= 0.8
+ORDER BY id_a, id_b
+""",
         # ann_lsh / ann_ivf / multimodal_features remain intentionally
         # omitted: approximate probing / stub decode are not
         # ANSI-SQL-expressible -> rows-only.

@@ -68,6 +68,67 @@ def test_minhash_identical_docs_pair(ray_session):
     assert 1 in keep and 3 in keep and 2 not in keep
 
 
+def test_ngram_jaccard_exact_vs_bruteforce(ray_session):
+    """ngram_jaccard_pairs returns EXACTLY the pairs a brute-force
+    all-pairs shingle-set Jaccard finds — the prefix filter may not drop
+    a single qualifying pair (completeness lemma) and verification is
+    exact, across thresholds and with a hot shared shingle forced into
+    the df-ordered path (hot_df_min=2)."""
+    from itertools import combinations
+
+    from iresearch_ray.analysis import get_analyzer
+    from iresearch_ray.analysis.minhash import shingles
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(28):
+        # every doc shares a hot prefix phrase -> one very hot shingle
+        body = list(rng.choice(vocab, size=rng.integers(6, 14)))
+        rows.append({"doc_id": i, "text": "the common start " + " ".join(body)})
+    # guaranteed near-dup clusters: tiny perturbations of a base doc
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows += [{"doc_id": 100, "text": base},
+             {"doc_id": 101, "text": base},
+             {"doc_id": 102, "text": base + " extra"},
+             {"doc_id": 103, "text": "totally disjoint words only here"}]
+    ana = get_analyzer("ascii")
+
+    def sset(text):
+        return set(shingles(ana.tokens(text), 3))
+
+    for threshold in (0.5, 0.8, 1.0):
+        expect = set()
+        for a, b in combinations(rows, 2):
+            A, B = sset(a["text"]), sset(b["text"])
+            if not A or not B:
+                continue
+            j = len(A & B) / len(A | B)
+            if j >= threshold:
+                lo, hi = sorted((a["doc_id"], b["doc_id"]))
+                expect.add((lo, hi, round(j, 9)))
+        got = dedup.ngram_jaccard_pairs(
+            ray.data.from_items(rows), threshold=threshold,
+            hot_df_min=2).to_pandas()
+        have = {(int(r.id_a), int(r.id_b), round(r.jaccard, 9))
+                for r in got.itertuples(index=False)}
+        assert have == expect, f"threshold={threshold}"
+
+
+def test_ngram_jaccard_tokenless_and_empty(ray_session):
+    """Zero-shingle docs never pair; a corpus with no qualifying pairs
+    returns an EMPTY typed frame (id dtype follows the input)."""
+    rows = [{"doc_id": 1, "text": "!!! ..."},
+            {"doc_id": 2, "text": "..."},
+            {"doc_id": 3, "text": "some ordinary words here"},
+            {"doc_id": 4, "text": "entirely different content now"}]
+    out = dedup.ngram_jaccard_pairs(ray.data.from_items(rows), threshold=0.8)
+    # columns live on the Dataset schema (to_pandas() of an empty Ray
+    # dataset drops columns — a Ray quirk, not an operator one)
+    assert out.schema().names == ["id_a", "id_b", "jaccard"]
+    assert len(out.to_pandas()) == 0
+
+
 def test_minhash_tokenless_docs_emit_no_pairs(ray_session):
     """Docs whose text yields zero shingles (punctuation-only) have an
     empty shingle set — Jaccard with anything is undefined, so they must
