@@ -9,7 +9,7 @@ function str -> str over already-lowercased words.
 
 from __future__ import annotations
 
-__all__ = ["stem_en", "stem_de", "stem_fr", "snowball_stemmer"]
+__all__ = ["stem_en", "stem_de", "stem_fr", "stem_es", "snowball_stemmer"]
 
 # ---------------------------------------------------------------- english ---
 
@@ -521,9 +521,190 @@ def stem_fr(word: str) -> str:
     return w.replace("I", "i").replace("U", "u").replace("Y", "y")
 
 
+# ------------------------------------------------------------------ es ----
+_ES_VOWELS = frozenset("aeiouáéíóúü")
+_ES_UNACCENT = str.maketrans("áéíóú", "aeiou")
+
+_ES_PRONOUNS = sorted(
+    ("me", "se", "sela", "selo", "selas", "selos", "la", "le", "lo",
+     "las", "les", "los", "nos"), key=len, reverse=True)
+_ES_PRON_A = ("iéndo", "ándo", "ár", "ér", "ír")   # accent removed after
+_ES_PRON_B = ("ando", "iendo", "ar", "er", "ir")
+
+_ES_STEP1 = sorted(
+    [(s, 1) for s in ("anza", "anzas", "ico", "ica", "icos", "icas",
+                      "ismo", "ismos", "able", "ables", "ible", "ibles",
+                      "ista", "istas", "oso", "osa", "osos", "osas",
+                      "amiento", "amientos", "imiento", "imientos")]
+    + [(s, 2) for s in ("adora", "ador", "ación", "adoras", "adores",
+                        "aciones", "ante", "antes", "ancia", "ancias")]
+    + [("logía", 3), ("logías", 3)]
+    + [("ución", 4), ("uciones", 4)]
+    + [("encia", 5), ("encias", 5)]
+    + [("amente", 6), ("mente", 7)]
+    + [("idad", 8), ("idades", 8)]
+    + [(s, 9) for s in ("iva", "ivo", "ivas", "ivos")],
+    key=lambda t: -len(t[0]))
+
+_ES_STEP2A = sorted(("ya", "ye", "yan", "yen", "yeron", "yendo", "yo",
+                     "yó", "yas", "yes", "yais", "yamos"),
+                    key=len, reverse=True)
+
+_ES_STEP2B = sorted(
+    [(s, 1) for s in ("en", "es", "éis", "emos")]   # + gu -> drop u
+    + [(s, 2) for s in (
+        "arían", "arías", "arán", "arás", "aríais", "aría", "aréis",
+        "aríamos", "aremos", "ará", "aré", "erían", "erías", "erán",
+        "erás", "eríais", "ería", "eréis", "eríamos", "eremos", "erá",
+        "eré", "irían", "irías", "irán", "irás", "iríais", "iría",
+        "iréis", "iríamos", "iremos", "irá", "iré", "aba", "ada", "ida",
+        "ía", "ara", "iera", "ad", "ed", "id", "ase", "iese", "aste",
+        "iste", "an", "aban", "ían", "aran", "ieran", "asen", "iesen",
+        "aron", "ieron", "ado", "ido", "ando", "iendo", "ió", "ar",
+        "er", "ir", "as", "abas", "adas", "idas", "ías", "aras",
+        "ieras", "ases", "ieses", "ís", "áis", "abais", "íais",
+        "arais", "ierais", "aseis", "ieseis", "asteis", "isteis",
+        "ados", "idos", "amos", "ábamos", "íamos", "imos", "áramos",
+        "iéramos", "iésemos", "ásemos")],
+    key=lambda t: -len(t[0]))
+
+_ES_STEP3 = sorted(
+    [(s, 1) for s in ("os", "a", "o", "á", "í", "ó")]
+    + [("e", 2), ("é", 2)], key=lambda t: -len(t[0]))
+
+
+def _es_regions(w: str) -> tuple[int, int, int]:
+    n = len(w)
+    rv = n
+    if n >= 2:
+        if w[1] not in _ES_VOWELS:
+            # next vowel after position 1
+            for i in range(2, n):
+                if w[i] in _ES_VOWELS:
+                    rv = i + 1
+                    break
+        elif w[0] in _ES_VOWELS:
+            # two initial vowels: after the next consonant
+            for i in range(2, n):
+                if w[i] not in _ES_VOWELS:
+                    rv = i + 1
+                    break
+        else:  # consonant-vowel: after the third letter
+            rv = min(3, n)
+    r1 = n
+    for i in range(1, n):
+        if w[i] not in _ES_VOWELS and w[i - 1] in _ES_VOWELS:
+            r1 = i + 1
+            break
+    r2 = n
+    for i in range(r1 + 1, n):
+        if w[i] not in _ES_VOWELS and w[i - 1] in _ES_VOWELS:
+            r2 = i + 1
+            break
+    return rv, r1, r2
+
+
+def stem_es(word: str) -> str:
+    """Spanish Snowball stemmer over a lowercase word (implemented from
+    the published specification at snowballstem.org/algorithms/spanish —
+    public; the reference reaches the same algorithm through libstemmer,
+    core/analysis/text_token_stream.cpp)."""
+    w = word
+    rv, r1, r2 = _es_regions(w)
+
+    # ---- step 0: attached pronoun (pronoun AND verb pattern in RV) ----
+    for suf in _ES_PRONOUNS:
+        p = len(w) - len(suf)
+        if p < rv or not w.endswith(suf):
+            continue
+        before = w[:p]
+        pat_a = next((t for t in _ES_PRON_A
+                      if before.endswith(t) and p - len(t) >= rv), None)
+        if pat_a is not None:
+            w = before[:-len(pat_a)] + pat_a.translate(_ES_UNACCENT)
+        elif any(before.endswith(t) and p - len(t) >= rv
+                 for t in _ES_PRON_B):
+            w = before
+        elif (before.endswith("yendo") and p - 5 >= rv
+              and before[:-5].endswith("u")):
+            w = before
+        break  # longest pronoun only; no backtracking
+
+    # ---- step 1: standard suffix removal ----
+    removed1 = False
+    suf, grp, p = _longest_in(w, _ES_STEP1, 0)
+    if suf is not None:
+        if grp == 1 and p >= r2:
+            w = w[:p]; removed1 = True
+        elif grp == 2 and p >= r2:
+            w = w[:p]; removed1 = True
+            if w.endswith("ic") and len(w) - 2 >= r2:
+                w = w[:-2]
+        elif grp == 3 and p >= r2:
+            w = w[:p] + "log"; removed1 = True
+        elif grp == 4 and p >= r2:
+            w = w[:p] + "u"; removed1 = True
+        elif grp == 5 and p >= r2:
+            w = w[:p] + "ente"; removed1 = True
+        elif grp == 6 and p >= r1:  # amente
+            w = w[:p]; removed1 = True
+            if w.endswith("iv") and len(w) - 2 >= r2:
+                w = w[:-2]
+                if w.endswith("at") and len(w) - 2 >= r2:
+                    w = w[:-2]
+            elif (w.endswith(("os", "ic", "ad"))
+                  and len(w) - 2 >= r2):
+                w = w[:-2]
+        elif grp == 7 and p >= r2:  # mente
+            w = w[:p]; removed1 = True
+            if (w.endswith(("ante", "able", "ible"))
+                    and len(w) - 4 >= r2):
+                w = w[:-4]
+        elif grp == 8 and p >= r2:  # idad(es)
+            w = w[:p]; removed1 = True
+            if w.endswith("abil") and len(w) - 4 >= r2:
+                w = w[:-4]
+            elif w.endswith(("ic", "iv")) and len(w) - 2 >= r2:
+                w = w[:-2]
+        elif grp == 9 and p >= r2:  # iv*
+            w = w[:p]; removed1 = True
+            if w.endswith("at") and len(w) - 2 >= r2:
+                w = w[:-2]
+
+    # ---- step 2a: verb suffixes beginning y, preceded by u (u not
+    # necessarily in RV) — only if step 1 removed nothing ----
+    removed2a = False
+    if not removed1:
+        suf2 = next((s for s in _ES_STEP2A
+                     if len(w) - len(s) >= rv and w.endswith(s)), None)
+        if suf2 is not None:
+            p = len(w) - len(suf2)
+            if p > 0 and w[p - 1] == "u":
+                w = w[:p]
+                removed2a = True
+        # ---- step 2b: other verb suffixes (if 2a removed nothing) ----
+        if not removed2a:
+            suf2, grp, p = _longest_in(w, _ES_STEP2B, rv)
+            if suf2 is not None:
+                w = w[:p]
+                if grp == 1 and w.endswith("gu"):
+                    w = w[:-1]  # the gu need not be in RV
+
+    # ---- step 3: residual vowel suffix (in RV) ----
+    suf3, grp, p = _longest_in(w, _ES_STEP3, rv)
+    if suf3 is not None:
+        w = w[:p]
+        if grp == 2 and w.endswith("gu") and len(w) - 1 >= rv:
+            w = w[:-1]  # u must be in RV here
+
+    # ---- postlude: remove acute accents ----
+    return w.translate(_ES_UNACCENT)
+
+
 _STEMMERS = {"en": stem_en, "english": stem_en,
              "de": stem_de, "german": stem_de,
-             "fr": stem_fr, "french": stem_fr}
+             "fr": stem_fr, "french": stem_fr,
+             "es": stem_es, "spanish": stem_es}
 
 
 def snowball_stemmer(locale: str):

@@ -165,8 +165,9 @@ class TextAnalyzer(Analyzer):
 
     Options mirror the reference's ``options_t``:
     - ``locale``: selects the Snowball stemmer ('en' -> Porter2, 'de' ->
-      German, 'fr' -> French; other locales stem-fallback to identity,
-      documented) and is recorded in the config.  ``locale=None`` keeps
+      German, 'fr' -> French, 'es' -> Spanish; other locales
+      stem-fallback to identity, documented) and is recorded in the
+      config.  ``locale=None`` keeps
       the round-1 behavior (classic Porter) so existing indexes
       reconstruct identically.  With ``kind='icu'`` the locale also
       drives the word-break tier (PyICU when importable, CJK-aware

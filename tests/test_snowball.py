@@ -5,7 +5,7 @@ hand-traced through the published Snowball specifications."""
 import pytest
 
 from iresearch_ray.analysis.snowball import (snowball_stemmer, stem_de,
-                                             stem_en, stem_fr)
+                                             stem_en, stem_es, stem_fr)
 from iresearch_ray.analysis.stem import TextAnalyzer
 from iresearch_ray.analysis.tokenizers import analyzer_from_config
 
@@ -83,7 +83,44 @@ def test_french_golden(word, expected):
     assert stem_fr(word) == expected
 
 
-@pytest.mark.parametrize("stem", [stem_en, stem_de, stem_fr])
+ES_GOLDEN = {
+    # step 0 attached pronouns: (a) accented pattern, re-accented; (b)
+    # plain pattern; both must lie in RV
+    "haciéndola": "hac", "levantándose": "levant", "lavarse": "lav",
+    # step 1 group 1 (R2 delete)
+    "nacionalidad": "nacional", "generosidad": "gener",
+    # group 2 (+ ic)
+    "comunicación": "comun",
+    # group 4 ución -> u
+    "resolución": "resolu",
+    # group 6 amente in R1 / group 7 mente in R2
+    "rápidamente": "rapid", "fácilmente": "facil",
+    # group 9 iva + at
+    "informativa": "inform",
+    # logía in R2 fails (R2 starts past it) -> verb ía instead
+    "tecnología": "tecnolog",
+    # amiento NOT in R2 -> only step-3 vowel drop
+    "pensamiento": "pensamient",
+    # step 2a y-verbs after u
+    "construyendo": "constru", "vayas": "vay",
+    # step 2b verb suffixes (es/en + gu -> drop u)
+    "cantando": "cant", "comer": "com", "comiendo": "com",
+    "trabajando": "trabaj", "canciones": "cancion", "grandes": "grand",
+    "sigues": "sig", "llegues": "lleg",
+    # step 3 residual vowels (os, a, e/é with gu-u in RV)
+    "amigos": "amig", "guerra": "guerr", "bibliotecas": "bibliotec",
+    "atracciones": "atraccion", "guié": "gui", "paciencia": "pacienci",
+    # untouched short words / function words
+    "los": "los", "che": "che",
+}
+
+
+@pytest.mark.parametrize("word,expected", sorted(ES_GOLDEN.items()))
+def test_spanish_golden(word, expected):
+    assert stem_es(word) == expected
+
+
+@pytest.mark.parametrize("stem", [stem_en, stem_de, stem_fr, stem_es])
 def test_stemmers_edge_inputs(stem):
     """Degenerate inputs must not crash and must stay deterministic
     (Snowball stemmers are deliberately NOT idempotent — e.g. Porter2
@@ -100,6 +137,8 @@ def test_snowball_registry():
     assert snowball_stemmer("de-DE") is stem_de
     assert snowball_stemmer("fr") is stem_fr
     assert snowball_stemmer("fr_CA") is stem_fr
+    assert snowball_stemmer("es") is stem_es
+    assert snowball_stemmer("spanish") is stem_es
     assert snowball_stemmer("pt") is None  # documented fallback: no stem
 
 
