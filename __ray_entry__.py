@@ -661,6 +661,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             threshold=0.8).to_pandas()
         return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
+    def contamination(sf_dir):
+        # benchmark decontamination: probe set = every 50th doc (a
+        # deterministic stand-in for an eval suite), k=8 token shingles
+        def probe_filter(t):
+            import pyarrow as _pa
+
+            return t.filter(_pa.array(t["doc_id"].to_numpy() % 50 == 0))
+
+        docs = ray_docs(sf_dir, ["doc_id", "text"])
+        probe = docs.map_batches(probe_filter, batch_format="pyarrow")
+        out = dedup.contamination_check(docs, probe, shingle_k=8).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
     def simhash_q(sf_dir):
         # md5 token hashes so the DuckDB oracle reproduces the sketch
         # bit-for-bit (md5_number_lower)
@@ -776,6 +789,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_fingerprint": dedup_fingerprint,
         "minhash_pairs": minhash_pairs,
         "ngram_jaccard": ngram_jaccard,
+        "contamination": contamination,
         "simhash_groups": simhash_q,
         "doc_fingerprints": fingerprints_q,
         # --- similarity search ---
@@ -1149,6 +1163,23 @@ JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE i / (sa.n + sb.n - i) >= 0.8
 ORDER BY id_a, id_b
+""",
+        "contamination": f"""
+{_TOK_CTE},
+sh AS (SELECT doc_id, ts, least(len(ts), 8) AS kk, len(ts) AS nt
+       FROM tok WHERE len(ts) > 0),
+shingle AS (
+  SELECT DISTINCT doc_id, array_to_string(ts[i+1:i+kk], ' ') AS s
+  FROM (SELECT doc_id, ts, kk, unnest(range(nt - kk + 1)) AS i FROM sh)),
+probe AS (SELECT DISTINCT s FROM shingle WHERE doc_id % 50 = 0),
+agg AS (
+  SELECT doc_id, count(*) AS total,
+         sum(CASE WHEN s IN (SELECT s FROM probe) THEN 1 ELSE 0 END)
+             AS matched
+  FROM shingle GROUP BY doc_id)
+SELECT doc_id, matched::BIGINT AS matched, total::BIGINT AS total,
+       matched / CAST(total AS DOUBLE) AS frac
+FROM agg ORDER BY doc_id
 """,
         # ann_lsh / ann_ivf / multimodal_features remain intentionally
         # omitted: approximate probing / stub decode are not

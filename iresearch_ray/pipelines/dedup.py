@@ -601,6 +601,92 @@ def rolling_doc_fingerprints(ds, text_column: str = "text",
         concurrency=pool_size(concurrency) if concurrency else None)
 
 
+def contamination_check(ds, probe_texts, text_column: str = "text",
+                        id_column: str = "doc_id", analyzer: str = "ascii",
+                        shingle_k: int = 8,
+                        concurrency: int | None = None,
+                        hash: str = "stable"):
+    """Benchmark decontamination: per corpus doc, how many of its token
+    k-shingles appear ANYWHERE in the probe (benchmark/eval) set.
+
+    Returns Dataset(doc_id, matched, total, frac) for every doc with at
+    least one shingle (frac = matched/total; docs with frac > 0 overlap
+    the benchmark and are decontamination candidates).
+
+    Scale shape: the probe side is small by nature (eval sets are KBs–MBs
+    against a 100-TB corpus), so its distinct shingle hashes are computed
+    driver-side, sorted, and broadcast ONCE via ray.put; the corpus side
+    is a pure map_batches sweep — per batch one concatenated hash pass
+    and one vectorized searchsorted membership per doc slice.  No
+    shuffle, no second pass, nothing corpus-sized in the object store.
+
+    ``probe_texts``: iterable of probe document strings (or a small
+    Dataset with ``text_column``, pulled to the driver — bounded by the
+    eval-set size, not the corpus).
+    """
+    import ray
+    import ray.data
+
+    ana = get_analyzer(analyzer)
+    hasher = _term_hasher(hash)
+    if hasattr(probe_texts, "to_pandas"):  # small Dataset probe side
+        probe_texts = probe_texts.to_pandas()[text_column].tolist()
+    probe_shingles: list[str] = []
+    for t in probe_texts:
+        probe_shingles.extend(shingles(ana.tokens(t), shingle_k))
+    probe_hashes = (np.unique(hasher(probe_shingles)) if probe_shingles
+                    else np.empty(0, np.uint64))
+    probe_ref = ray.put(probe_hashes)
+
+    class ContaminationBatch:
+        def __init__(self):
+            self.analyzer = get_analyzer(analyzer)
+            self.hasher = _term_hasher(hash)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            texts = b[text_column].to_pylist()
+            ids = b[id_column].to_numpy(zero_copy_only=False)
+            all_sh: list[str] = []
+            offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+            for i, t in enumerate(texts):
+                all_sh.extend(shingles(self.analyzer.tokens(t), shingle_k))
+                offsets[i + 1] = len(all_sh)
+            hashes = (self.hasher(all_sh) if all_sh
+                      else np.empty(0, np.uint64))
+            ph = ray.get(probe_ref)
+            if len(ph):
+                pos = np.searchsorted(ph, hashes)
+                pos[pos == len(ph)] = 0
+                hit = ph[pos] == hashes
+            else:
+                hit = np.zeros(len(hashes), dtype=bool)
+            # distinct-shingle accounting per doc (matches the set
+            # semantics of the SQL oracle)
+            keep, matched, total = [], [], []
+            for i in range(len(texts)):
+                seg = hashes[offsets[i]:offsets[i + 1]]
+                if not len(seg):
+                    continue
+                u, first = np.unique(seg, return_index=True)
+                keep.append(i)
+                total.append(len(u))
+                matched.append(int(hit[offsets[i] + first].sum()))
+            keep_idx = pa.array(np.asarray(keep, dtype=np.int64))
+            m = np.asarray(matched, dtype=np.int64)
+            t_ = np.asarray(total, dtype=np.int64)
+            return pa.table({
+                id_column: b[id_column].take(keep_idx),
+                "matched": pa.array(m),
+                "total": pa.array(t_),
+                "frac": pa.array(m / np.maximum(t_, 1)),
+            })
+
+    return ds.map_batches(
+        StatelessBatchFn(ContaminationBatch, {}),
+        batch_format="pyarrow",
+        concurrency=pool_size(concurrency) if concurrency else None)
+
+
 def simhash_groups(ds, text_column: str = "text", id_column: str = "doc_id",
                    analyzer: str = "ascii", concurrency: int | None = None,
                    hash: str = "stable"):

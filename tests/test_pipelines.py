@@ -129,6 +129,34 @@ def test_ngram_jaccard_tokenless_and_empty(ray_session):
     assert len(out.to_pandas()) == 0
 
 
+def test_contamination_check(ray_session):
+    """Per-doc distinct-shingle overlap with a broadcast probe set: a doc
+    embedding a probe sentence scores frac > 0, unrelated docs score 0,
+    token-less docs are dropped, and an empty probe set gives matched=0
+    everywhere."""
+    bench = "the quick brown fox jumps over the lazy dog every day"
+    rows = [
+        {"doc_id": 1, "text": "prefix words then " + bench + " then suffix"},
+        {"doc_id": 2, "text": "completely unrelated content with many words "
+                              "that never overlap anything at all"},
+        {"doc_id": 3, "text": "..."},
+    ]
+    ds = ray.data.from_items(rows)
+    out = dedup.contamination_check(
+        ds, [bench], shingle_k=8).to_pandas().set_index("doc_id")
+    assert 3 not in out.index           # token-less doc dropped
+    assert out.loc[1, "matched"] > 0
+    assert out.loc[1, "frac"] == out.loc[1, "matched"] / out.loc[1, "total"]
+    assert out.loc[2, "matched"] == 0 and out.loc[2, "frac"] == 0.0
+    empty = dedup.contamination_check(ds, [], shingle_k=8).to_pandas()
+    assert (empty["matched"] == 0).all()
+    # probe as a small Dataset works the same as a list of strings
+    probe_ds = ray.data.from_items([{"text": bench}])
+    out2 = dedup.contamination_check(
+        ds, probe_ds, shingle_k=8).to_pandas().set_index("doc_id")
+    assert out2["matched"].equals(out["matched"])
+
+
 def test_minhash_tokenless_docs_emit_no_pairs(ray_session):
     """Docs whose text yields zero shingles (punctuation-only) have an
     empty shingle set — Jaccard with anything is undefined, so they must
