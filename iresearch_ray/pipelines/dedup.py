@@ -501,54 +501,112 @@ def ngram_jaccard_pairs(ds, text_column: str = "text",
         cand = pfx.map_batches(keep_colliding,
                                batch_format="pyarrow").to_pandas()
 
-        # ---- candidate pairs (driver-side, candidate-set-sized) ----
-        pair_a, pair_b = [], []
-        for _, g in cand.groupby("key", sort=False):
-            if len(g) < 2:
-                continue
-            g = g.drop_duplicates(id_column).sort_values(id_column)
-            if len(g) < 2:
-                continue
-            ids_g = g[id_column].to_numpy()
-            ns_g = g["n"].to_numpy()
-            for i in range(len(ids_g) - 1):
-                # size filter: J >= t needs t <= |A|/|B| <= 1/t
-                ok = np.flatnonzero(
-                    ns_g[i + 1:] * threshold - 1e-9 <= ns_g[i])
-                ok = ok[ns_g[i] * threshold - 1e-9 <= ns_g[i + 1 + ok]]
-                pair_a.extend([ids_g[i]] * len(ok))
-                pair_b.extend(ids_g[i + 1 + ok])
-        if not pair_a:
+        # ---- candidate pairs (driver-side, candidate-set-sized; every
+        # step below is vectorized — a dense-shingle corpus can hit tens
+        # of millions of candidates before the exact filter) ----
+        keys_c = cand["key"].to_numpy()
+        ids_c, id_codes = np.unique(cand[id_column].to_numpy(),
+                                    return_inverse=True)
+        if len(ids_c) >= 1 << 32:  # pair codes pack into one uint64
+            raise ValueError(
+                "more than 2^32 candidate docs — the driver-side pairing "
+                "assumes an output-sized candidate set; raise threshold "
+                "or hot_df_min")
+        ns_by_code = np.empty(len(ids_c), dtype=np.int64)
+        ns_by_code[id_codes] = cand["n"].to_numpy()
+
+        # ---- all pairs within each key group, no Python per group:
+        # sort rows by (key, code), dedupe, then pair every row with its
+        # r predecessors in the same segment via repeat/arange algebra
+        o = np.lexsort((id_codes, keys_c))
+        k_s, c_s = keys_c[o], id_codes[o]
+        first = np.r_[True, (k_s[1:] != k_s[:-1]) | (c_s[1:] != c_s[:-1])]
+        k_u, c_u = k_s[first], c_s[first]
+        seg_first = np.r_[True, k_u[1:] != k_u[:-1]]
+        seg_start = np.flatnonzero(seg_first)
+        seg_id = np.cumsum(seg_first) - 1
+        row = np.arange(len(k_u), dtype=np.int64)
+        r = row - seg_start[seg_id]          # rank within segment
+        n_pairs = int(r.sum())
+        if n_pairs == 0:
             return empty_pairs()
-        pairs = pd.DataFrame({"id_a": pair_a, "id_b": pair_b}
-                             ).drop_duplicates()
+        hi_rows = np.repeat(row, r)
+        before = np.zeros(len(r), dtype=np.int64)
+        np.cumsum(r[:-1], out=before[1:])
+        off_in_block = np.arange(n_pairs, dtype=np.int64) - np.repeat(
+            before, r)
+        lo_rows = np.repeat(seg_start[seg_id], r) + off_in_block
+        lo, hi = c_u[lo_rows], c_u[hi_rows]   # lo < hi (codes ascend)
+        # dedup across keys + size filter (J >= t needs t <= |A|/|B| <=
+        # 1/t), all on packed int codes
+        packed = np.unique(lo.astype(np.uint64) << np.uint64(32)
+                           | hi.astype(np.uint64))
+        lo = (packed >> np.uint64(32)).astype(np.int64)
+        hi = (packed & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        na, nb = ns_by_code[lo], ns_by_code[hi]
+        okm = ((nb * threshold - 1e-9 <= na)
+               & (na * threshold - 1e-9 <= nb))
+        lo, hi = lo[okm], hi[okm]
+        if not len(lo):
+            return empty_pairs()
 
         # ---- exact verification from the checkpointed sets ----
-        need = pd.unique(pd.concat([pairs["id_a"], pairs["id_b"]]))
-        need_arr = pa.array(need)
+        need_arr = pa.array(ids_c)
 
         def keep_needed(b: pa.Table) -> pa.Table:
             return b.filter(pc.is_in(b[id_column], value_set=need_arr))
 
         sets_df = sk.map_batches(keep_needed,
                                  batch_format="pyarrow").to_pandas()
-        by_id = {r[id_column]: np.frombuffer(r["set"], dtype=np.uint64)
-                 for _, r in sets_df.iterrows()}
-        out_a, out_b, out_j = [], [], []
-        for a_id, b_id in pairs.itertuples(index=False):
-            A, B = by_id[a_id], by_id[b_id]
-            inter = float(np.intersect1d(A, B, assume_unique=True).size)
-            j = inter / (len(A) + len(B) - inter)
-            if j >= threshold:
-                out_a.append(a_id)
-                out_b.append(b_id)
-                out_j.append(j)
+        # CSR of the candidate docs' sorted shingle sets, indexed by the
+        # same codes as lo/hi (one C-speed join, no per-doc copies)
+        code_of = {v: i for i, v in enumerate(ids_c)}
+        blob_by_code = [b""] * len(ids_c)
+        for v, s in zip(sets_df[id_column].to_numpy(),
+                        sets_df["set"].to_numpy()):
+            blob_by_code[code_of[v]] = s
+        flat = np.frombuffer(b"".join(blob_by_code), dtype=np.uint64)
+        sizes = np.fromiter((len(s) >> 3 for s in blob_by_code),
+                            dtype=np.int64, count=len(ids_c))
+        offs = np.zeros(len(ids_c) + 1, dtype=np.int64)
+        np.cumsum(sizes, out=offs[1:])
+        # per-pair |A ∩ B|: group pairs by the LEFT doc (packed order is
+        # already lo-major) and run ONE searchsorted of all partners'
+        # concatenated sets against that doc's small cache-hot set, then
+        # a reduceat sums per-pair hit counts.  One C call per left doc
+        # beats a fully-flattened segmented binary search, whose random
+        # gathers into the whole CSR are cache-miss-bound (measured).
+        inter = np.empty(len(lo), dtype=np.int64)
+        a_starts = np.flatnonzero(np.r_[True, lo[1:] != lo[:-1]])
+        a_bounds = np.r_[a_starts, len(lo)]
+        for s, e in zip(a_bounds[:-1], a_bounds[1:]):
+            A = flat[offs[lo[s]]:offs[lo[s] + 1]]
+            part = hi[s:e]
+            ln = sizes[part]
+            csum = np.zeros(len(part) + 1, dtype=np.int64)
+            np.cumsum(ln, out=csum[1:])
+            gidx = (np.arange(int(csum[-1]), dtype=np.int64)
+                    - np.repeat(csum[:-1], ln) + np.repeat(offs[part], ln))
+            concat = flat[gidx]
+            pos = np.searchsorted(A, concat)
+            pos[pos == len(A)] = 0
+            hit = (A[pos] == concat).astype(np.int64)
+            inter[s:e] = np.add.reduceat(hit, csum[:-1])
+        na, nb = sizes[lo], sizes[hi]
+        j = inter / (na + nb - inter)
+        keep = j >= threshold
+        a_ids = ids_c[lo[keep]]
+        b_ids = ids_c[hi[keep]]
+        swap = a_ids > b_ids  # id order, not code order
+        a_out = np.where(swap, b_ids, a_ids)
+        b_out = np.where(swap, a_ids, b_ids)
+        out_j = j[keep]
     finally:
         if own_ckpt:
             shutil.rmtree(ckpt, ignore_errors=True)
     return ray.data.from_pandas(pd.DataFrame({
-        "id_a": pd.Series(out_a, dtype=id_dtype),
-        "id_b": pd.Series(out_b, dtype=id_dtype),
+        "id_a": pd.Series(a_out, dtype=id_dtype),
+        "id_b": pd.Series(b_out, dtype=id_dtype),
         "jaccard": pd.Series(out_j, dtype=np.float64)}))
 
 
