@@ -204,7 +204,8 @@ def run_bench(ncpus: int) -> dict:
         query_total = sum(lat.values())
         total = build_s + query_total
         return {
-            "metric": "index-build + 24-category reference query set (synthetic pages)",
+            "metric": (f"index-build + {len(lat)}-category reference "
+                       "query set (synthetic pages)"),
             "value": round(total, 3),
             "unit": "sec",
             "queries": {"build": round(build_s, 3),

@@ -162,9 +162,13 @@ def _stable_fn_hash(fn) -> str:
         if hasattr(v, "__code__"):  # helper function: FULL fingerprint
             return fn_parts(v)
         if (callable(v) and not isinstance(v, type)
-                and getattr(v, "__name__", None)):
+                and getattr(v, "__name__", None)
+                and (not hasattr(v, "__self__")
+                     or isinstance(v.__self__, types.ModuleType))):
             # C-implemented callable (numpy ufunc, C function imported by
-            # name): stable dependency, like a module
+            # name): stable dependency, like a module.  Bound methods of
+            # INSTANCES (re.Pattern.match, dict.get) are rejected above —
+            # their behavior lives in __self__ state the name can't see.
             mod = getattr(v, "__module__", None) or type(v).__module__
             return f"{mod}.{getattr(v, '__qualname__', v.__name__)}".encode()
         raise ValueError(

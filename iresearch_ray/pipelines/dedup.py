@@ -34,6 +34,29 @@ def _md5_hex(values: list[str]) -> list[str]:
     return [hashlib.md5(v.encode()).hexdigest() for v in values]
 
 
+def _shingle_hashes_per_doc(texts, analyzer, k: int, hasher):
+    """Concatenated uint64 token-k-shingle hashes for a batch of texts,
+    plus per-doc offsets (len(texts)+1) — the shared front half of every
+    shingle-sketch batch stage (minhash, Jaccard, contamination)."""
+    all_sh: list[str] = []
+    offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+    for i, t in enumerate(texts):
+        all_sh.extend(shingles(analyzer.tokens(t), k))
+        offsets[i + 1] = len(all_sh)
+    hashes = hasher(all_sh) if all_sh else np.empty(0, np.uint64)
+    return hashes, offsets
+
+
+def _sorted_member(sorted_arr: np.ndarray, values: np.ndarray) -> np.ndarray:
+    """Boolean membership of ``values`` in a SORTED array via clamped
+    searchsorted — the broadcast-filter idiom used across this module."""
+    if not len(sorted_arr):
+        return np.zeros(len(values), dtype=bool)
+    pos = np.searchsorted(sorted_arr, values)
+    pos[pos == len(sorted_arr)] = 0
+    return sorted_arr[pos] == values
+
+
 def _input_fingerprint(ds) -> str:
     from iresearch_ray.util import input_fingerprint
 
@@ -139,13 +162,8 @@ class MinHashBatch:
                 "band_hash": pa.array([], type=pa.int64()),
                 "signature": pa.array([], type=pa.binary()),
             })
-        all_shingles: list[str] = []
-        offsets = np.zeros(len(texts) + 1, dtype=np.int64)
-        for i, t in enumerate(texts):
-            sh = shingles(self.analyzer.tokens(t), self.shingle_k)
-            all_shingles.extend(sh)
-            offsets[i + 1] = len(all_shingles)
-        hashes = self.hasher(all_shingles) if all_shingles else np.empty(0, np.uint64)
+        hashes, offsets = _shingle_hashes_per_doc(
+            texts, self.analyzer, self.shingle_k, self.hasher)
         sigs = minhash_signatures(hashes, offsets, self.num_hashes)
         bh = band_hashes(sigs, self.bands)
         # token-less docs have an EMPTY shingle set: Jaccard with anything
@@ -264,9 +282,7 @@ def minhash_lsh_pairs(ds, text_column: str = "text", id_column: str = "doc_id",
             keys = ray.get(hot_ref)
             k = _combined_bucket_key(b["band"].to_numpy(),
                                      b["band_hash"].to_numpy())
-            idx = np.searchsorted(keys, k)
-            idx[idx == len(keys)] = 0
-            return b.filter(pa.array(keys[idx] == k))
+            return b.filter(pa.array(_sorted_member(keys, k)))
 
         cand = sk.map_batches(keep_hot, batch_format="pyarrow").to_pandas()
     finally:
@@ -314,14 +330,8 @@ class ShingleSetBatch:
     def __call__(self, b: pa.Table) -> pa.Table:
         texts = b[self.text_column].to_pylist()
         ids = b[self.id_column].to_numpy(zero_copy_only=False)
-        all_shingles: list[str] = []
-        offsets = np.zeros(len(texts) + 1, dtype=np.int64)
-        for i, t in enumerate(texts):
-            all_shingles.extend(shingles(self.analyzer.tokens(t),
-                                         self.shingle_k))
-            offsets[i + 1] = len(all_shingles)
-        hashes = (self.hasher(all_shingles) if all_shingles
-                  else np.empty(0, np.uint64))
+        hashes, offsets = _shingle_hashes_per_doc(
+            texts, self.analyzer, self.shingle_k, self.hasher)
         keep_ids, ns, blobs = [], [], []
         for i in range(len(texts)):
             arr = np.unique(hashes[offsets[i]:offsets[i + 1]])
@@ -342,10 +352,19 @@ def _jaccard_prefix_len(n: np.ndarray, threshold: float) -> np.ndarray:
     t|A|), and by the prefix lemma (Bayardo et al., "Scaling Up All Pairs
     Similarity Search", WWW'07 — public) the smallest common element then
     falls inside both docs' first p elements under ANY shared total
-    order.  The 1e-9 guard keeps float ceil from OVERestimating t*n
-    (which would shorten the prefix and break completeness)."""
-    return (n - np.ceil(threshold * n - 1e-9).astype(np.int64)
-            + 1).clip(min=1)
+    order.  ceil(t*n) is computed EXACTLY over the rational value of the
+    float threshold (per unique size, Python bigints) — float ceil can
+    overestimate t*n past any absolute epsilon once n is large, which
+    would shorten the prefix and silently drop qualifying pairs."""
+    from fractions import Fraction
+
+    t = Fraction(float(threshold))
+    un = np.unique(n)
+    alphas = np.array(
+        [(t.numerator * int(v) + t.denominator - 1) // t.denominator
+         for v in un], dtype=np.int64)
+    a = alphas[np.searchsorted(un, n)]
+    return (n - a + 1).clip(min=1)
 
 
 def ngram_jaccard_pairs(ds, text_column: str = "text",
@@ -494,9 +513,7 @@ def ngram_jaccard_pairs(ds, text_column: str = "text",
         def keep_colliding(b: pa.Table) -> pa.Table:
             hk = ray.get(hk_ref)
             k = b["key"].to_numpy().astype(np.int64, copy=False)
-            idx = np.searchsorted(hk, k)
-            idx[idx == len(hk)] = 0
-            return b.filter(pa.array(hk[idx] == k))
+            return b.filter(pa.array(_sorted_member(hk, k)))
 
         cand = pfx.map_batches(keep_colliding,
                                batch_format="pyarrow").to_pandas()
@@ -544,8 +561,13 @@ def ngram_jaccard_pairs(ds, text_column: str = "text",
         lo = (packed >> np.uint64(32)).astype(np.int64)
         hi = (packed & np.uint64(0xFFFFFFFF)).astype(np.int64)
         na, nb = ns_by_code[lo], ns_by_code[hi]
-        okm = ((nb * threshold - 1e-9 <= na)
-               & (na * threshold - 1e-9 <= nb))
+        # size PRUNE (J >= t needs t <= |A|/|B| <= 1/t): relative epsilon
+        # keeps float rounding from ever making it over-strict — being
+        # slightly permissive only adds candidates the exact verification
+        # below discards
+        slack = threshold * (1.0 - 1e-12)
+        okm = ((nb * slack - 1e-9 <= na)
+               & (na * slack - 1e-9 <= nb))
         lo, hi = lo[okm], hi[okm]
         if not len(lo):
             return empty_pairs()
@@ -704,20 +726,9 @@ def contamination_check(ds, probe_texts, text_column: str = "text",
         def __call__(self, b: pa.Table) -> pa.Table:
             texts = b[text_column].to_pylist()
             ids = b[id_column].to_numpy(zero_copy_only=False)
-            all_sh: list[str] = []
-            offsets = np.zeros(len(texts) + 1, dtype=np.int64)
-            for i, t in enumerate(texts):
-                all_sh.extend(shingles(self.analyzer.tokens(t), shingle_k))
-                offsets[i + 1] = len(all_sh)
-            hashes = (self.hasher(all_sh) if all_sh
-                      else np.empty(0, np.uint64))
-            ph = ray.get(probe_ref)
-            if len(ph):
-                pos = np.searchsorted(ph, hashes)
-                pos[pos == len(ph)] = 0
-                hit = ph[pos] == hashes
-            else:
-                hit = np.zeros(len(hashes), dtype=bool)
+            hashes, offsets = _shingle_hashes_per_doc(
+                texts, self.analyzer, shingle_k, self.hasher)
+            hit = _sorted_member(ray.get(probe_ref), hashes)
             # distinct-shingle accounting per doc (matches the set
             # semantics of the SQL oracle)
             keep, matched, total = [], [], []

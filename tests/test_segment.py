@@ -328,3 +328,15 @@ def test_norm_feature_hash_helper_depth_and_c_callables():
     h_sqrt = _stable_fn_hash(mk(_np.sqrt))
     assert h_sqrt == _stable_fn_hash(mk(_np.sqrt))
     assert h_sqrt != _stable_fn_hash(mk(_np.log1p))
+    # module-level C functions are fine (__self__ IS the module) ...
+    import math as _math
+    assert (_stable_fn_hash(mk(_math.sqrt))
+            != _stable_fn_hash(mk(_math.log1p)))
+    # ... but bound methods of INSTANCES hide state the name can't see:
+    # re.Pattern.match / dict.get with different state must NOT collide
+    import re as _re
+
+    import pytest as _pytest
+    for bound in (_re.compile("a+").match, {"a": 1}.get):
+        with _pytest.raises(ValueError):
+            _stable_fn_hash(mk(bound))
