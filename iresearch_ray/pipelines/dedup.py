@@ -47,6 +47,38 @@ def _shingle_hashes_per_doc(texts, analyzer, k: int, hasher):
     return hashes, offsets
 
 
+def _csr_intersect_counts(flat: np.ndarray, offs: np.ndarray,
+                          sizes: np.ndarray, lo: np.ndarray,
+                          hi: np.ndarray) -> np.ndarray:
+    """|set(lo_i) ∩ set(hi_i)| per pair over a CSR of sorted uint64 sets.
+
+    Groups pairs by the LEFT doc (callers pass lo-major-sorted pairs, but
+    any clustering works) and runs ONE searchsorted of all partners'
+    concatenated sets against that doc's small cache-hot set, then a
+    reduceat sums per-pair hit counts.  One C call per left doc beats a
+    fully-flattened segmented binary search, whose random gathers into
+    the whole CSR are cache-miss-bound (measured)."""
+    if not len(lo):  # empty Ray batch
+        return np.empty(0, dtype=np.int64)
+    inter = np.empty(len(lo), dtype=np.int64)
+    a_starts = np.flatnonzero(np.r_[True, lo[1:] != lo[:-1]])
+    a_bounds = np.r_[a_starts, len(lo)]
+    for s, e in zip(a_bounds[:-1], a_bounds[1:]):
+        A = flat[offs[lo[s]]:offs[lo[s] + 1]]
+        part = hi[s:e]
+        ln = sizes[part]
+        csum = np.zeros(len(part) + 1, dtype=np.int64)
+        np.cumsum(ln, out=csum[1:])
+        gidx = (np.arange(int(csum[-1]), dtype=np.int64)
+                - np.repeat(csum[:-1], ln) + np.repeat(offs[part], ln))
+        concat = flat[gidx]
+        pos = np.searchsorted(A, concat)
+        pos[pos == len(A)] = 0
+        hit = (A[pos] == concat).astype(np.int64)
+        inter[s:e] = np.add.reduceat(hit, csum[:-1])
+    return inter
+
+
 def _sorted_member(sorted_arr: np.ndarray, values: np.ndarray) -> np.ndarray:
     """Boolean membership of ``values`` in a SORTED array via clamped
     searchsorted — the broadcast-filter idiom used across this module."""
@@ -592,28 +624,32 @@ def ngram_jaccard_pairs(ds, text_column: str = "text",
                             dtype=np.int64, count=len(ids_c))
         offs = np.zeros(len(ids_c) + 1, dtype=np.int64)
         np.cumsum(sizes, out=offs[1:])
-        # per-pair |A ∩ B|: group pairs by the LEFT doc (packed order is
-        # already lo-major) and run ONE searchsorted of all partners'
-        # concatenated sets against that doc's small cache-hot set, then
-        # a reduceat sums per-pair hit counts.  One C call per left doc
-        # beats a fully-flattened segmented binary search, whose random
-        # gathers into the whole CSR are cache-miss-bound (measured).
-        inter = np.empty(len(lo), dtype=np.int64)
-        a_starts = np.flatnonzero(np.r_[True, lo[1:] != lo[:-1]])
-        a_bounds = np.r_[a_starts, len(lo)]
-        for s, e in zip(a_bounds[:-1], a_bounds[1:]):
-            A = flat[offs[lo[s]]:offs[lo[s] + 1]]
-            part = hi[s:e]
-            ln = sizes[part]
-            csum = np.zeros(len(part) + 1, dtype=np.int64)
-            np.cumsum(ln, out=csum[1:])
-            gidx = (np.arange(int(csum[-1]), dtype=np.int64)
-                    - np.repeat(csum[:-1], ln) + np.repeat(offs[part], ln))
-            concat = flat[gidx]
-            pos = np.searchsorted(A, concat)
-            pos[pos == len(A)] = 0
-            hit = (A[pos] == concat).astype(np.int64)
-            inter[s:e] = np.add.reduceat(hit, csum[:-1])
+        # per-pair |A ∩ B| via _csr_intersect_counts: small candidate
+        # sets verify on the driver; large ones fan out as a Ray stage
+        # over pair batches with the CSR shipped ONCE via ray.put (the
+        # verification compute then scales with the cluster instead of
+        # one driver core)
+        if len(lo) <= 200_000:
+            inter = _csr_intersect_counts(flat, offs, sizes, lo, hi)
+        else:
+            csr_ref = ray.put((flat, offs, sizes))
+
+            def verify(b: pa.Table) -> pa.Table:
+                f, of, sz = ray.get(csr_ref)
+                lo_b = b["lo"].to_numpy()
+                hi_b = b["hi"].to_numpy()
+                return pa.table({
+                    "lo": b["lo"], "hi": b["hi"],
+                    "inter": pa.array(_csr_intersect_counts(
+                        f, of, sz, lo_b, hi_b))})
+
+            ver = (ray.data.from_arrow(
+                       pa.table({"lo": pa.array(lo), "hi": pa.array(hi)}))
+                   .map_batches(verify, batch_format="pyarrow")
+                   .to_pandas())
+            lo = ver["lo"].to_numpy()
+            hi = ver["hi"].to_numpy()
+            inter = ver["inter"].to_numpy()
         na, nb = sizes[lo], sizes[hi]
         j = inter / (na + nb - inter)
         keep = j >= threshold

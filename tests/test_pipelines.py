@@ -572,6 +572,24 @@ def test_minhash_checkpoint_resume(ray_session, tmp_path):
     assert set(zip(p1["id_a"], p1["id_b"])) == {(1, 2)}
 
 
+def test_ngram_jaccard_checkpoint_resume(ray_session, tmp_path):
+    """A reused checkpoint_dir must resume the shingle-set sketch pass
+    with identical pairs (same _sketch_checkpoint machinery as minhash,
+    exercised through the Jaccard operator's params)."""
+    rows = [{"doc_id": 1, "text": "alpha beta gamma delta epsilon zeta"},
+            {"doc_id": 2, "text": "alpha beta gamma delta epsilon zeta"},
+            {"doc_id": 3, "text": "other words entirely different here now"}]
+    ckpt = str(tmp_path / "ckpt")
+    p1 = dedup.ngram_jaccard_pairs(ray.data.from_items(rows), threshold=0.8,
+                                   checkpoint_dir=ckpt).to_pandas()
+    assert (tmp_path / "ckpt" / "_sketch_done.json").exists()
+    p2 = dedup.ngram_jaccard_pairs(ray.data.from_items(rows), threshold=0.8,
+                                   checkpoint_dir=ckpt).to_pandas()
+    pd.testing.assert_frame_equal(p1, p2)
+    assert set(zip(p1["id_a"], p1["id_b"])) == {(1, 2)}
+    assert (p1["jaccard"] == 1.0).all()
+
+
 def test_sessionize_salted_equals_unsalted(ray_session):
     """The hot-key-safe (time-bucket salted + stitched) sessionization
     must be row-identical to the single-group path — including sessions
