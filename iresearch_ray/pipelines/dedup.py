@@ -404,7 +404,8 @@ def ngram_jaccard_pairs(ds, text_column: str = "text",
                         shingle_k: int = 3, threshold: float = 0.8,
                         concurrency: int | None = None,
                         checkpoint_dir: str | None = None,
-                        hash: str = "stable", hot_df_min: int = 16):
+                        hash: str = "stable", hot_df_min: int = 16,
+                        distributed_verify_min: int = 200_000):
     """EXACT n-gram (token-shingle set) Jaccard near-duplicate pairs:
     every pair with J(A, B) >= threshold, verified with true set
     intersections — unlike minhash_lsh_pairs there is no estimation, so
@@ -629,7 +630,7 @@ def ngram_jaccard_pairs(ds, text_column: str = "text",
         # over pair batches with the CSR shipped ONCE via ray.put (the
         # verification compute then scales with the cluster instead of
         # one driver core)
-        if len(lo) <= 200_000:
+        if len(lo) <= distributed_verify_min:
             inter = _csr_intersect_counts(flat, offs, sizes, lo, hi)
         else:
             csr_ref = ray.put((flat, offs, sizes))
