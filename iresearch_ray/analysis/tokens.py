@@ -62,14 +62,46 @@ def collation_key(text: str) -> str:
     return "".join(c for c in decomposed if not unicodedata.combining(c))
 
 
+def _icu_collator(locale: str):
+    """A PyICU Collator for ``locale``, or None when PyICU is not
+    importable (reference collation_token_stream.cpp:214-237 uses the
+    same public ICU collation API)."""
+    try:
+        import icu
+    except ImportError:
+        return None
+    return icu.Collator.createInstance(icu.Locale(locale))
+
+
 class CollationAnalyzer(Analyzer):
     """Collation sort key as a single term (reference
-    collation_token_stream; ICU-free stand-in, see module docstring)."""
+    collation_token_stream).  With ``locale=`` and PyICU importable the
+    key is the locale-tailored ICU sort key hex-encoded (two lowercase
+    hex digits per byte preserve the byte order, so range/prefix filters
+    order correctly); otherwise the documented locale-less NFKD stand-in
+    (see module docstring)."""
 
     name = "collation"
 
+    def __init__(self, locale: str | None = None):
+        self.locale = locale
+        self._coll = _icu_collator(locale) if locale else None
+
     def tokens(self, text: str) -> list[str]:
-        return [collation_key(text)] if text is not None else [NULL_TERM]
+        if text is None:
+            return [NULL_TERM]
+        if self._coll is not None:
+            return [bytes(self._coll.getSortKey(text)).hex()]
+        return [collation_key(text)]
+
+    def config(self) -> dict:
+        cfg = {"name": self.name}
+        if self.locale is not None:
+            # locale changes the key space -> part of segment lineage; so
+            # does whether PyICU was actually present at build time
+            cfg["locale"] = self.locale
+            cfg["icu"] = self._coll is not None
+        return cfg
 
 
 register_analyzer("keyword", lambda **o: KeywordAnalyzer(**o))

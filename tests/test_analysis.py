@@ -120,6 +120,41 @@ def test_keyword_boolean_null_collation():
     assert co.tokens("Héllo") == ["hello"]
     # collation keys are byte-comparable: accent-insensitive order
     assert co.tokens("café")[0] < co.tokens("Caff")[0]
+    # locale requested without PyICU (this container): documented NFKD
+    # fallback, and the lineage config records the absence
+    loc = get_analyzer("collation", locale="de")
+    assert loc.tokens("Héllo") == ["hello"]
+    assert loc.config() == {"name": "collation", "locale": "de",
+                            "icu": False}
+    assert co.config() == {"name": "collation"}
+
+
+def test_collation_pyicu_plumbing(monkeypatch):
+    """With a (fake) PyICU importable and locale=, the collation term is
+    the ICU sort key hex-encoded — two lowercase hex digits per byte
+    keep byte order, so range/prefix filters sort identically to the
+    raw key."""
+    import sys
+
+    import iresearch_ray.analysis.tokens as TK
+
+    class FakeCollator:
+        def getSortKey(self, text):
+            return text.encode("utf-8")[::-1]  # distinctive, not NFKD
+
+    fake = type(sys)("icu")
+    fake.Collator = type("C", (), {
+        "createInstance": staticmethod(lambda loc: FakeCollator())})
+    fake.Locale = lambda loc: loc
+    monkeypatch.setitem(sys.modules, "icu", fake)
+
+    co = TK.CollationAnalyzer(locale="sv")
+    assert co.tokens("ab") == [b"ba".hex()]
+    assert co.config() == {"name": "collation", "locale": "sv",
+                           "icu": True}
+    # hex encoding preserves byte order
+    a, b = bytes([0x01, 0xFF]), bytes([0x02, 0x00])
+    assert (a.hex() < b.hex()) == (a < b)
 
 
 def test_minhash_registered_and_stable():
