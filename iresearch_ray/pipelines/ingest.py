@@ -40,7 +40,9 @@ def ingest(ds, work_dir: str, *, analyzer: str = "ascii",
     (signature Jaccard >= ``near_dup_threshold``), keeping each duplicate
     component's min-id member: the candidate-pair set is output-sized, so
     the union-find and the broadcast drop-set stay small at any corpus
-    size."""
+    size.  ``near_dup='jaccard'`` does the same with EXACT shingle-set
+    Jaccard (prefix-filtered candidates + true intersections,
+    ngram_jaccard_pairs) — deterministic, estimation-free drops."""
     import ray
     import ray.data
 
@@ -48,9 +50,10 @@ def ingest(ds, work_dir: str, *, analyzer: str = "ascii",
         dedup_drop_set,
         exact_dedup_groups,
         minhash_lsh_pairs,
+        ngram_jaccard_pairs,
     )
 
-    if near_dup not in (None, "minhash"):
+    if near_dup not in (None, "minhash", "jaccard"):
         raise ValueError(f"unknown near_dup method {near_dup!r}")
     staged = os.path.join(work_dir, "staged")
     index_dir = os.path.join(work_dir, "index")
@@ -111,9 +114,11 @@ def ingest(ds, work_dir: str, *, analyzer: str = "ascii",
                 # extra corpus passes just to count
                 n_dropped = sum(g["dup_count"] - 1 for g in dup_groups)
         n_near_dropped = 0
-        if near_dup == "minhash":
-            pairs = minhash_lsh_pairs(extracted, id_column=key_column,
-                                      threshold=near_dup_threshold).to_pandas()
+        if near_dup is not None:
+            finder = (minhash_lsh_pairs if near_dup == "minhash"
+                      else ngram_jaccard_pairs)
+            pairs = finder(extracted, id_column=key_column,
+                           threshold=near_dup_threshold).to_pandas()
             drop = dedup_drop_set(pairs)
             n_near_dropped = len(drop)
             if drop:

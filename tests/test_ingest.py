@@ -112,3 +112,17 @@ def test_ingest_near_dup_minhash(ray_session, tmp_path_factory):
     with pytest.raises(ValueError):
         ingest(ray.data.read_parquet(pages), str(base / "w2"),
                near_dup="bogus")
+
+    # exact-Jaccard near-dup drops the same planted component — no
+    # estimation, so the threshold behaves deterministically
+    work2 = str(base / "work_jac")
+    man2 = ingest(ray.data.read_parquet(pages), work2, analyzer="ascii",
+                  target_docs=100, near_dup="jaccard",
+                  near_dup_threshold=0.8, store_columns=("text",))
+    assert man2["ingest_counters"]["near_duplicates_dropped"] == 2
+    assert man2["num_docs"] == 38
+    r2 = IndexReader(f"{work2}/index")
+    keys2 = set()
+    for sv in r2.segments:
+        keys2.update(sv.reader.keys.tolist())
+    assert "u003" in keys2 and "u005" not in keys2 and "u017" not in keys2
