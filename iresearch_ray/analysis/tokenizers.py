@@ -337,9 +337,16 @@ def analyzer_from_config(cfg: dict) -> Analyzer:
     cfg = dict(cfg or {})
     name = cfg.get("name", "unicode")
     if name.startswith("regex-"):
-        return RegexTokenizer(kind=cfg.get("kind", name.split("-", 1)[1]),
-                              lowercase=bool(cfg.get("lowercase", True)),
-                              locale=cfg.get("locale", "en"))
+        tok = RegexTokenizer(kind=cfg.get("kind", name.split("-", 1)[1]),
+                             lowercase=bool(cfg.get("lowercase", True)),
+                             locale=cfg.get("locale", "en"))
+        if cfg.get("icu") and tok._brk is None:
+            # the index was built with PyICU word breaks; the regex
+            # fallback segments differently -> silent zero hits
+            raise RuntimeError(
+                "index analyzed with PyICU word breaks but PyICU is not "
+                "importable here — install PyICU or rebuild the index")
+        return tok
     if name == "delimiter":
         return DelimiterAnalyzer(cfg.get("delimiter", ","))
     if name == "ngram":
@@ -379,7 +386,17 @@ def analyzer_from_config(cfg: dict) -> Analyzer:
             lowercase=bool(cfg.get("lowercase", True)))
     if name == "numeric" and "step" in cfg:
         return get_analyzer("numeric", step=int(cfg["step"]))
-    # option-free analyzers: stem, keyword, boolean, null, collation, ...
+    if name == "collation" and cfg.get("locale") is not None:
+        # locale selects the ICU-tailored key space; dropping it here
+        # would rebuild the NFKD fallback and query hex sort-key terms
+        # with plain strings (zero hits)
+        ana = get_analyzer("collation", locale=cfg["locale"])
+        if cfg.get("icu") and ana._coll is None:
+            raise RuntimeError(
+                "index built with PyICU collation keys but PyICU is not "
+                "importable here — install PyICU or rebuild the index")
+        return ana
+    # option-free analyzers: stem, keyword, boolean, null, ...
     return get_analyzer(name)
 
 

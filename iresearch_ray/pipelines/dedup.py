@@ -644,8 +644,15 @@ def ngram_jaccard_pairs(ds, text_column: str = "text",
                     "inter": pa.array(_csr_intersect_counts(
                         f, of, sz, lo_b, hi_b))})
 
+            # from_arrow(one_table) is ONE block = one task; slice into
+            # real blocks so verification actually fans out (slices keep
+            # the lo-major order, so per-block grouping stays effective)
+            tbl = pa.table({"lo": pa.array(lo), "hi": pa.array(hi)})
+            n_blocks = int(min(256, max(8, len(lo) // 100_000)))
+            step = -(-len(lo) // n_blocks)
             ver = (ray.data.from_arrow(
-                       pa.table({"lo": pa.array(lo), "hi": pa.array(hi)}))
+                       [tbl.slice(i, step)
+                        for i in range(0, len(lo), step)])
                    .map_batches(verify, batch_format="pyarrow")
                    .to_pandas())
             lo = ver["lo"].to_numpy()

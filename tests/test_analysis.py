@@ -129,6 +129,27 @@ def test_keyword_boolean_null_collation():
     assert co.config() == {"name": "collation"}
 
 
+def test_collation_config_roundtrip_and_icu_guards():
+    """Query-side reconstruction keeps the collation locale (dropping it
+    would query hex ICU sort-key terms with NFKD strings — zero hits),
+    and a recorded icu=True with PyICU absent raises loudly instead of
+    silently diverging; same guard for the icu word-break tier."""
+    from iresearch_ray.analysis.tokenizers import analyzer_from_config
+
+    ana = analyzer_from_config({"name": "collation", "locale": "de",
+                                "icu": False})
+    assert ana.locale == "de"
+    assert ana.tokens("Héllo") == ["hello"]  # fallback in this container
+    assert analyzer_from_config({"name": "collation"}).locale is None
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="PyICU"):
+        analyzer_from_config({"name": "collation", "locale": "de",
+                              "icu": True})
+    with _pytest.raises(RuntimeError, match="PyICU"):
+        analyzer_from_config({"name": "regex-icu", "kind": "icu",
+                              "locale": "ja", "icu": True})
+
+
 def test_collation_pyicu_plumbing(monkeypatch):
     """With a (fake) PyICU importable and locale=, the collation term is
     the ICU sort key hex-encoded — two lowercase hex digits per byte
