@@ -42,11 +42,25 @@ def _ray_init() -> bool:
 
 
 def cmd_build(a) -> dict:
+    import os
+
     from iresearch_ray.index.build import build_index
     from iresearch_ray.index.merge import consolidate
 
     t0 = time.monotonic()
-    man = build_index(a.input, a.index_dir, analyzer=a.analyzer,
+    inputs = a.input
+    if getattr(a, "input_format", "parquet") == "lines":
+        # reference index-put corpus format: stage the TSV lines to
+        # Parquet once (segment specs derive from Parquet footers, which
+        # is what makes the build resumable), reuse the staging on
+        # re-submit — same contract as pipelines/ingest.py staging
+        from iresearch_ray.sources.lines import read_benchmark_lines
+
+        staged = a.index_dir.rstrip("/") + "_staged"
+        if not (os.path.isdir(staged) and os.listdir(staged)):
+            read_benchmark_lines(a.input).write_parquet(staged)
+        inputs = staged
+    man = build_index(inputs, a.index_dir, analyzer=a.analyzer,
                       analyzer_opts=json.loads(a.analyzer_opts),
                       text_column=a.text_column, key_column=a.key_column,
                       target_docs=a.target_docs,
@@ -114,6 +128,10 @@ def main(argv=None) -> int:
 
     b = sub.add_parser("build")
     b.add_argument("--input", required=True, nargs="+")
+    b.add_argument("--input-format", choices=("parquet", "lines"),
+                   default="parquet",
+                   help="'lines' = reference enwiki line files "
+                        "(title\\tdate\\tbody), staged to Parquet once")
     b.add_argument("--index-dir", required=True)
     b.add_argument("--analyzer", default="segmentation")
     b.add_argument("--analyzer-opts", default="{}")

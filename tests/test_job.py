@@ -64,3 +64,29 @@ def test_job_query_uses_recorded_analyzer_options(ray_session, tmp_path, capsys)
     # case-sensitive index: "Alpha" must hit u1 only (a name-only analyzer
     # rebuild would lowercase the query word and hit u2 instead)
     assert [h["key"] for h in q["hits"]] == ["u1"]
+
+
+def test_job_build_from_lines_format(ray_session, tmp_path, capsys):
+    """--input-format lines stages the reference enwiki-lines TSV to
+    Parquet once and builds a queryable index from it; a resubmit reuses
+    both the staging and the segments."""
+    lines = tmp_path / "corpus.txt"
+    rows = [f"Doc {i}\t01-Apr-2012 00:00:00.000\tshared needle body {i}"
+            for i in range(30)]
+    lines.write_text("\n".join(rows) + "\n", encoding="utf-8")
+    idx = str(tmp_path / "idx")
+    args = ["build", "--input", str(lines), "--input-format", "lines",
+            "--index-dir", idx, "--target-docs", "20",
+            "--analyzer", "ascii"]
+    assert main(args) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["num_docs"] == 30
+
+    assert main(args) == 0  # resubmit: staged parquet + segments reused
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["build_stats"]["segments_skipped"] == out2["segments"]
+
+    assert main(["query", "--index-dir", idx, "--term", "needle",
+                 "--k", "5"]) == 0
+    q = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(q["hits"]) == 5
