@@ -139,6 +139,28 @@ def test_ngram_jaccard_distributed_verify_matches_driver(ray_session):
     assert ((a["id_a"] == 0) & (a["id_b"] == 100)).any()
 
 
+def test_ngram_jaccard_output_is_hash_independent(ray_session):
+    """The hash family only sets the candidate ORDER (any shared total
+    order is complete by the prefix lemma) — switching stable->md5 must
+    not change a single pair or jaccard value."""
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(20)]
+    rows = [{"doc_id": i,
+             "text": " ".join(rng.choice(vocab, size=rng.integers(6, 12)))}
+            for i in range(30)]
+    rows += [{"doc_id": 50, "text": rows[2]["text"]},
+             {"doc_id": 51, "text": rows[2]["text"] + " coda"}]
+    a = dedup.ngram_jaccard_pairs(ray.data.from_items(rows), threshold=0.5,
+                                  hot_df_min=2, hash="stable").to_pandas()
+    b = dedup.ngram_jaccard_pairs(ray.data.from_items(rows), threshold=0.5,
+                                  hot_df_min=2, hash="md5").to_pandas()
+    key = ["id_a", "id_b"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True))
+    assert ((a["id_a"] == 2) & (a["id_b"] == 50)).any()
+
+
 def test_ngram_jaccard_tokenless_and_empty(ray_session):
     """Zero-shingle docs never pair; a corpus with no qualifying pairs
     returns an EMPTY typed frame (id dtype follows the input)."""
