@@ -42,8 +42,6 @@ def _ray_init() -> bool:
 
 
 def cmd_build(a) -> dict:
-    import os
-
     from iresearch_ray.index.build import build_index
     from iresearch_ray.index.merge import consolidate
 
@@ -52,13 +50,16 @@ def cmd_build(a) -> dict:
     if getattr(a, "input_format", "parquet") == "lines":
         # reference index-put corpus format: stage the TSV lines to
         # Parquet once (segment specs derive from Parquet footers, which
-        # is what makes the build resumable), reuse the staging on
-        # re-submit — same contract as pipelines/ingest.py staging
+        # is what makes the build resumable).  stage_parquet_atomic
+        # rebuilds rather than reuse a half-written dir (tmp + rename)
+        # or one staged from DIFFERENT --input files (params marker).
         from iresearch_ray.sources.lines import read_benchmark_lines
+        from iresearch_ray.util import stage_parquet_atomic
 
         staged = a.index_dir.rstrip("/") + "_staged"
-        if not (os.path.isdir(staged) and os.listdir(staged)):
-            read_benchmark_lines(a.input).write_parquet(staged)
+        stage_parquet_atomic(
+            lambda: read_benchmark_lines(a.input), staged,
+            params={"format": "lines", "input": sorted(a.input)})
         inputs = staged
     man = build_index(inputs, a.index_dir, analyzer=a.analyzer,
                       analyzer_opts=json.loads(a.analyzer_opts),

@@ -20,8 +20,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
-
 import numpy as np
 import pyarrow as pa
 
@@ -53,14 +51,20 @@ def ingest(ds, work_dir: str, *, analyzer: str = "ascii",
         ngram_jaccard_pairs,
     )
 
+    from iresearch_ray.util import input_fingerprint, stage_parquet_atomic
+
     if near_dup not in (None, "minhash", "jaccard"):
         raise ValueError(f"unknown near_dup method {near_dup!r}")
     staged = os.path.join(work_dir, "staged")
     index_dir = os.path.join(work_dir, "index")
     counters_path = os.path.join(work_dir, "ingest.json")
-    n_dropped = 0
+    staging_params = {"dedup": bool(dedup), "near_dup": near_dup,
+                      "near_dup_threshold": float(near_dup_threshold),
+                      "key_column": key_column,
+                      "input": input_fingerprint(ds)}
+    counters = {"n_dropped": 0, "n_near_dropped": 0}
 
-    if not os.path.isdir(staged) or not os.listdir(staged):
+    def _extract_and_dedup():
         import pyarrow.compute as pc
 
         extracted = ds.map_batches(extract_text_batch, batch_format="pyarrow")
@@ -112,15 +116,15 @@ def ingest(ds, work_dir: str, *, analyzer: str = "ascii",
                                                   batch_format="pyarrow")
                 # the counter derives from data already on the driver — no
                 # extra corpus passes just to count
-                n_dropped = sum(g["dup_count"] - 1 for g in dup_groups)
-        n_near_dropped = 0
+                counters["n_dropped"] = sum(
+                    g["dup_count"] - 1 for g in dup_groups)
         if near_dup is not None:
             finder = (minhash_lsh_pairs if near_dup == "minhash"
                       else ngram_jaccard_pairs)
             pairs = finder(extracted, id_column=key_column,
                            threshold=near_dup_threshold).to_pandas()
             drop = dedup_drop_set(pairs)
-            n_near_dropped = len(drop)
+            counters["n_near_dropped"] = len(drop)
             if drop:
                 drop_arr = np.sort(np.asarray(list(drop)))
                 drop_ref = ray.put(drop_arr)
@@ -136,28 +140,30 @@ def ingest(ds, work_dir: str, *, analyzer: str = "ascii",
 
                 extracted = extracted.map_batches(drop_near,
                                                   batch_format="pyarrow")
-        tmp = staged + ".tmp"
-        # a crashed prior attempt may have left files here; write_parquet
-        # APPENDS new UUID-named files, which would double every doc
-        shutil.rmtree(tmp, ignore_errors=True)
-        extracted.write_parquet(tmp)
-        os.replace(tmp, staged)
+        return extracted
+
+    # atomic tmp+rename staging with a params marker: a half-written dir
+    # is never reused (write_parquet APPENDS UUID files — reusing one
+    # would double docs) and a resubmit with different inputs/knobs
+    # rebuilds instead of silently serving stale data
+    ran = stage_parquet_atomic(_extract_and_dedup, staged, staging_params)
+    if ran:
         with open(counters_path, "w") as f:
-            json.dump({"duplicates_dropped": int(n_dropped),
-                       "near_duplicates_dropped": int(n_near_dropped)}, f)
+            json.dump({"duplicates_dropped": int(counters["n_dropped"]),
+                       "near_duplicates_dropped":
+                           int(counters["n_near_dropped"])}, f)
     elif os.path.exists(counters_path):
         with open(counters_path) as f:  # resumed run: report prior counters
             c = json.load(f)
-        n_dropped = c.get("duplicates_dropped", 0)
-        n_near_dropped = c.get("near_duplicates_dropped", 0)
-    else:
-        n_near_dropped = 0
+        counters["n_dropped"] = c.get("duplicates_dropped", 0)
+        counters["n_near_dropped"] = c.get("near_duplicates_dropped", 0)
 
     man = build_index(staged, index_dir, analyzer=analyzer,
                       analyzer_opts=analyzer_opts, key_column=key_column,
                       target_docs=target_docs,
                       store_columns=tuple(store_columns), **build_kw)
-    man["ingest_counters"] = {"duplicates_dropped": int(n_dropped),
-                              "near_duplicates_dropped": int(n_near_dropped),
-                              "staged_dir": staged}
+    man["ingest_counters"] = {
+        "duplicates_dropped": int(counters["n_dropped"]),
+        "near_duplicates_dropped": int(counters["n_near_dropped"]),
+        "staged_dir": staged}
     return man

@@ -8,10 +8,12 @@ that into the (url, warc_ts, text) shape the rest of this repo uses, so a
 reference user can point ``build_index`` / ``ingest`` at their existing
 line files unchanged.
 
-Scale shape: ``ray.data.read_csv`` splits across files (and byte ranges
-within large files), so a directory of line files streams exactly like
-the Parquet path; the field mapping is a zero-copy per-batch rename plus
-one vectorized timestamp parse.
+Scale shape: ``ray.data.read_csv`` parallelizes ACROSS files but reads
+each file as one task (Ray's CSV datasource does not byte-range-split a
+single file the way Parquet row groups do) — split a multi-GB corpus
+into many line files before ingesting, as the published benchmark
+chunks already are; the field mapping is a per-batch rename plus one
+vectorized timestamp parse.
 """
 
 from __future__ import annotations
@@ -19,7 +21,8 @@ from __future__ import annotations
 import pyarrow as pa
 
 
-def read_benchmark_lines(paths, date_format: str = "%d-%b-%Y %H:%M:%S"):
+def read_benchmark_lines(paths, date_format: str = "%d-%b-%Y %H:%M:%S",
+                         on_malformed: str = "skip"):
     """Dataset(url, warc_ts, text) from reference benchmark line files.
 
     ``title`` becomes the document key (``url`` column), ``body`` is
@@ -27,12 +30,20 @@ def read_benchmark_lines(paths, date_format: str = "%d-%b-%Y %H:%M:%S"):
     invariant — no re-encoding, no stripping), and ``date`` parses with
     ``date_format`` (Lucene line-doc style ``01-Apr-2012 00:00:00.000``
     by default); unparseable dates become null rather than failing the
-    read.  Rows with the wrong field count are skipped, matching the
-    reference reader's skip-and-continue behavior on malformed lines.
+    read.
+
+    ``on_malformed``: ``'skip'`` drops rows with the wrong field count
+    (the reference reader's skip-and-continue behavior — note the loss
+    is SILENT per row: compare the built index's num_docs against your
+    expected corpus size, or use ``'error'`` to fail loudly on e.g. a
+    systematic literal-tab-in-body problem).
     """
     import pyarrow.compute as pc
     import ray.data
     from pyarrow import csv as pacsv
+
+    if on_malformed not in ("skip", "error"):
+        raise ValueError("on_malformed must be 'skip' or 'error'")
 
     def to_pages(b: pa.Table) -> pa.Table:
         # Arrow strptime has no %f: drop the line-doc ".000" millis
@@ -50,7 +61,8 @@ def read_benchmark_lines(paths, date_format: str = "%d-%b-%Y %H:%M:%S"):
             column_names=["title", "date", "body"]),
         parse_options=pacsv.ParseOptions(
             delimiter="\t", quote_char=False,
-            invalid_row_handler=lambda row: "skip"),
+            invalid_row_handler=(
+                (lambda row: "skip") if on_malformed == "skip" else None)),
         convert_options=pacsv.ConvertOptions(column_types={
             "title": pa.string(), "date": pa.string(),
             "body": pa.string()}),

@@ -71,3 +71,50 @@ class StatelessBatchFn:
         if self._impl is None:
             self._impl = self.cls(**self.kwargs)
         return self._impl(batch)
+
+
+def stage_parquet_atomic(ds, staged: str, params: dict | None = None) -> bool:
+    """Write ``ds`` to ``staged`` as Parquet ATOMICALLY and resumably.
+
+    tmp-dir + ``os.replace``: the final directory only ever exists
+    COMPLETE — a crashed attempt leaves only the tmp, which the next
+    call clears (``write_parquet`` appends UUID-named files, so reusing
+    a partial dir would double documents).  ``params`` (e.g. input list,
+    dedup config) are recorded in ``_staged_meta.json`` INSIDE the dir
+    (readers glob ``*.parquet``, so the marker is inert): an existing
+    complete staging is reused only when its recorded params match; a
+    mismatch — resubmitting with different inputs or knobs — rebuilds
+    instead of silently serving stale data.  A complete dir WITHOUT a
+    marker predates this contract and is reused as-is.
+
+    ``ds`` may be a Dataset or a zero-arg factory returning one — the
+    factory is only called when staging actually runs, so callers can
+    defer expensive upstream work (dedup passes, drop-set collection)
+    behind the reuse decision.
+
+    Returns True if staging ran, False if an existing staging was reused.
+    """
+    import json
+    import os
+    import shutil
+
+    params = params or {}
+    meta_path = os.path.join(staged, "_staged_meta.json")
+    if os.path.isdir(staged) and os.listdir(staged):
+        recorded = None
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                recorded = json.load(f)
+        if recorded is None or recorded == params:
+            return False
+        shutil.rmtree(staged)  # ours (markered) but stale params
+    tmp = staged + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    if callable(ds):
+        ds = ds()
+    ds.write_parquet(tmp)
+    with open(os.path.join(tmp, "_staged_meta.json"), "w") as f:
+        json.dump(params, f)
+    os.makedirs(os.path.dirname(os.path.abspath(staged)), exist_ok=True)
+    os.replace(tmp, staged)
+    return True

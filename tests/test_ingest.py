@@ -126,3 +126,61 @@ def test_ingest_near_dup_minhash(ray_session, tmp_path_factory):
     for sv in r2.segments:
         keys2.update(sv.reader.keys.tolist())
     assert "u003" in keys2 and "u005" not in keys2 and "u017" not in keys2
+
+
+def test_stage_parquet_atomic_contract(ray_session, tmp_path):
+    """Atomic staging: reuse on matching params, rebuild on mismatch, and
+    a half-written attempt (tmp left behind, no final dir) never serves
+    partial data."""
+    import os
+    import shutil
+
+    import ray.data
+
+    from iresearch_ray.util import stage_parquet_atomic
+
+    staged = str(tmp_path / "st")
+    assert stage_parquet_atomic(lambda: ray.data.range(10), staged,
+                                {"v": 1}) is True
+    assert ray.data.read_parquet(staged).count() == 10
+    calls = {"n": 0}
+
+    def factory():
+        calls["n"] += 1
+        return ray.data.range(10)
+
+    assert stage_parquet_atomic(factory, staged, {"v": 1}) is False
+    assert calls["n"] == 0  # factory never invoked on reuse
+    # params mismatch -> rebuild with the new dataset
+    assert stage_parquet_atomic(lambda: ray.data.range(5), staged,
+                                {"v": 2}) is True
+    assert ray.data.read_parquet(staged).count() == 5
+    # simulate a crash mid-staging: only the tmp dir exists
+    shutil.rmtree(staged)
+    os.makedirs(staged + ".tmp")
+    with open(os.path.join(staged + ".tmp", "junk.parquet"), "wb"):
+        pass
+    assert stage_parquet_atomic(lambda: ray.data.range(3), staged,
+                                {"v": 3}) is True
+    assert ray.data.read_parquet(staged).count() == 3
+
+
+def test_ingest_restages_on_changed_params(ray_session, tmp_path):
+    """A resubmit with different dedup knobs must NOT silently reuse the
+    old staging (round-3 review finding on the pre-marker contract)."""
+    import pyarrow as pa
+
+    body = "same text every doc for exact dup drops"
+    rows = [{"url": f"u{i}", "html": f"<html><body>{body} {i%3}</body></html>",
+             "warc_ts": 1700000000000000 + i, "lang": "en",
+             "text": f"{body} {i%3}"} for i in range(12)]
+    pages = str(tmp_path / "pages.parquet")
+    pa.parquet.write_table(pa.Table.from_pylist(rows), pages)
+    work = str(tmp_path / "work")
+    man1 = ingest(ray.data.read_parquet(pages), work, analyzer="ascii",
+                  dedup=False, target_docs=50)
+    assert man1["num_docs"] == 12
+    # same work_dir, dedup ON: staging rebuilds, duplicates drop
+    man2 = ingest(ray.data.read_parquet(pages), work, analyzer="ascii",
+                  dedup=True, target_docs=50)
+    assert man2["ingest_counters"]["duplicates_dropped"] == 9

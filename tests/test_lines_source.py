@@ -51,3 +51,13 @@ def test_lines_reader_end_to_end_index(ray_session, line_file, tmp_path):
     searcher = IndexSearcher(IndexReader(idx))
     hits = searcher.search(TermFilter("quick"), k=10)
     assert set(hits["key"]) == {"Article One", "Article Two"}
+
+
+def test_lines_reader_strict_mode_raises(ray_session, line_file):
+    """on_malformed='error' fails loudly on a wrong-field-count row
+    instead of silently shrinking the corpus; bogus values are rejected."""
+    path, _, _ = line_file
+    with pytest.raises(Exception):
+        read_benchmark_lines(path, on_malformed="error").to_pandas()
+    with pytest.raises(ValueError, match="on_malformed"):
+        read_benchmark_lines(path, on_malformed="bogus")
