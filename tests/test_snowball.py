@@ -222,3 +222,12 @@ def test_text_analyzer_locale_fr():
     rebuilt = analyzer_from_config(ana.config())
     assert rebuilt.tokens("complètement heureusement") == \
         ["complet", "heureux"]
+
+
+def test_text_analyzer_locale_es():
+    ana = TextAnalyzer(locale="es", stopwords=["los"])
+    assert ana.tokens("Los amigos cantando canciones rápidamente") == \
+        ["amig", "cant", "cancion", "rapid"]
+    # config round-trips through analyzer_from_config (query-side parity)
+    back = analyzer_from_config(ana.config())
+    assert back.tokens("canciones") == ["cancion"]
