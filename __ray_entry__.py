@@ -34,6 +34,21 @@ _TOK = ("list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
         "x -> x <> '')")
 _TOK_CTE = f"WITH tok AS (SELECT doc_id, {_TOK} AS ts FROM documents)"
 
+# per-doc DISTINCT unsampled rolling span hashes (k=5 token windows), the
+# exact SQL mirror of dedup._SpanHashBatch with hash='md5'
+_SPAN_WH_CTE = f"""{_TOK_CTE},
+hs AS (SELECT doc_id,
+              list_transform(ts, w -> md5_number_lower(w)::HUGEINT) AS hv,
+              len(ts) AS n
+       FROM tok WHERE len(ts) > 0),
+win AS (SELECT doc_id, hv, least(n, 5) AS kk,
+               unnest(range(n - least(n, 5) + 1)) AS i FROM hs),
+wh AS (SELECT DISTINCT doc_id,
+              list_reduce(hv[i+1:i+kk],
+                          (a, b) -> (a * 1099511628211 + b)
+                                    % 18446744073709551616::HUGEINT) AS h
+       FROM win)"""
+
 
 # --------------------------------------------------------------------------
 # index plumbing
@@ -685,6 +700,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ray_docs(sf_dir, ["doc_id", "text"]), hash="md5").to_pandas()
         return out.sort_values(["doc_id", "fingerprint"]).reset_index(drop=True)
 
+    def duplicated_spans_q(sf_dir):
+        # md5 token hashes -> the rolling span hash is SQL-reproducible
+        out = dedup.duplicated_spans(ray_docs(sf_dir, ["doc_id", "text"]),
+                                     hash="md5").to_pandas()
+        return out.sort_values("span_hash").reset_index(drop=True)
+
+    def duplicated_span_stats_q(sf_dir):
+        out = dedup.duplicated_span_stats(
+            ray_docs(sf_dir, ["doc_id", "text"]), hash="md5").to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    def top_bigrams_q(sf_dir):
+        return textstats.top_bigrams(
+            ray_docs(sf_dir, ["doc_id", "text"]), k_top=20).to_pandas()
+
+    def repetition_stats_q(sf_dir):
+        out = textstats.repetition_stats(
+            ray_docs(sf_dir, ["doc_id", "text"])).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
     def ann_cosine(sf_dir):
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
@@ -792,6 +827,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination": contamination,
         "simhash_groups": simhash_q,
         "doc_fingerprints": fingerprints_q,
+        "duplicated_spans": duplicated_spans_q,
+        "duplicated_span_stats": duplicated_span_stats_q,
+        "top_bigrams": top_bigrams_q,
+        "repetition_stats": repetition_stats_q,
         # --- similarity search ---
         "ann_cosine": ann_cosine,
         "ann_lsh": ann_lsh,                        # rows-only (approximate)
@@ -1136,6 +1175,60 @@ SELECT DISTINCT doc_id,
                  THEN 18446744073709551616::HUGEINT ELSE 0 END)::BIGINT
          AS fingerprint
 FROM pick
+""",
+        # duplicated_spans / duplicated_span_stats: the UNSAMPLED rolling
+        # span-hash family (FNV fold over md5_number_lower token hashes,
+        # identical to doc_fingerprints minus the 0-mod-8 sampling) is
+        # fully SQL-reproducible -> exact oracles for the substring-dedup
+        # surface
+        "duplicated_spans": f"""
+{_SPAN_WH_CTE}
+SELECT (h - CASE WHEN h >= 9223372036854775808::HUGEINT
+              THEN 18446744073709551616::HUGEINT ELSE 0 END)::BIGINT
+         AS span_hash,
+       count(*)::BIGINT AS n_docs, min(doc_id)::BIGINT AS keep_id
+FROM wh GROUP BY h HAVING count(*) >= 2
+ORDER BY span_hash
+""",
+        "duplicated_span_stats": f"""
+{_SPAN_WH_CTE},
+dup AS (SELECT h FROM wh GROUP BY h HAVING count(*) >= 2)
+SELECT doc_id, count(*)::BIGINT AS n_spans,
+       sum(CASE WHEN h IN (SELECT h FROM dup) THEN 1 ELSE 0 END)::BIGINT
+         AS n_dup_spans,
+       sum(CASE WHEN h IN (SELECT h FROM dup) THEN 1 ELSE 0 END)
+         / CAST(count(*) AS DOUBLE) AS dup_frac
+FROM wh GROUP BY doc_id ORDER BY doc_id
+""",
+        "top_bigrams": f"""
+{_TOK_CTE},
+bg AS (SELECT unnest(list_transform(range(1, len(ts)),
+                                    i -> ts[i] || ' ' || ts[i+1])) AS bigram
+       FROM tok WHERE len(ts) >= 2)
+SELECT bigram, count(*)::BIGINT AS n FROM bg GROUP BY bigram
+ORDER BY n DESC, bigram LIMIT 20
+""",
+        # repetition_stats fractions are raw IEEE double divisions of the
+        # same integer counts on both sides -> bit-equal without rounding
+        "repetition_stats": f"""
+{_TOK_CTE},
+base AS (SELECT doc_id, ts, len(ts) AS n FROM tok WHERE len(ts) > 0),
+t1 AS (SELECT doc_id, t, count(*) AS c
+       FROM (SELECT doc_id, unnest(ts) AS t FROM base) GROUP BY doc_id, t),
+tagg AS (SELECT doc_id, count(*) AS distinct_t, max(c) AS top_t
+         FROM t1 GROUP BY doc_id),
+bg AS (SELECT doc_id, unnest(list_transform(range(1, n),
+                             i -> ts[i] || ' ' || ts[i+1])) AS bgr
+       FROM base WHERE n >= 2),
+b1 AS (SELECT doc_id, bgr, count(*) AS c FROM bg GROUP BY doc_id, bgr),
+bagg AS (SELECT doc_id, max(c) AS top_b FROM b1 GROUP BY doc_id)
+SELECT base.doc_id, n::BIGINT AS n_tokens,
+       distinct_t / CAST(n AS DOUBLE) AS distinct_ratio,
+       top_t / CAST(n AS DOUBLE) AS top_token_frac,
+       coalesce(top_b, 0) / CAST(greatest(n - 1, 1) AS DOUBLE)
+         AS top_bigram_frac
+FROM base JOIN tagg USING (doc_id) LEFT JOIN bagg USING (doc_id)
+ORDER BY doc_id
 """,
         # MinHash-LSH: md5 shingle hashes (md5_number_lower) + the 64
         # affine params INLINED from the engine's seeded generator make

@@ -1047,3 +1047,141 @@ def embedding_neardup_pairs(ds, threshold: float = 0.9,
     if len(pairs):
         pairs = pairs.groupby(["id_a", "id_b"], as_index=False)["cosine"].max()
     return ray.data.from_pandas(pairs)
+
+
+class _SpanHashBatch:
+    """Per-doc DISTINCT k-token rolling span hashes -> (id, span_hash) rows.
+
+    The same Rabin-Karp window family as ``rolling_doc_fingerprints`` but
+    UNSAMPLED (sample_mod=1): every window of every doc is kept, so span
+    equality is exact k-gram equality (up to the 64-bit hash).  Only
+    (hash, id) rows ever leave the node — never document text."""
+
+    def __init__(self, text_column, id_column, analyzer, k, hash):
+        from iresearch_ray.analysis import get_analyzer as _ga
+
+        self.text_column = text_column
+        self.id_column = id_column
+        self.analyzer = _ga(analyzer)
+        self.k = k
+        self.hasher = _term_hasher(hash)
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        from iresearch_ray.analysis.minhash import rolling_fingerprints
+        from iresearch_ray.pipelines.textstats import _coded_tokens
+
+        codes, dict_np, _, doc_len = _coded_tokens(
+            self.analyzer, b[self.text_column])
+        offs = np.zeros(len(doc_len) + 1, dtype=np.int64)
+        np.cumsum(doc_len, out=offs[1:])
+        th = (self.hasher(dict_np)[codes] if len(dict_np)
+              else np.empty(0, np.uint64))
+        d, h = rolling_fingerprints(th, offs, k=self.k, sample_mod=1)
+        ids = b[self.id_column].to_numpy(zero_copy_only=False)
+        return pa.table({self.id_column: pa.array(ids[d]),
+                         "span_hash": pa.array(h.view(np.int64))})
+
+
+def duplicated_spans(ds, text_column: str = "text", id_column: str = "doc_id",
+                     analyzer: str = "ascii", k: int = 5,
+                     min_docs: int = 2, hash: str = "stable",
+                     concurrency: int | None = None):
+    """Exact substring-duplication detection: spans (k-token windows)
+    whose hash occurs in >= ``min_docs`` DISTINCT documents ->
+    Dataset(span_hash, n_docs, keep_id=min doc id).
+
+    This is the cross-document role of suffix-array training-data dedup
+    (find verbatim passages repeated across a corpus), re-expressed as
+    rolling-hash spans: a shared span of length >= k tokens guarantees at
+    least one shared window hash, and with ``hash='md5'`` the whole
+    computation is reproducible in ANSI SQL for an exact oracle.
+
+    Scale shape: per-doc distinct hashes in map_batches, then ONE
+    pre-aggregated groupby on the 64-bit span hash (the exact_dedup
+    shuffle profile: light keys, no text), then a vectorized
+    ``pc.greater_equal`` filter — no per-row Python anywhere.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Min
+
+    spans = ds.map_batches(
+        StatelessBatchFn(_SpanHashBatch, dict(
+            text_column=text_column, id_column=id_column, analyzer=analyzer,
+            k=k, hash=hash)),
+        batch_format="pyarrow",
+        concurrency=pool_size(concurrency) if concurrency else None)
+    agg = spans.groupby("span_hash").aggregate(
+        Count(alias_name="n_docs"), Min(id_column, alias_name="keep_id"))
+
+    def keep_dup(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["n_docs"], min_docs))
+
+    return agg.map_batches(keep_dup, batch_format="pyarrow")
+
+
+def duplicated_span_stats(ds, text_column: str = "text",
+                          id_column: str = "doc_id", analyzer: str = "ascii",
+                          k: int = 5, min_docs: int = 2, hash: str = "stable",
+                          concurrency: int | None = None,
+                          max_broadcast: int = 50_000_000):
+    """Per-document duplicated-span statistics ->
+    Dataset(doc_id, n_spans, n_dup_spans, dup_frac): of each doc's
+    DISTINCT k-token span hashes, how many are duplicated across the
+    corpus (appear in >= ``min_docs`` docs).  ``dup_frac`` is the
+    document's verbatim-duplication score — the per-doc signal a
+    training-data pipeline filters or down-weights on.
+
+    Scale shape: the duplicated-hash set from :func:`duplicated_spans` is
+    OUTPUT-sized (only spans that actually repeat across documents), so
+    it is pulled sorted to the driver and broadcast once via ``ray.put``
+    (the contamination_check idiom); the per-doc pass is a shuffle-free
+    map_batches with one vectorized searchsorted membership per batch.
+    ``max_broadcast`` guards the assumption: corpora whose duplicated-span
+    set outgrows it should raise ``min_docs``/``k`` or pre-dedup first.
+    """
+    import ray
+
+    dup = duplicated_spans(ds, text_column=text_column, id_column=id_column,
+                           analyzer=analyzer, k=k, min_docs=min_docs,
+                           hash=hash, concurrency=concurrency)
+    chunks = [b["span_hash"].to_numpy()
+              for b in dup.select_columns(["span_hash"])
+              .iter_batches(batch_format="pyarrow")]
+    dup_hashes = (np.sort(np.concatenate(chunks)) if chunks
+                  else np.empty(0, dtype=np.int64))
+    if len(dup_hashes) > max_broadcast:
+        raise ValueError(
+            f"duplicated-span set ({len(dup_hashes)} hashes) exceeds "
+            f"max_broadcast={max_broadcast}; raise min_docs/k or exact-dedup "
+            "the corpus first")
+    dup_ref = ray.put(dup_hashes)
+
+    class StatsBatch(_SpanHashBatch):
+        def __call__(self, b: pa.Table) -> pa.Table:
+            spans = super().__call__(b)
+            ids = spans[self.id_column].to_numpy(zero_copy_only=False)
+            hashes = spans["span_hash"].to_numpy(zero_copy_only=False)
+            hit = _sorted_member(ray.get(dup_ref), hashes)
+            # spans carry one run of rows per doc (rolling_fingerprints
+            # emits docs in order): reduce per contiguous id run
+            if not len(ids):
+                return pa.table({self.id_column: pa.array([], pa.int64()),
+                                 "n_spans": pa.array([], pa.int64()),
+                                 "n_dup_spans": pa.array([], pa.int64()),
+                                 "dup_frac": pa.array([], pa.float64())})
+            starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+            n_spans = np.diff(np.r_[starts, len(ids)]).astype(np.int64)
+            n_dup = np.add.reduceat(hit.astype(np.int64), starts)
+            return pa.table({
+                self.id_column: pa.array(ids[starts]),
+                "n_spans": pa.array(n_spans),
+                "n_dup_spans": pa.array(n_dup),
+                "dup_frac": pa.array(n_dup / n_spans.astype(np.float64)),
+            })
+
+    return ds.map_batches(
+        StatelessBatchFn(StatsBatch, dict(
+            text_column=text_column, id_column=id_column, analyzer=analyzer,
+            k=k, hash=hash)),
+        batch_format="pyarrow",
+        concurrency=pool_size(concurrency) if concurrency else None)

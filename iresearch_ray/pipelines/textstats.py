@@ -191,3 +191,121 @@ def term_frequencies(ds, text_column="text", analyzer="ascii", concurrency=None)
         concurrency=pool_size(concurrency) if concurrency else None)
     return partial.groupby("term").aggregate(Sum("df", alias_name="df"),
                                              Sum("ttf", alias_name="ttf"))
+
+
+def _bigram_codes(codes: np.ndarray, doc_len: np.ndarray):
+    """(c1, c2, pair_doc) adjacent-token code pairs that stay INSIDE one
+    document — vectorized: a boolean mask kills the pairs straddling doc
+    boundaries."""
+    n = len(codes)
+    if n < 2:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z
+    offs = np.zeros(len(doc_len) + 1, dtype=np.int64)
+    np.cumsum(doc_len, out=offs[1:])
+    valid = np.ones(n - 1, dtype=bool)
+    cuts = offs[1:-1] - 1          # last token index before each doc start
+    cuts = cuts[(cuts >= 0) & (cuts < n - 1)]
+    valid[cuts] = False
+    doc_of = np.repeat(np.arange(len(doc_len), dtype=np.int64), doc_len)
+    return codes[:-1][valid], codes[1:][valid], doc_of[:-1][valid]
+
+
+def top_bigrams(ds, text_column="text", k_top: int = 20, analyzer="ascii",
+                concurrency=None):
+    """Corpus-wide collocation counts: top ``k_top`` adjacent-token
+    bigrams by count -> Dataset(bigram, n), ordered (n DESC, bigram ASC).
+
+    Per batch the tokens stay dictionary-CODED: bigrams are packed
+    (c1 * |dict| + c2) int64 keys counted with one np.unique, and only
+    the batch's DISTINCT bigram strings (dictionary-sized, not
+    token-sized) are materialized for the shuffle.  One small groupby
+    sums the partials; sort+limit runs over distinct-bigram cardinality.
+    """
+    from ray.data.aggregate import Sum
+
+    class BigramBatch:
+        def __init__(self):
+            self.analyzer = get_analyzer(analyzer)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            codes, dict_np, _, doc_len = _coded_tokens(
+                self.analyzer, b[text_column])
+            c1, c2, _ = _bigram_codes(codes, doc_len)
+            if not len(c1):
+                return pa.table({"bigram": pa.array([], pa.string()),
+                                 "n": pa.array([], pa.int64())})
+            D = len(dict_np)
+            uq, cnt = np.unique(c1 * D + c2, return_counts=True)
+            a, bb = uq // D, uq % D
+            grams = [f"{dict_np[i]} {dict_np[j]}" for i, j in zip(a, bb)]
+            return pa.table({"bigram": pa.array(grams, pa.string()),
+                             "n": pa.array(cnt.astype(np.int64))})
+
+    partial = ds.map_batches(
+        StatelessBatchFn(BigramBatch), batch_format="pyarrow",
+        concurrency=pool_size(concurrency) if concurrency else None)
+    agg = partial.groupby("bigram").aggregate(Sum("n", alias_name="n"))
+    return agg.sort(["n", "bigram"], descending=[True, False]).limit(k_top)
+
+
+def repetition_stats(ds, text_column="text", id_column="doc_id",
+                     analyzer="ascii", concurrency=None):
+    """Per-document repetition quality signals (the Gopher-style
+    repetition filters re-expressed over token streams) ->
+    Dataset(doc_id, n_tokens, distinct_ratio, top_token_frac,
+    top_bigram_frac); docs with zero tokens are dropped.
+
+    - distinct_ratio  = |distinct tokens| / n_tokens  (low => repetitive)
+    - top_token_frac  = count(most frequent token) / n_tokens
+    - top_bigram_frac = count(most frequent bigram) / (n_tokens - 1)
+      (0.0 for single-token docs)
+
+    Pure map_batches, no shuffle: per-doc groupings are packed int64
+    keys over the batch dictionary, reduced with sorted-run reduceat —
+    O(tokens) vector work, no per-row Python.  Fractions are raw IEEE
+    double divisions so the SQL oracle reproduces them bit-for-bit.
+    """
+
+    class RepBatch:
+        def __init__(self):
+            self.analyzer = get_analyzer(analyzer)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            codes, dict_np, doc_idx, doc_len = _coded_tokens(
+                self.analyzer, b[text_column])
+            n_docs = len(doc_len)
+            doc_len = np.asarray(doc_len, dtype=np.int64)
+            D = max(1, len(dict_np))
+            distinct = np.zeros(n_docs, dtype=np.int64)
+            top_tok = np.zeros(n_docs, dtype=np.int64)
+            if len(codes):
+                uq, cnt = np.unique(doc_idx * D + codes, return_counts=True)
+                udoc = uq // D
+                distinct += np.bincount(udoc, minlength=n_docs)
+                runs = np.flatnonzero(np.r_[True, udoc[1:] != udoc[:-1]])
+                top_tok[udoc[runs]] = np.maximum.reduceat(cnt, runs)
+            top_big = np.zeros(n_docs, dtype=np.int64)
+            c1, c2, bdoc = _bigram_codes(codes, doc_len)
+            if len(c1):
+                pu, pinv = np.unique(c1 * D + c2, return_inverse=True)
+                u2, cnt2 = np.unique(bdoc * len(pu) + pinv,
+                                     return_counts=True)
+                udoc2 = u2 // len(pu)
+                runs2 = np.flatnonzero(np.r_[True, udoc2[1:] != udoc2[:-1]])
+                top_big[udoc2[runs2]] = np.maximum.reduceat(cnt2, runs2)
+            keep = doc_len > 0
+            n = doc_len[keep].astype(np.float64)
+            nb = np.maximum(doc_len[keep] - 1, 1).astype(np.float64)
+            ids = b[id_column].to_numpy(zero_copy_only=False)[keep]
+            return pa.table({
+                id_column: pa.array(ids),
+                "n_tokens": pa.array(doc_len[keep]),
+                "distinct_ratio": pa.array(distinct[keep] / n),
+                "top_token_frac": pa.array(top_tok[keep] / n),
+                "top_bigram_frac": pa.array(top_big[keep] / nb),
+            })
+
+    return ds.map_batches(
+        StatelessBatchFn(RepBatch), batch_format="pyarrow",
+        concurrency=pool_size(concurrency) if concurrency else None)

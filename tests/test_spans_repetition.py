@@ -1,0 +1,191 @@
+"""duplicated_spans / duplicated_span_stats / top_bigrams / repetition_stats.
+
+The substring-dedup surface mirrors the cross-document role of
+suffix-array training-data dedup (find verbatim passages repeated across
+a corpus) as rolling-hash k-token spans; the repetition surface is the
+Gopher-style per-doc repetition quality filters.  Brute-force oracles
+here are pure-Python over the same analyzer tokens.
+"""
+
+import collections
+
+import numpy as np
+import pytest
+import ray.data
+
+from iresearch_ray.analysis import get_analyzer
+from iresearch_ray.pipelines import dedup, textstats
+
+SF = "/root/testdata/sf0.001"
+
+
+def _brute_spans(rows, k=5):
+    """doc -> set of k-token windows (full prefix if shorter)."""
+    ana = get_analyzer("ascii")
+    out = {}
+    for r in rows:
+        ts = ana.tokens(r["text"])
+        if not ts:
+            continue
+        kk = min(k, len(ts))
+        out[r["doc_id"]] = {tuple(ts[i:i + kk])
+                            for i in range(len(ts) - kk + 1)}
+    return out
+
+
+SHARED = "quick brown fox jumps over the lazy dog tonight"
+ROWS = [
+    {"doc_id": 1, "text": f"intro words then {SHARED} and a unique tail one"},
+    {"doc_id": 2, "text": f"other opening here {SHARED} closing differently two"},
+    {"doc_id": 3, "text": "completely unrelated content with no overlap at all"},
+    {"doc_id": 4, "text": "tiny doc"},          # shorter than k -> prefix span
+    {"doc_id": 5, "text": ""},                   # tokenless -> dropped
+    {"doc_id": 6, "text": "tiny doc"},           # duplicates doc 4's prefix span
+]
+
+
+def test_duplicated_spans_matches_bruteforce(ray_session):
+    ds = ray.data.from_items(ROWS)
+    out = dedup.duplicated_spans(ds).to_pandas()
+    spans = _brute_spans(ROWS)
+    counts = collections.Counter()
+    for s in spans.values():
+        counts.update(s)
+    exp_dup = {s for s, c in counts.items() if c >= 2}
+    # the shared 9-token run gives 5 shared 5-gram windows; docs 4/6 share
+    # their full-prefix span
+    assert len(out) == len(exp_dup)
+    assert (out["n_docs"] >= 2).all()
+    # keep_id is the min doc id holding each duplicated span
+    keeps = collections.Counter(out["keep_id"])
+    assert keeps[1] == 5 and keeps[4] == 1
+
+
+def test_duplicated_spans_min_docs_filter(ray_session):
+    ds = ray.data.from_items(ROWS)
+    assert len(dedup.duplicated_spans(ds, min_docs=3).to_pandas()) == 0
+    three = ROWS + [{"doc_id": 7, "text": f"third copy around {SHARED} again"}]
+    out = dedup.duplicated_spans(ray.data.from_items(three),
+                                 min_docs=3).to_pandas()
+    assert len(out) == 5 and (out["n_docs"] == 3).all()
+
+
+def test_duplicated_spans_hash_independent(ray_session):
+    ds = ray.data.from_items(ROWS)
+    a = dedup.duplicated_spans(ds, hash="stable").to_pandas()
+    b = dedup.duplicated_spans(ds, hash="md5").to_pandas()
+    assert sorted(zip(a["n_docs"], a["keep_id"])) == \
+        sorted(zip(b["n_docs"], b["keep_id"]))
+
+
+def test_duplicated_span_stats_bruteforce(ray_session):
+    ds = ray.data.from_items(ROWS)
+    out = (dedup.duplicated_span_stats(ds).to_pandas()
+           .set_index("doc_id").sort_index())
+    spans = _brute_spans(ROWS)
+    counts = collections.Counter()
+    for s in spans.values():
+        counts.update(s)
+    assert list(out.index) == [1, 2, 3, 4, 6]  # doc 5 tokenless -> dropped
+    for doc_id, s in spans.items():
+        dup = sum(1 for w in s if counts[w] >= 2)
+        row = out.loc[doc_id]
+        assert row["n_spans"] == len(s)
+        assert row["n_dup_spans"] == dup
+        assert row["dup_frac"] == dup / len(s)
+    assert out.loc[3, "n_dup_spans"] == 0
+    assert out.loc[4, "dup_frac"] == 1.0
+
+
+def test_duplicated_span_stats_broadcast_guard(ray_session):
+    ds = ray.data.from_items(ROWS)
+    with pytest.raises(ValueError, match="max_broadcast"):
+        dedup.duplicated_span_stats(ds, max_broadcast=2)
+
+
+def test_duplicated_span_stats_corpus_consistency(ray_session):
+    """On the sf0.001 corpus: per-doc distinct span count equals the
+    brute-force tokenization, and sum(n_dup) is consistent with the
+    span listing."""
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet",
+                               columns=["doc_id", "text"])
+    stats = dedup.duplicated_span_stats(ds).to_pandas()
+    listing = dedup.duplicated_spans(ds).to_pandas()
+    import pandas as pd
+
+    rows = pd.read_parquet(f"{SF}/documents.parquet")[
+        ["doc_id", "text"]].to_dict("records")
+    spans = _brute_spans(rows)
+    got = stats.set_index("doc_id")["n_spans"]
+    for doc_id, s in spans.items():
+        assert got[doc_id] == len(s)
+    # every duplicated span contributes one dup-span count per holding doc
+    assert stats["n_dup_spans"].sum() == listing["n_docs"].sum()
+
+
+def test_top_bigrams_counts_and_order(ray_session):
+    rows = [{"doc_id": 1, "text": "a b a b c"},
+            {"doc_id": 2, "text": "a b x"},
+            {"doc_id": 3, "text": "c"},          # no bigram
+            {"doc_id": 4, "text": "b a"}]
+    out = textstats.top_bigrams(ray.data.from_items(rows)).to_pandas()
+    exp = {"a b": 3, "b a": 2, "b c": 1, "b x": 1}
+    assert dict(zip(out["bigram"], out["n"])) == exp
+    # order: count desc, bigram asc on ties
+    assert list(out["bigram"]) == ["a b", "b a", "b c", "b x"]
+    top2 = textstats.top_bigrams(ray.data.from_items(rows), k_top=2).to_pandas()
+    assert list(top2["bigram"]) == ["a b", "b a"]
+
+
+def test_top_bigrams_no_cross_doc_pairs(ray_session):
+    # "y z" then "z y" across a doc boundary must NOT create "z z" or "y y"
+    rows = [{"doc_id": 1, "text": "y z"}, {"doc_id": 2, "text": "z y"}]
+    out = textstats.top_bigrams(ray.data.from_items(rows)).to_pandas()
+    assert set(out["bigram"]) == {"y z", "z y"}
+
+
+def test_repetition_stats_hand_values(ray_session):
+    rows = [{"doc_id": 1, "text": "a a a a"},
+            {"doc_id": 2, "text": "w x y z"},
+            {"doc_id": 3, "text": "solo"},
+            {"doc_id": 4, "text": ""},
+            {"doc_id": 5, "text": "p q p q p q"}]
+    out = (textstats.repetition_stats(ray.data.from_items(rows))
+           .to_pandas().set_index("doc_id").sort_index())
+    assert list(out.index) == [1, 2, 3, 5]
+    assert out.loc[1, "distinct_ratio"] == 0.25
+    assert out.loc[1, "top_token_frac"] == 1.0
+    assert out.loc[1, "top_bigram_frac"] == 1.0          # "a a" x3 / 3
+    assert out.loc[2, "distinct_ratio"] == 1.0
+    assert out.loc[2, "top_token_frac"] == 0.25
+    assert out.loc[2, "top_bigram_frac"] == 1 / 3
+    assert out.loc[3, "n_tokens"] == 1
+    assert out.loc[3, "top_bigram_frac"] == 0.0          # no bigrams
+    assert out.loc[5, "distinct_ratio"] == 2 / 6
+    assert out.loc[5, "top_bigram_frac"] == 3 / 5        # "p q" x3 / 5
+
+
+def test_repetition_stats_matches_bruteforce_corpus(ray_session):
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet",
+                               columns=["doc_id", "text"])
+    out = (textstats.repetition_stats(ds).to_pandas()
+           .set_index("doc_id").sort_index())
+    import pandas as pd
+
+    pdf = pd.read_parquet(f"{SF}/documents.parquet")
+    ana = get_analyzer("ascii")
+    for _, r in pdf.sample(40, random_state=7).iterrows():
+        ts = ana.tokens(r["text"])
+        if not ts:
+            assert r["doc_id"] not in out.index
+            continue
+        row = out.loc[r["doc_id"]]
+        c = collections.Counter(ts)
+        assert row["n_tokens"] == len(ts)
+        assert row["distinct_ratio"] == len(c) / len(ts)
+        assert row["top_token_frac"] == max(c.values()) / len(ts)
+        if len(ts) >= 2:
+            bc = collections.Counter(zip(ts[:-1], ts[1:]))
+            assert row["top_bigram_frac"] == max(bc.values()) / (len(ts) - 1)
+        else:
+            assert row["top_bigram_frac"] == 0.0
