@@ -189,3 +189,17 @@ def test_repetition_stats_matches_bruteforce_corpus(ray_session):
             assert row["top_bigram_frac"] == max(bc.values()) / (len(ts) - 1)
         else:
             assert row["top_bigram_frac"] == 0.0
+
+
+def test_duplicated_spans_hot_key_across_blocks(ray_session):
+    """A span shared by MANY docs spread over many input blocks must
+    combine to ONE output row (the sort's range partitioning keeps equal
+    keys in one block; the per-block combine relies on that)."""
+    rows = [{"doc_id": i, "text": "alpha beta gamma delta epsilon"}
+            for i in range(64)]
+    rows += [{"doc_id": 100 + i, "text": f"unique{i} filler{i} pad{i} x{i} y{i}"}
+             for i in range(64)]
+    ds = ray.data.from_items(rows).repartition(16)
+    out = dedup.duplicated_spans(ds).to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0]["n_docs"] == 64 and out.iloc[0]["keep_id"] == 0
