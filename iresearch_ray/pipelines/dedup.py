@@ -79,13 +79,14 @@ def _csr_intersect_counts(flat: np.ndarray, offs: np.ndarray,
     return inter
 
 
-def _grouped_count_min(rows, key_column: str, id_column: str,
+def _grouped_count_min(rows, key_column: str, id_column: str | None,
                        count_alias: str = "dup_count",
                        keep_alias: str = "keep_id",
                        min_count: int | None = None):
-    """(key -> row count, min id) for a Dataset of (key, id) rows via ONE
-    range sort + a per-block reduceat combine — the aggregation shape
-    shared by every hash-bucket dedup operator.
+    """(key -> row count[, min id]) for a Dataset of (key[, id]) rows via
+    ONE range sort + a per-block reduceat combine — the aggregation shape
+    shared by every hash-bucket dedup operator.  ``id_column=None`` emits
+    counts only (the LSH hot-bucket shape).
 
     4x faster than ``groupby().aggregate(Count, Min)`` at probe scale
     (the aggregate path pays per-group overhead materializing every
@@ -104,26 +105,34 @@ def _grouped_count_min(rows, key_column: str, id_column: str,
     def combine(t: pa.Table) -> pa.Table:
         n = len(t)
         key_type = t.schema.field(key_column).type
-        id_type = t.schema.field(id_column).type
+        id_type = (t.schema.field(id_column).type
+                   if id_column is not None else None)
         if n == 0:
-            return pa.table({key_column: pa.array([], key_type),
-                             count_alias: pa.array([], pa.int64()),
-                             keep_alias: pa.array([], id_type)})
+            cols = {key_column: pa.array([], key_type),
+                    count_alias: pa.array([], pa.int64())}
+            if id_column is not None:
+                cols[keep_alias] = pa.array([], id_type)
+            return pa.table(cols)
         col = t[key_column].combine_chunks()
-        ids = t[id_column].to_numpy(zero_copy_only=False)
         neq = pc.not_equal(col.slice(1), col.slice(0, n - 1))
         starts = np.r_[0, np.flatnonzero(
             neq.to_numpy(zero_copy_only=False)) + 1]
         cnt = np.diff(np.r_[starts, n]).astype(np.int64)
-        # object dtype (string ids) reduces via Python < — still one
-        # sweep; numeric ids stay a C loop
-        mins = np.minimum.reduceat(ids, starts)
+        mins = None
+        if id_column is not None:
+            ids = t[id_column].to_numpy(zero_copy_only=False)
+            # object dtype (string ids) reduces via Python < — still one
+            # sweep; numeric ids stay a C loop
+            mins = np.minimum.reduceat(ids, starts)
         if min_count is not None:
             keep = cnt >= min_count
-            starts, cnt, mins = starts[keep], cnt[keep], mins[keep]
-        return pa.table({key_column: col.take(pa.array(starts)),
-                         count_alias: pa.array(cnt),
-                         keep_alias: pa.array(mins, type=id_type)})
+            starts, cnt = starts[keep], cnt[keep]
+            mins = mins[keep] if mins is not None else None
+        cols = {key_column: col.take(pa.array(starts)),
+                count_alias: pa.array(cnt)}
+        if mins is not None:
+            cols[keep_alias] = pa.array(mins, type=id_type)
+        return pa.table(cols)
 
     return (rows.sort(key_column)
             .map_batches(combine, batch_format="pyarrow", batch_size=None))
@@ -336,24 +345,25 @@ def minhash_lsh_pairs(ds, text_column: str = "text", id_column: str = "doc_id",
         # membership filter keeps only colliding rows — data volume =
         # candidate set, not corpus — (3) vectorized pairing on the
         # (output-sized) survivors.
-        from ray.data.aggregate import Count
+        def bucket_keys(b: pa.Table) -> pa.Table:
+            return pa.table({"bkey": pa.array(_combined_bucket_key(
+                b["band"].to_numpy(),
+                b["band_hash"].to_numpy()).view(np.int64))})
 
-        counts = (sk.select_columns(["band", "band_hash"])
-                  .groupby(["band", "band_hash"])
-                  .aggregate(Count(alias_name="n")))
+        # count-only sort+combine with the >=2 filter fused in, so
+        # singleton buckets never leave the combine task
+        counts = _grouped_count_min(
+            sk.map_batches(bucket_keys, batch_format="pyarrow"),
+            "bkey", None, count_alias="n", min_count=2)
         sch = sk.schema()  # ray Schema wrapper: parallel names/types lists
         id_dtype = dict(zip(sch.names, sch.types))[id_column].to_pandas_dtype()
-        hot = (counts.map_batches(
-                   lambda t: t.filter(pc.greater_equal(t["n"], 2)),
-                   batch_format="pyarrow")
-               .to_pandas())  # bounded by colliding buckets, not corpus
+        hot = counts.to_pandas()  # bounded by colliding buckets, not corpus
         if not len(hot):
             return ray.data.from_pandas(
                 pd.DataFrame({"id_a": pd.Series([], dtype=id_dtype),
                               "id_b": pd.Series([], dtype=id_dtype),
                               "est_jaccard": pd.Series([], dtype=np.float64)}))
-        hot_keys = np.sort(_combined_bucket_key(
-            hot["band"].to_numpy(), hot["band_hash"].to_numpy()))
+        hot_keys = np.sort(hot["bkey"].to_numpy().view(np.uint64))
         hot_ref = ray.put(hot_keys)
 
         def keep_hot(b: pa.Table) -> pa.Table:
@@ -576,14 +586,11 @@ def ngram_jaccard_pairs(ds, text_column: str = "text",
 
         pfx = sk.map_batches(emit_prefix, batch_format="pyarrow")
 
-        from ray.data.aggregate import Count
-
-        counts = (pfx.select_columns(["key"]).groupby("key")
-                  .aggregate(Count(alias_name="c")))
-        hotk = (counts.map_batches(
-                    lambda t: t.filter(pc.greater_equal(t["c"], 2)),
-                    batch_format="pyarrow")
-                .to_pandas())  # bounded by colliding prefix keys
+        # count-only sort+combine, >=2 filter fused (singleton prefix
+        # keys — the vast majority — never leave the combine task)
+        hotk = _grouped_count_min(
+            pfx.select_columns(["key"]), "key", None,
+            count_alias="c", min_count=2).to_pandas()
         if not len(hotk):
             return empty_pairs()
         hot_keys = np.sort(hotk["key"].to_numpy().astype(np.int64))
@@ -1038,13 +1045,9 @@ def embedding_neardup_pairs(ds, threshold: float = 0.9,
                   "input": _input_fingerprint(ds)}
         sk = _sketch_checkpoint(
             ds.map_batches(assign, batch_format="pyarrow"), ckpt, params)
-        from ray.data.aggregate import Count
-
-        counts = (sk.select_columns(["bucket"]).groupby("bucket")
-                  .aggregate(Count(alias_name="n")))
-        hot = (counts.map_batches(
-            lambda t: t.filter(pc.greater_equal(t["n"], 2)),
-            batch_format="pyarrow").to_pandas())
+        hot = _grouped_count_min(
+            sk.select_columns(["bucket"]), "bucket", None,
+            count_alias="n", min_count=2).to_pandas()
         if not len(hot):
             return ray.data.from_pandas(_pairs_frame([], [], []))
         hot_keys = np.sort(hot["bucket"].to_numpy())
