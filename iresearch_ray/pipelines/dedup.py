@@ -242,13 +242,17 @@ class MinHashBatch:
     def __call__(self, b: pa.Table) -> pa.Table:
         texts = b[self.text_column].to_pylist()
         ids = b[self.id_column].to_numpy()
-        if not texts:  # empty block (empty row group / upstream filter)
+
+        def empty() -> pa.Table:
             return pa.table({
                 self.id_column: pa.array([], type=b[self.id_column].type),
                 "band": pa.array([], type=pa.int64()),
                 "band_hash": pa.array([], type=pa.int64()),
                 "signature": pa.array([], type=pa.binary()),
             })
+
+        if not texts:  # empty block (empty row group / upstream filter)
+            return empty()
         hashes, offsets = _shingle_hashes_per_doc(
             texts, self.analyzer, self.shingle_k, self.hasher)
         sigs = minhash_signatures(hashes, offsets, self.num_hashes)
@@ -261,12 +265,7 @@ class MinHashBatch:
             ids, sigs, bh = ids[keep], sigs[keep], bh[keep]
         n, B = int(keep.sum()), self.bands
         if n == 0:
-            return pa.table({
-                self.id_column: pa.array([], type=b[self.id_column].type),
-                "band": pa.array([], type=pa.int64()),
-                "band_hash": pa.array([], type=pa.int64()),
-                "signature": pa.array([], type=pa.binary()),
-            })
+            return empty()
         sig_bytes = np.ascontiguousarray(sigs).view(np.uint8).reshape(n, -1)
         # fixed-width binary signatures (one blob per band row): no Python
         # list rows, shuffle-friendly
@@ -335,7 +334,11 @@ def minhash_lsh_pairs(ds, text_column: str = "text", id_column: str = "doc_id",
         params = {"num_hashes": num_hashes, "bands": bands,
                   "shingle_k": shingle_k, "analyzer": analyzer,
                   "text_column": text_column, "id_column": id_column,
-                  "hash": hash, "input": _input_fingerprint(ds)}
+                  # fingerprinting may fall back to ds.count() (a full
+                  # pipeline execution); a mkdtemp checkpoint can never
+                  # be resumed, so skip it there
+                  "hash": hash,
+                  "input": _input_fingerprint(ds) if not own_ckpt else ""}
         sk = _sketch_checkpoint(sk, ckpt, params)
 
         # per-group map_groups over ~n_docs*bands tiny buckets pays Ray's
@@ -488,7 +491,6 @@ def ngram_jaccard_pairs(ds, text_column: str = "text",
     analyzer (core/analysis/minhash_token_stream.cpp); this operator is
     the exact-verification sibling the training-data brief asks for.
     """
-    import math
     import shutil
     import tempfile
 
@@ -519,7 +521,8 @@ def ngram_jaccard_pairs(ds, text_column: str = "text",
     try:
         params = {"shingle_k": shingle_k, "analyzer": analyzer,
                   "text_column": text_column, "id_column": id_column,
-                  "hash": hash, "input": _input_fingerprint(ds)}
+                  "hash": hash,
+                  "input": _input_fingerprint(ds) if not own_ckpt else ""}
         sk = _sketch_checkpoint(sk, ckpt, params)
 
         # ---- pass 1: globally hot shingles (bounded by hot_df_min) ----
@@ -1042,7 +1045,7 @@ def embedding_neardup_pairs(ds, threshold: float = 0.9,
     try:
         params = {"planes": planes, "seed": seed, "id_column": id_column,
                   "vec_column": vec_column,
-                  "input": _input_fingerprint(ds)}
+                  "input": _input_fingerprint(ds) if not own_ckpt else ""}
         sk = _sketch_checkpoint(
             ds.map_batches(assign, batch_format="pyarrow"), ckpt, params)
         hot = _grouped_count_min(
@@ -1055,10 +1058,8 @@ def embedding_neardup_pairs(ds, threshold: float = 0.9,
 
         def keep_hot(t: pa.Table) -> pa.Table:
             keys = ray.get(href)
-            b = t["bucket"].to_numpy()
-            at = np.searchsorted(keys, b)
-            at[at == len(keys)] = 0
-            return t.filter(pa.array(keys[at] == b))
+            return t.filter(pa.array(
+                _sorted_member(keys, t["bucket"].to_numpy())))
 
         # candidate-sized pull, kept as ONE Arrow table (no pandas object
         # rows); sorted by (bucket, id) so each bucket is a contiguous run
@@ -1124,8 +1125,11 @@ class _SpanHashBatch:
               else np.empty(0, np.uint64))
         d, h = rolling_fingerprints(th, offs, k=self.k, sample_mod=1)
         ids = b[self.id_column].to_numpy(zero_copy_only=False)
-        return pa.table({self.id_column: pa.array(ids[d]),
-                         "span_hash": pa.array(h.view(np.int64))})
+        # explicit id type: an all-tokenless batch yields an empty object
+        # slice that pa.array would otherwise infer as null-typed
+        return pa.table({
+            self.id_column: pa.array(ids[d], type=b[self.id_column].type),
+            "span_hash": pa.array(h.view(np.int64))})
 
 
 def duplicated_spans(ds, text_column: str = "text", id_column: str = "doc_id",
@@ -1211,8 +1215,9 @@ def duplicated_span_stats(ds, text_column: str = "text",
             hit = _sorted_member(ray.get(dup_ref), hashes)
             # spans carry one run of rows per doc (rolling_fingerprints
             # emits docs in order): reduce per contiguous id run
+            id_type = b[self.id_column].type
             if not len(ids):
-                return pa.table({self.id_column: pa.array([], pa.int64()),
+                return pa.table({self.id_column: pa.array([], id_type),
                                  "n_spans": pa.array([], pa.int64()),
                                  "n_dup_spans": pa.array([], pa.int64()),
                                  "dup_frac": pa.array([], pa.float64())})
@@ -1220,7 +1225,7 @@ def duplicated_span_stats(ds, text_column: str = "text",
             n_spans = np.diff(np.r_[starts, len(ids)]).astype(np.int64)
             n_dup = np.add.reduceat(hit.astype(np.int64), starts)
             return pa.table({
-                self.id_column: pa.array(ids[starts]),
+                self.id_column: pa.array(ids[starts], type=id_type),
                 "n_spans": pa.array(n_spans),
                 "n_dup_spans": pa.array(n_dup),
                 "dup_frac": pa.array(n_dup / n_spans.astype(np.float64)),

@@ -299,7 +299,9 @@ def repetition_stats(ds, text_column="text", id_column="doc_id",
             nb = np.maximum(doc_len[keep] - 1, 1).astype(np.float64)
             ids = b[id_column].to_numpy(zero_copy_only=False)[keep]
             return pa.table({
-                id_column: pa.array(ids),
+                # explicit id type: an all-tokenless batch would
+                # otherwise infer a null-typed empty column
+                id_column: pa.array(ids, type=b[id_column].type),
                 "n_tokens": pa.array(doc_len[keep]),
                 "distinct_ratio": pa.array(distinct[keep] / n),
                 "top_token_frac": pa.array(top_tok[keep] / n),

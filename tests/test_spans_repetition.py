@@ -203,3 +203,47 @@ def test_duplicated_spans_hot_key_across_blocks(ray_session):
     out = dedup.duplicated_spans(ds).to_pandas()
     assert len(out) == 1
     assert out.iloc[0]["n_docs"] == 64 and out.iloc[0]["keep_id"] == 0
+
+
+def test_string_id_columns_with_tokenless_blocks(ray_session):
+    """String id columns must survive blocks whose docs are ALL tokenless
+    (the empty slice must not be inferred as a null-typed column)."""
+    rows = ([{"uid": f"u{i:03d}", "text": ""} for i in range(8)]
+            + [{"uid": f"v{i:03d}", "text": "alpha beta gamma delta epsilon zeta"}
+               for i in range(8)])
+    # repartition so some blocks hold only tokenless docs
+    ds = ray.data.from_items(rows).repartition(8)
+    stats = dedup.duplicated_span_stats(
+        ds, id_column="uid").to_pandas().sort_values("uid")
+    assert list(stats["uid"]) == [f"v{i:03d}" for i in range(8)]
+    assert (stats["dup_frac"] == 1.0).all()      # all 8 share every span
+    ds = ray.data.from_items(rows).repartition(8)
+    rep = textstats.repetition_stats(
+        ds, id_column="uid").to_pandas().sort_values("uid")
+    assert list(rep["uid"]) == [f"v{i:03d}" for i in range(8)]
+    assert (rep["n_tokens"] == 6).all()
+    ds = ray.data.from_items(rows).repartition(8)
+    spans = dedup.duplicated_spans(ds, id_column="uid").to_pandas()
+    assert (spans["n_docs"] == 8).all() and (spans["keep_id"] == "v000").all()
+
+
+def test_sort_combine_survives_tiny_block_targets(ray_session):
+    """The sort+combine aggregation relies on Ray's sort emitting each
+    key-range partition as ONE block (equal-key runs never straddle
+    blocks).  Pin that invariant against Ray upgrades: force a 4 KB
+    target block size — far below the hot run's bytes — and require the
+    hot key to still combine to a single exact row."""
+    ctx = ray.data.DataContext.get_current()
+    old = ctx.target_max_block_size
+    try:
+        ctx.target_max_block_size = 4096
+        rows = [{"doc_id": i, "text": "alpha beta gamma delta epsilon"}
+                for i in range(2000)]
+        rows += [{"doc_id": 10_000 + i,
+                  "text": f"u{i} v{i} w{i} x{i} y{i}"} for i in range(2000)]
+        ds = ray.data.from_items(rows).repartition(16)
+        out = dedup.duplicated_spans(ds).to_pandas()
+        assert len(out) == 1
+        assert out.iloc[0]["n_docs"] == 2000 and out.iloc[0]["keep_id"] == 0
+    finally:
+        ctx.target_max_block_size = old
