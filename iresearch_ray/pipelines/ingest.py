@@ -30,6 +30,7 @@ from iresearch_ray.sources.pages import extract_text_batch
 def ingest(ds, work_dir: str, *, analyzer: str = "ascii",
            analyzer_opts: dict | None = None, dedup: bool = True,
            near_dup: str | None = None, near_dup_threshold: float = 0.9,
+           span_dup_max: float | None = None, span_k: int = 5,
            key_column: str = "url", target_docs: int = 50_000,
            store_columns: tuple = (), **build_kw) -> dict:
     """Run the full pipeline; returns the index manifest plus counters.
@@ -40,12 +41,21 @@ def ingest(ds, work_dir: str, *, analyzer: str = "ascii",
     the union-find and the broadcast drop-set stay small at any corpus
     size.  ``near_dup='jaccard'`` does the same with EXACT shingle-set
     Jaccard (prefix-filtered candidates + true intersections,
-    ngram_jaccard_pairs) — deterministic, estimation-free drops."""
+    ngram_jaccard_pairs) — deterministic, estimation-free drops.
+
+    ``span_dup_max`` (0..1) drops documents whose verbatim-duplication
+    score exceeds it: the fraction of a doc's distinct ``span_k``-token
+    windows that also appear in another document
+    (`dedup.duplicated_span_stats`) — the substring-dedup filter a
+    training-data pipeline applies to boilerplate-heavy pages.  The drop
+    set (ids over threshold) is broadcast, bounded by the filtered
+    volume, not the corpus."""
     import ray
     import ray.data
 
     from iresearch_ray.pipelines.dedup import (
         dedup_drop_set,
+        duplicated_span_stats,
         exact_dedup_groups,
         minhash_lsh_pairs,
         ngram_jaccard_pairs,
@@ -55,14 +65,17 @@ def ingest(ds, work_dir: str, *, analyzer: str = "ascii",
 
     if near_dup not in (None, "minhash", "jaccard"):
         raise ValueError(f"unknown near_dup method {near_dup!r}")
+    if span_dup_max is not None and not (0.0 <= span_dup_max <= 1.0):
+        raise ValueError(f"span_dup_max must be in [0, 1], got {span_dup_max}")
     staged = os.path.join(work_dir, "staged")
     index_dir = os.path.join(work_dir, "index")
     counters_path = os.path.join(work_dir, "ingest.json")
     staging_params = {"dedup": bool(dedup), "near_dup": near_dup,
                       "near_dup_threshold": float(near_dup_threshold),
+                      "span_dup_max": span_dup_max, "span_k": int(span_k),
                       "key_column": key_column,
                       "input": input_fingerprint(ds)}
-    counters = {"n_dropped": 0, "n_near_dropped": 0}
+    counters = {"n_dropped": 0, "n_near_dropped": 0, "n_span_dropped": 0}
 
     def _extract_and_dedup():
         import pyarrow.compute as pc
@@ -140,6 +153,32 @@ def ingest(ds, work_dir: str, *, analyzer: str = "ascii",
 
                 extracted = extracted.map_batches(drop_near,
                                                   batch_format="pyarrow")
+        if span_dup_max is not None:
+            # only the over-threshold ids reach the driver (Arrow-side
+            # filter on the per-doc stats stream, never the full listing)
+            over = (duplicated_span_stats(
+                        extracted, id_column=key_column, k=span_k,
+                        analyzer=analyzer)
+                    .map_batches(lambda t: t.filter(
+                        pc.greater(t["dup_frac"], span_dup_max)),
+                        batch_format="pyarrow")
+                    .select_columns([key_column]).to_pandas()[key_column])
+            counters["n_span_dropped"] = int(len(over))
+            if len(over):
+                span_drop = np.sort(over.to_numpy())
+                span_ref = ray.put(span_drop)
+
+                def drop_spanheavy(b: pa.Table) -> pa.Table:
+                    if not b.num_rows:
+                        return b
+                    dr = ray.get(span_ref)
+                    ids = np.asarray(b[key_column].to_pylist())
+                    at = np.searchsorted(dr, ids)
+                    at[at == len(dr)] = 0
+                    return b.filter(pa.array(dr[at] != ids))
+
+                extracted = extracted.map_batches(drop_spanheavy,
+                                                  batch_format="pyarrow")
         return extracted
 
     # atomic tmp+rename staging with a params marker: a half-written dir
@@ -151,12 +190,15 @@ def ingest(ds, work_dir: str, *, analyzer: str = "ascii",
         with open(counters_path, "w") as f:
             json.dump({"duplicates_dropped": int(counters["n_dropped"]),
                        "near_duplicates_dropped":
-                           int(counters["n_near_dropped"])}, f)
+                           int(counters["n_near_dropped"]),
+                       "span_heavy_dropped":
+                           int(counters["n_span_dropped"])}, f)
     elif os.path.exists(counters_path):
         with open(counters_path) as f:  # resumed run: report prior counters
             c = json.load(f)
         counters["n_dropped"] = c.get("duplicates_dropped", 0)
         counters["n_near_dropped"] = c.get("near_duplicates_dropped", 0)
+        counters["n_span_dropped"] = c.get("span_heavy_dropped", 0)
 
     man = build_index(staged, index_dir, analyzer=analyzer,
                       analyzer_opts=analyzer_opts, key_column=key_column,
@@ -165,5 +207,6 @@ def ingest(ds, work_dir: str, *, analyzer: str = "ascii",
     man["ingest_counters"] = {
         "duplicates_dropped": int(counters["n_dropped"]),
         "near_duplicates_dropped": int(counters["n_near_dropped"]),
+        "span_heavy_dropped": int(counters["n_span_dropped"]),
         "staged_dir": staged}
     return man

@@ -184,3 +184,48 @@ def test_ingest_restages_on_changed_params(ray_session, tmp_path):
     man2 = ingest(ray.data.read_parquet(pages), work, analyzer="ascii",
                   dedup=True, target_docs=50)
     assert man2["ingest_counters"]["duplicates_dropped"] == 9
+
+
+def test_ingest_span_dup_filter(ray_session, tmp_path_factory):
+    """span_dup_max drops documents whose duplicated-span fraction exceeds
+    the threshold (the substring-dedup boilerplate filter); unique docs
+    and the counters are unaffected."""
+    import pyarrow as pa
+
+    base = tmp_path_factory.mktemp("ingest_span")
+    body = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    rows = []
+    for i in range(30):
+        if i in (4, 9):    # verbatim copies of doc 2 plus a unique tail
+            text = body + f" tail{i} extra{i}"
+        elif i == 2:
+            text = body
+        else:
+            text = f"unique document {i} " + " ".join(
+                f"w{i}x{j}" for j in range(20))
+        rows.append({"url": f"u{i:03d}",
+                     "html": f"<html><body>{text}</body></html>",
+                     "warc_ts": 1700000000000000 + i, "lang": "en",
+                     "text": text})
+    pages = str(base / "pages.parquet")
+    pa.parquet.write_table(pa.Table.from_pylist(rows), pages)
+
+    work = str(base / "work")
+    man = ingest(ray.data.read_parquet(pages), work, analyzer="ascii",
+                 target_docs=100, span_dup_max=0.5, store_columns=("text",))
+    # u002 is 100% duplicated spans; u004/u009 are mostly duplicated
+    # (short unique tails keep them under 1.0 but over 0.5)
+    dropped = man["ingest_counters"]["span_heavy_dropped"]
+    assert dropped == 3
+    assert man["num_docs"] == 30 - dropped
+    reader = IndexReader(f"{work}/index")
+    keys = set()
+    for sv in reader.segments:
+        keys.update(sv.reader.keys.tolist())
+    assert "u002" not in keys and "u004" not in keys and "u009" not in keys
+    assert "u005" in keys
+
+    with pytest.raises(ValueError, match="span_dup_max"):
+        ingest(ray.data.read_parquet(pages), str(base / "w2"),
+               span_dup_max=1.5)
