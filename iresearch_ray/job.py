@@ -123,6 +123,93 @@ def cmd_query(a) -> dict:
                       "score": float(r.score)} for r in df.itertuples()]}
 
 
+def _count_parquet_rows(path: str) -> int:
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    return sum(pq.ParquetFile(f).metadata.num_rows
+               for f in glob.glob(os.path.join(path, "*.parquet")))
+
+
+def cmd_dedup(a) -> dict:
+    """Run one dedup-family operator over a Parquet corpus and stage the
+    result atomically to ``--output`` (resumable: same input + config is
+    a no-op on resubmit)."""
+    import ray.data
+
+    from iresearch_ray.pipelines import dedup as D
+    from iresearch_ray.util import input_fingerprint, stage_parquet_atomic
+
+    t0 = time.monotonic()
+    ds = ray.data.read_parquet(a.input,
+                               columns=[a.id_column, a.text_column])
+    common = dict(text_column=a.text_column, id_column=a.id_column,
+                  analyzer=a.analyzer)
+
+    def run():
+        if a.method == "exact":
+            return D.exact_dedup_groups(ds, text_column=a.text_column,
+                                        id_column=a.id_column)
+        if a.method == "fingerprint":
+            return D.fingerprint_dedup_groups(ds, **common)
+        if a.method == "simhash":
+            return D.simhash_groups(ds, **common)
+        if a.method == "minhash":
+            return D.minhash_lsh_pairs(ds, threshold=a.threshold, **common)
+        if a.method == "jaccard":
+            return D.ngram_jaccard_pairs(ds, threshold=a.threshold, **common)
+        if a.method == "spans":
+            return D.duplicated_spans(ds, k=a.k, **common)
+        return D.duplicated_span_stats(ds, k=a.k, **common)  # span-stats
+
+    params = {"method": a.method, "threshold": a.threshold, "k": a.k,
+              **common, "input": input_fingerprint(ds)}
+    ran = stage_parquet_atomic(run, a.output, params)
+    return {"method": a.method, "output": a.output, "resumed": not ran,
+            "rows": _count_parquet_rows(a.output),
+            "wall_s": time.monotonic() - t0}
+
+
+def cmd_stats(a) -> dict:
+    """Run a text-analysis operator over a Parquet corpus; stage the
+    result atomically to ``--output``."""
+    import ray.data
+
+    from iresearch_ray.pipelines import textstats as T
+    from iresearch_ray.util import input_fingerprint, stage_parquet_atomic
+
+    t0 = time.monotonic()
+    ds = ray.data.read_parquet(a.input,
+                               columns=[a.id_column, a.text_column])
+
+    def run():
+        if a.op == "quality":
+            return T.quality_stats(ds, text_column=a.text_column,
+                                   analyzer=a.analyzer)
+        if a.op == "langid":
+            return T.langid(ds, text_column=a.text_column,
+                            analyzer=a.analyzer)
+        if a.op == "repetition":
+            return T.repetition_stats(ds, text_column=a.text_column,
+                                      id_column=a.id_column,
+                                      analyzer=a.analyzer)
+        if a.op == "bigrams":
+            return T.top_bigrams(ds, text_column=a.text_column,
+                                 k_top=a.k_top, analyzer=a.analyzer)
+        return T.term_frequencies(ds, text_column=a.text_column,
+                                  analyzer=a.analyzer)  # termfreq
+
+    params = {"op": a.op, "k_top": a.k_top, "analyzer": a.analyzer,
+              "text_column": a.text_column, "id_column": a.id_column,
+              "input": input_fingerprint(ds)}
+    ran = stage_parquet_atomic(run, a.output, params)
+    return {"op": a.op, "output": a.output, "resumed": not ran,
+            "rows": _count_parquet_rows(a.output),
+            "wall_s": time.monotonic() - t0}
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="iresearch_ray.job")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -160,10 +247,35 @@ def main(argv=None) -> int:
     q.add_argument("--distributed", action="store_true",
                    help="segment-group query actors instead of driver scan")
 
+    d = sub.add_parser("dedup")
+    d.add_argument("--input", required=True, nargs="+")
+    d.add_argument("--output", required=True)
+    d.add_argument("--method", required=True,
+                   choices=("exact", "fingerprint", "simhash", "minhash",
+                            "jaccard", "spans", "span-stats"))
+    d.add_argument("--threshold", type=float, default=0.9)
+    d.add_argument("--k", type=int, default=5,
+                   help="span window length for spans/span-stats")
+    d.add_argument("--id-column", default="doc_id")
+    d.add_argument("--text-column", default="text")
+    d.add_argument("--analyzer", default="ascii")
+
+    s = sub.add_parser("stats")
+    s.add_argument("--input", required=True, nargs="+")
+    s.add_argument("--output", required=True)
+    s.add_argument("--op", required=True,
+                   choices=("quality", "langid", "repetition", "bigrams",
+                            "termfreq"))
+    s.add_argument("--k-top", type=int, default=20)
+    s.add_argument("--id-column", default="doc_id")
+    s.add_argument("--text-column", default="text")
+    s.add_argument("--analyzer", default="ascii")
+
     a = ap.parse_args(argv)
     owns = _ray_init()
     try:
-        out = cmd_build(a) if a.cmd == "build" else cmd_query(a)
+        out = {"build": cmd_build, "query": cmd_query,
+               "dedup": cmd_dedup, "stats": cmd_stats}[a.cmd](a)
     finally:
         if owns:
             import ray

@@ -90,3 +90,46 @@ def test_job_build_from_lines_format(ray_session, tmp_path, capsys):
                  "--k", "5"]) == 0
     q = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert len(q["hits"]) == 5
+
+
+def test_job_dedup_and_stats_subcommands(ray_session, tmp_path, capsys):
+    """dedup/stats subcommands stage results atomically and resume
+    (re-submitting the same job is a no-op reporting prior output)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [{"doc_id": 0, "text": "alpha beta gamma delta epsilon zeta"},
+            {"doc_id": 1, "text": "alpha beta gamma delta epsilon zeta"},
+            {"doc_id": 2, "text": "totally different words entirely here"}]
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), src)
+
+    out_dir = str(tmp_path / "dedup_out")
+    assert main(["dedup", "--input", src, "--output", out_dir,
+                 "--method", "exact"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["rows"] == 2 and rep["resumed"] is False
+    got = pq.read_table(out_dir).to_pandas().sort_values("text_hash")
+    assert got["dup_count"].sum() == 3
+
+    # resubmit: resumed, identical rows
+    assert main(["dedup", "--input", src, "--output", out_dir,
+                 "--method", "exact"]) == 0
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep2["resumed"] is True and rep2["rows"] == 2
+
+    span_dir = str(tmp_path / "spans_out")
+    assert main(["dedup", "--input", src, "--output", span_dir,
+                 "--method", "span-stats", "--k", "5"]) == 0
+    rep3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep3["rows"] == 3
+    stats = pq.read_table(span_dir).to_pandas().set_index("doc_id")
+    assert stats.loc[0, "dup_frac"] == 1.0 and stats.loc[2, "dup_frac"] == 0.0
+
+    st_dir = str(tmp_path / "stats_out")
+    assert main(["stats", "--input", src, "--output", st_dir,
+                 "--op", "bigrams", "--k-top", "3"]) == 0
+    rep4 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep4["rows"] == 3
+    bg = pq.read_table(st_dir).to_pandas()
+    assert bg.iloc[0]["bigram"] == "alpha beta" and bg.iloc[0]["n"] == 2
