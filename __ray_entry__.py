@@ -448,9 +448,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         }).sort_values("doc_id").reset_index(drop=True)
 
     def classify_labels(sf_dir):
+        # hash='md5' routes the fake classifier through md5_number_lower-
+        # reproducible text hashes -> exact SQL oracle (the model path is
+        # container-stubbed; the label assignment itself is checked)
         from iresearch_ray.pipelines.classify import classify
 
-        out = classify(ray_docs(sf_dir, ["doc_id", "text"]), top_k=1).to_pandas()
+        out = classify(ray_docs(sf_dir, ["doc_id", "text"]), top_k=1,
+                       hash="md5").to_pandas()
         return (pd.DataFrame({"doc_id": out["doc_id"].astype(np.int64),
                               "label": [ls[0] for ls in out["labels"]]})
                 .sort_values("doc_id").reset_index(drop=True))
@@ -807,7 +811,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "column_existence": column_existence,
         "keyword_search": keyword_search,
         "delete_search": delete_search,
-        "classify_labels": classify_labels,        # rows-only (stub model)
+        "classify_labels": classify_labels,        # md5 fake -> exact oracle
         "ngram_similarity": ngram_similarity,      # rows-only (LCS chain)
         # --- text-analysis pipelines ---
         "doc_stats": doc_stats,
@@ -836,8 +840,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": ann_lsh,                        # rows-only (approximate)
         "ann_ivf": ann_ivf,                        # rows-only (approximate)
         # --- multimodal plumbing ---
-        "multimodal_features": multimodal_q,       # rows-only
+        "multimodal_features": multimodal_q,       # deterministic stub -> oracle
     }
+
+
+def _lsh_oracle_sql(dim: int = 64, planes: int = 4) -> str:
+    """SQL twin of ann_lsh (build_lsh_index(planes=4) + lsh_index_topk
+    multiprobe=1, query = vec 0): the seeded projection planes are
+    INLINED (float32 values rendered as exact doubles), buckets are sign
+    bits of list_dot_product, the probe set is the query bucket plus all
+    Hamming-1 neighbors, and the top-10 among probed rows is ordered
+    (cosine DESC, vec_id) exactly like cosine_topk's tie-break.
+
+    Float safety, measured on the driver's fixed sf0.01 table: min
+    |dot| margin 3.9e-4 (vs ~1e-5 float32 accumulation error — no sign
+    can flip) and a 4.3e-3 cosine gap at the k=10 boundary.
+    """
+    from iresearch_ray.pipelines.ann import _projection_planes
+
+    P = _projection_planes(dim, planes)  # (dim, planes) float32, seed 42
+    plane_lists = ", ".join(
+        "[" + ",".join(repr(float(P[i, j])) for i in range(dim)) + f"]::DOUBLE[] AS p{j}"
+        for j in range(planes))
+    bucket_expr = " + ".join(
+        f"CASE WHEN list_dot_product(v, p{j}) > 0 THEN {1 << j} ELSE 0 END"
+        for j in range(planes))
+    masks = ", ".join(str(m) for m in [0] + [1 << j for j in range(planes)])
+    return f"""
+WITH p AS (SELECT {plane_lists}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {bucket_expr} AS bucket FROM e, p),
+qb AS (SELECT bucket AS qbk, v AS qv FROM b WHERE vec_id = 0),
+probe AS (SELECT DISTINCT xor(qbk, m) AS pb
+          FROM qb, (SELECT unnest([{masks}]) AS m))
+SELECT b.vec_id
+FROM b, qb WHERE b.bucket IN (SELECT pb FROM probe)
+ORDER BY list_cosine_similarity(b.v, qb.qv) DESC, b.vec_id LIMIT 10
+"""
 
 
 def _minhash_oracle_sql() -> str:
@@ -1274,7 +1313,29 @@ SELECT doc_id, matched::BIGINT AS matched, total::BIGINT AS total,
        matched / CAST(total AS DOUBLE) AS frac
 FROM agg ORDER BY doc_id
 """,
-        # ann_lsh / ann_ivf / multimodal_features remain intentionally
-        # omitted: approximate probing / stub decode are not
-        # ANSI-SQL-expressible -> rows-only.
+        # ann_lsh: sign-LSH over seeded planes is deterministic, so the
+        # whole probe + rank is SQL-reproducible with the planes inlined
+        # (see _lsh_oracle_sql float-safety margins)
+        "ann_lsh": _lsh_oracle_sql(),
+        # classify fake: labels[(md5_number_lower(text) + 0) % n] — the
+        # md5-family text hash makes the deterministic fake classifier
+        # fully SQL-reproducible (the real-model path stays
+        # container-stubbed; what the oracle checks is the pipeline)
+        "classify_labels": """
+SELECT doc_id,
+       (['news', 'sports', 'tech', 'other'])
+         [(md5_number_lower(text) % 4)::BIGINT + 1] AS label
+FROM documents ORDER BY doc_id
+""",
+        # multimodal: the pages derivation and the stub decode are both
+        # deterministic functions of documents.text, so url and
+        # payload_bytes (= len('<html><body>') + utf8 bytes +
+        # len('</body></html>')) are exact
+        "multimodal_features": """
+SELECT printf('https://docs.example/%08d', doc_id) AS url,
+       (26 + octet_length(encode(text)))::BIGINT AS payload_bytes
+FROM documents ORDER BY url
+""",
+        # ann_ivf remains intentionally omitted: the iterative k-means
+        # quantizer is not ANSI-SQL-expressible -> rows-only.
     }

@@ -35,10 +35,15 @@ class ClassifyBatch:
 
     def __init__(self, text_column: str = "text",
                  labels: tuple = ("news", "sports", "tech", "other"),
-                 top_k: int = 1, model_path: str | None = None):
+                 top_k: int = 1, model_path: str | None = None,
+                 hash: str = "fnv"):
+        # fake-path hash family: 'fnv' (default) or 'md5' — md5 is
+        # reproducible in SQL as md5_number_lower, enabling an exact
+        # oracle for the fake classifier (the dedup-family pattern)
         self.text_column = text_column
         self.labels = list(labels)
         self.top_k = int(top_k)
+        self.hash = hash
         self.model = None
         if model_path is not None:
             try:
@@ -54,7 +59,12 @@ class ClassifyBatch:
         if self.model is not None:
             labels, _ = self.model.predict(text, k=self.top_k)
             return [l.removeprefix("__label__") for l in labels]
-        h = _stable_hash(text)
+        if self.hash == "md5":
+            from iresearch_ray.analysis.minhash import md5_hash_strings
+
+            h = int(md5_hash_strings([text])[0])
+        else:
+            h = _stable_hash(text)
         n = len(self.labels)
         return [self.labels[(h + i) % n] for i in range(min(self.top_k, n))]
 
@@ -109,11 +119,12 @@ class NearestNeighborsBatch:
 def classify(ds, text_column: str = "text", labels=("news", "sports", "tech",
                                                     "other"),
              top_k: int = 1, concurrency: int | None = None,
-             batch_size: int = 256):
+             batch_size: int = 256, hash: str = "fnv"):
     return ds.map_batches(
         ClassifyBatch,
         fn_constructor_kwargs=dict(text_column=text_column,
-                                   labels=tuple(labels), top_k=top_k),
+                                   labels=tuple(labels), top_k=top_k,
+                                   hash=hash),
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=pool_size(concurrency))
 
