@@ -247,3 +247,42 @@ def test_sort_combine_survives_tiny_block_targets(ray_session):
         assert out.iloc[0]["n_docs"] == 2000 and out.iloc[0]["keep_id"] == 0
     finally:
         ctx.target_max_block_size = old
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.tuples(st.integers(-50, 50),        # key space with ties
+                          st.integers(0, 10_000)),     # id
+                min_size=0, max_size=300),
+       st.one_of(st.none(), st.integers(1, 4)))
+def test_grouped_count_min_matches_pandas(ray_session, rows, min_count):
+    """_grouped_count_min == pandas groupby (count, min) for arbitrary
+    (key, id) multisets, at every min_count, across block splits."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from iresearch_ray.pipelines.dedup import _grouped_count_min
+
+    t = pa.table({"k": pa.array([k for k, _ in rows], pa.int64()),
+                  "i": pa.array([i for _, i in rows], pa.int64())})
+    ds = ray.data.from_arrow(t)
+    if len(rows) > 8:
+        ds = ds.repartition(4)
+    got = _grouped_count_min(ds, "k", "i", count_alias="n",
+                             keep_alias="m", min_count=min_count).to_pandas()
+    if len(got):  # an all-empty Dataset to_pandas() has no columns to sort
+        got = got.sort_values("k").reset_index(drop=True)
+    if rows:
+        exp = (pd.DataFrame(rows, columns=["k", "i"]).groupby("k")
+               .agg(n=("i", "size"), m=("i", "min")).reset_index())
+        if min_count is not None:
+            exp = exp[exp["n"] >= min_count].reset_index(drop=True)
+    else:
+        exp = pd.DataFrame({"k": [], "n": [], "m": []}).astype("int64")
+    assert len(got) == len(exp)
+    if len(exp):
+        assert (got["k"].to_numpy() == exp["k"].to_numpy()).all()
+        assert (got["n"].to_numpy() == exp["n"].to_numpy()).all()
+        assert (got["m"].to_numpy() == exp["m"].to_numpy()).all()
