@@ -812,7 +812,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyword_search": keyword_search,
         "delete_search": delete_search,
         "classify_labels": classify_labels,        # md5 fake -> exact oracle
-        "ngram_similarity": ngram_similarity,      # rows-only (LCS chain)
+        "ngram_similarity": ngram_similarity,      # bounded chain-join oracle
         # --- text-analysis pipelines ---
         "doc_stats": doc_stats,
         "quality_stats": quality,
@@ -1335,6 +1335,31 @@ FROM documents ORDER BY doc_id
 SELECT printf('https://docs.example/%08d', doc_id) AS url,
        (26 + octet_length(encode(text)))::BIGINT AS payload_bytes
 FROM documents ORDER BY url
+""",
+        # ngram_similarity: the positional-chain LCS bounds at m=5 probe
+        # grams, so chain length is computable by FOUR distinct-per-level
+        # self-joins (a chain of length k extends a chain of length k-1
+        # by one strictly-greater (pos, qidx) match) — no recursion
+        # needed; sim = chain/5 is 0.8 (c4-only) or 1.0 (c5), matching
+        # the engine's round(chain/m, 4).  Probe = 2-grams of "stream".
+        "ngram_similarity": """
+WITH probe(j, g) AS (VALUES (0,'st'),(1,'tr'),(2,'re'),(3,'ea'),(4,'am')),
+gr AS (SELECT doc_id, i, substring(lower(text), i, 2) AS g
+       FROM (SELECT doc_id, text, unnest(range(1, length(text))) AS i
+             FROM documents)),
+mt AS (SELECT gr.doc_id, gr.i, probe.j FROM gr JOIN probe USING (g)),
+c2 AS (SELECT DISTINCT b.doc_id, b.i, b.j FROM mt a
+       JOIN mt b ON a.doc_id = b.doc_id AND b.i > a.i AND b.j > a.j),
+c3 AS (SELECT DISTINCT b.doc_id, b.i, b.j FROM c2 a
+       JOIN mt b ON a.doc_id = b.doc_id AND b.i > a.i AND b.j > a.j),
+c4 AS (SELECT DISTINCT b.doc_id, b.i, b.j FROM c3 a
+       JOIN mt b ON a.doc_id = b.doc_id AND b.i > a.i AND b.j > a.j),
+c5 AS (SELECT DISTINCT b.doc_id, b.i, b.j FROM c4 a
+       JOIN mt b ON a.doc_id = b.doc_id AND b.i > a.i AND b.j > a.j)
+SELECT doc_id,
+       CASE WHEN doc_id IN (SELECT doc_id FROM c5)
+            THEN 1.0 ELSE 0.8 END AS sim
+FROM (SELECT DISTINCT doc_id FROM c4) ORDER BY doc_id
 """,
         # ann_ivf remains intentionally omitted: the iterative k-means
         # quantizer is not ANSI-SQL-expressible -> rows-only.
