@@ -773,8 +773,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = ray.data.from_arrow(pages_from_documents(sf_dir))
         out = multimodal.decode_features(ds, payload_column="html",
                                          feature_dim=8).to_pandas()
-        return pd.DataFrame({"url": out["url"],
-                             "payload_bytes": out["payload_bytes"].astype(np.int64)})
+        # actor-pool output order is not guaranteed; the oracle sorts
+        return (pd.DataFrame({"url": out["url"],
+                              "payload_bytes": out["payload_bytes"].astype(np.int64)})
+                .sort_values("url").reset_index(drop=True))
 
     return {
         # --- engine-backed fulltext (index build + query execution) ---

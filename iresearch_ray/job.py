@@ -133,22 +133,35 @@ def _count_parquet_rows(path: str) -> int:
                for f in glob.glob(os.path.join(path, "*.parquet")))
 
 
-def cmd_dedup(a) -> dict:
-    """Run one dedup-family operator over a Parquet corpus and stage the
-    result atomically to ``--output`` (resumable: same input + config is
-    a no-op on resubmit)."""
+def _run_staged_op(a, name_field: str, build_op, extra_params: dict) -> dict:
+    """Shared runner for the dedup/stats subcommands: column-pruned read,
+    atomic staged Parquet output (resumable: same input + config is a
+    no-op on resubmit), row counts from Parquet footers — never a
+    re-execution."""
     import ray.data
 
-    from iresearch_ray.pipelines import dedup as D
     from iresearch_ray.util import input_fingerprint, stage_parquet_atomic
 
     t0 = time.monotonic()
     ds = ray.data.read_parquet(a.input,
                                columns=[a.id_column, a.text_column])
+    params = {name_field: getattr(a, name_field),
+              "analyzer": a.analyzer, "text_column": a.text_column,
+              "id_column": a.id_column, **extra_params,
+              "input": input_fingerprint(ds)}
+    ran = stage_parquet_atomic(lambda: build_op(ds), a.output, params)
+    return {name_field: getattr(a, name_field), "output": a.output,
+            "resumed": not ran, "rows": _count_parquet_rows(a.output),
+            "wall_s": time.monotonic() - t0}
+
+
+def cmd_dedup(a) -> dict:
+    from iresearch_ray.pipelines import dedup as D
+
     common = dict(text_column=a.text_column, id_column=a.id_column,
                   analyzer=a.analyzer)
 
-    def run():
+    def build_op(ds):
         if a.method == "exact":
             return D.exact_dedup_groups(ds, text_column=a.text_column,
                                         id_column=a.id_column)
@@ -164,27 +177,14 @@ def cmd_dedup(a) -> dict:
             return D.duplicated_spans(ds, k=a.k, **common)
         return D.duplicated_span_stats(ds, k=a.k, **common)  # span-stats
 
-    params = {"method": a.method, "threshold": a.threshold, "k": a.k,
-              **common, "input": input_fingerprint(ds)}
-    ran = stage_parquet_atomic(run, a.output, params)
-    return {"method": a.method, "output": a.output, "resumed": not ran,
-            "rows": _count_parquet_rows(a.output),
-            "wall_s": time.monotonic() - t0}
+    return _run_staged_op(a, "method", build_op,
+                          {"threshold": a.threshold, "k": a.k})
 
 
 def cmd_stats(a) -> dict:
-    """Run a text-analysis operator over a Parquet corpus; stage the
-    result atomically to ``--output``."""
-    import ray.data
-
     from iresearch_ray.pipelines import textstats as T
-    from iresearch_ray.util import input_fingerprint, stage_parquet_atomic
 
-    t0 = time.monotonic()
-    ds = ray.data.read_parquet(a.input,
-                               columns=[a.id_column, a.text_column])
-
-    def run():
+    def build_op(ds):
         if a.op == "quality":
             return T.quality_stats(ds, text_column=a.text_column,
                                    analyzer=a.analyzer)
@@ -201,13 +201,7 @@ def cmd_stats(a) -> dict:
         return T.term_frequencies(ds, text_column=a.text_column,
                                   analyzer=a.analyzer)  # termfreq
 
-    params = {"op": a.op, "k_top": a.k_top, "analyzer": a.analyzer,
-              "text_column": a.text_column, "id_column": a.id_column,
-              "input": input_fingerprint(ds)}
-    ran = stage_parquet_atomic(run, a.output, params)
-    return {"op": a.op, "output": a.output, "resumed": not ran,
-            "rows": _count_parquet_rows(a.output),
-            "wall_s": time.monotonic() - t0}
+    return _run_staged_op(a, "op", build_op, {"k_top": a.k_top})
 
 
 def main(argv=None) -> int:

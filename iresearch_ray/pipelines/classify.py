@@ -40,6 +40,8 @@ class ClassifyBatch:
         # fake-path hash family: 'fnv' (default) or 'md5' — md5 is
         # reproducible in SQL as md5_number_lower, enabling an exact
         # oracle for the fake classifier (the dedup-family pattern)
+        if hash not in ("fnv", "md5"):
+            raise ValueError(f"unknown hash family {hash!r}")
         self.text_column = text_column
         self.labels = list(labels)
         self.top_k = int(top_k)
@@ -56,20 +58,27 @@ class ClassifyBatch:
                     "deterministic fake") from e
 
     def _predict(self, text: str) -> list[str]:
-        if self.model is not None:
-            labels, _ = self.model.predict(text, k=self.top_k)
-            return [l.removeprefix("__label__") for l in labels]
-        if self.hash == "md5":
-            from iresearch_ray.analysis.minhash import md5_hash_strings
+        labels, _ = self.model.predict(text, k=self.top_k)
+        return [l.removeprefix("__label__") for l in labels]
 
-            h = int(md5_hash_strings([text])[0])
-        else:
-            h = _stable_hash(text)
+    def _fake_labels(self, h: int) -> list[str]:
         n = len(self.labels)
         return [self.labels[(h + i) % n] for i in range(min(self.top_k, n))]
 
     def __call__(self, b: pa.Table) -> pa.Table:
-        preds = [self._predict(t or "") for t in b[self.text_column].to_pylist()]
+        texts = [t or "" for t in b[self.text_column].to_pylist()]
+        if self.model is not None:
+            preds = [self._predict(t) for t in texts]
+        else:
+            # hash the whole batch at once (md5_hash_strings is a batch
+            # kernel; one call per batch, not one per row)
+            if self.hash == "md5":
+                from iresearch_ray.analysis.minhash import md5_hash_strings
+
+                hs = md5_hash_strings(texts)
+            else:
+                hs = [_stable_hash(t) for t in texts]
+            preds = [self._fake_labels(int(h)) for h in hs]
         return b.append_column(
             "labels", pa.array(preds, type=pa.list_(pa.string())))
 

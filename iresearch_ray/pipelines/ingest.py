@@ -27,6 +27,28 @@ from iresearch_ray.index.build import build_index
 from iresearch_ray.sources.pages import extract_text_batch
 
 
+def _drop_ids(stream, sorted_ids: np.ndarray, key_column: str):
+    """Filter out rows whose ``key_column`` is in the SORTED drop array —
+    the broadcast + clamped-searchsorted membership idiom, shared by the
+    near-dup and span-duplication drop stages."""
+    import ray
+
+    ref = ray.put(sorted_ids)
+
+    def drop(b: pa.Table) -> pa.Table:
+        if not b.num_rows:
+            return b
+        dr = ray.get(ref)
+        # no astype: numpy compares mixed-width unicode exactly; a width
+        # cast could truncate long ids
+        ids = np.asarray(b[key_column].to_pylist())
+        at = np.searchsorted(dr, ids)
+        at[at == len(dr)] = 0
+        return b.filter(pa.array(dr[at] != ids))
+
+    return stream.map_batches(drop, batch_format="pyarrow")
+
+
 def ingest(ds, work_dir: str, *, analyzer: str = "ascii",
            analyzer_opts: dict | None = None, dedup: bool = True,
            near_dup: str | None = None, near_dup_threshold: float = 0.9,
@@ -73,6 +95,9 @@ def ingest(ds, work_dir: str, *, analyzer: str = "ascii",
     staging_params = {"dedup": bool(dedup), "near_dup": near_dup,
                       "near_dup_threshold": float(near_dup_threshold),
                       "span_dup_max": span_dup_max, "span_k": int(span_k),
+                      # the span filter's drop set depends on tokenization,
+                      # so a changed analyzer must restage
+                      "analyzer": analyzer,
                       "key_column": key_column,
                       "input": input_fingerprint(ds)}
     counters = {"n_dropped": 0, "n_near_dropped": 0, "n_span_dropped": 0}
@@ -139,20 +164,9 @@ def ingest(ds, work_dir: str, *, analyzer: str = "ascii",
             drop = dedup_drop_set(pairs)
             counters["n_near_dropped"] = len(drop)
             if drop:
-                drop_arr = np.sort(np.asarray(list(drop)))
-                drop_ref = ray.put(drop_arr)
-
-                def drop_near(b: pa.Table) -> pa.Table:
-                    if not b.num_rows:
-                        return b
-                    dr = ray.get(drop_ref)
-                    ids = np.asarray(b[key_column].to_pylist())
-                    at = np.searchsorted(dr, ids)
-                    at[at == len(dr)] = 0
-                    return b.filter(pa.array(dr[at] != ids))
-
-                extracted = extracted.map_batches(drop_near,
-                                                  batch_format="pyarrow")
+                extracted = _drop_ids(extracted,
+                                      np.sort(np.asarray(list(drop))),
+                                      key_column)
         if span_dup_max is not None:
             # only the over-threshold ids reach the driver (Arrow-side
             # filter on the per-doc stats stream, never the full listing)
@@ -162,23 +176,14 @@ def ingest(ds, work_dir: str, *, analyzer: str = "ascii",
                     .map_batches(lambda t: t.filter(
                         pc.greater(t["dup_frac"], span_dup_max)),
                         batch_format="pyarrow")
-                    .select_columns([key_column]).to_pandas()[key_column])
+                    .select_columns([key_column]).to_pandas())
+            # an all-under-threshold result arrives as a COLUMN-LESS
+            # empty frame — guard before indexing
             counters["n_span_dropped"] = int(len(over))
             if len(over):
-                span_drop = np.sort(over.to_numpy())
-                span_ref = ray.put(span_drop)
-
-                def drop_spanheavy(b: pa.Table) -> pa.Table:
-                    if not b.num_rows:
-                        return b
-                    dr = ray.get(span_ref)
-                    ids = np.asarray(b[key_column].to_pylist())
-                    at = np.searchsorted(dr, ids)
-                    at[at == len(dr)] = 0
-                    return b.filter(pa.array(dr[at] != ids))
-
-                extracted = extracted.map_batches(drop_spanheavy,
-                                                  batch_format="pyarrow")
+                extracted = _drop_ids(
+                    extracted, np.sort(over[key_column].to_numpy()),
+                    key_column)
         return extracted
 
     # atomic tmp+rename staging with a params marker: a half-written dir

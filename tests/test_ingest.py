@@ -229,3 +229,39 @@ def test_ingest_span_dup_filter(ray_session, tmp_path_factory):
     with pytest.raises(ValueError, match="span_dup_max"):
         ingest(ray.data.read_parquet(pages), str(base / "w2"),
                span_dup_max=1.5)
+
+
+def test_ingest_span_filter_restages_on_analyzer_change(ray_session,
+                                                        tmp_path_factory):
+    """The span filter's drop set depends on tokenization, so changing
+    the analyzer on resubmit must restage (not serve stale data)."""
+    import json as _json
+    import pyarrow as pa
+
+    base = tmp_path_factory.mktemp("ingest_span_an")
+    rows = [{"url": f"u{i}", "html": f"<html><body>w{i} x{i} y{i}</body></html>",
+             "warc_ts": 1700000000000000 + i, "lang": "en",
+             "text": f"w{i} x{i} y{i}"} for i in range(6)]
+    pages = str(base / "pages.parquet")
+    pa.parquet.write_table(pa.Table.from_pylist(rows), pages)
+    work = str(base / "work")
+    ingest(ray.data.read_parquet(pages), work, analyzer="ascii",
+           target_docs=10, span_dup_max=0.9)
+    marker = f"{work}/staged/_staged_meta.json"
+    with open(marker) as f:
+        first = _json.load(f)
+    assert first["analyzer"] == "ascii"
+    ingest(ray.data.read_parquet(pages), work, analyzer="segmentation",
+           target_docs=10, span_dup_max=0.9)
+    with open(marker) as f:
+        second = _json.load(f)
+    assert second["analyzer"] == "segmentation"
+
+
+def test_classify_rejects_unknown_hash(ray_session):
+    import pytest as _pytest
+
+    from iresearch_ray.pipelines.classify import ClassifyBatch
+
+    with _pytest.raises(ValueError, match="hash family"):
+        ClassifyBatch(hash="MD5")
