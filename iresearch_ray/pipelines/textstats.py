@@ -246,7 +246,23 @@ def top_bigrams(ds, text_column="text", k_top: int = 20, analyzer="ascii",
         StatelessBatchFn(BigramBatch), batch_format="pyarrow",
         concurrency=pool_size(concurrency) if concurrency else None)
     agg = partial.groupby("bigram").aggregate(Sum("n", alias_name="n"))
-    return agg.sort(["n", "bigram"], descending=[True, False]).limit(k_top)
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        # the groupby output holds each bigram exactly once across all
+        # blocks, so trimming each block to its own top k_top keeps every
+        # global winner; the final sort then runs over blocks x k_top
+        # rows instead of ALL distinct bigrams (web-scale: billions)
+        if len(t) <= k_top:
+            return t
+        n = t["n"].to_numpy()
+        grams = np.asarray(t["bigram"].to_pylist(), dtype=object)
+        order = np.lexsort((grams, -n))[:k_top]
+        return t.take(pa.array(np.sort(order)))
+
+    trimmed = agg.map_batches(block_topk, batch_format="pyarrow",
+                              batch_size=None)
+    return trimmed.sort(["n", "bigram"],
+                        descending=[True, False]).limit(k_top)
 
 
 def repetition_stats(ds, text_column="text", id_column="doc_id",
