@@ -20,9 +20,12 @@ from iresearch_ray.search import (
     OrFilter,
     PhraseFilter,
     PrefixFilter,
+    RangeFilter,
     TermFilter,
+    TermsFilter,
     WildcardFilter,
 )
+from iresearch_ray.search.filters import NgramSimilarityFilter
 from iresearch_ray.search.automaton import levenshtein_distances, wildcard_to_regex
 
 N_DOCS = 250
@@ -64,6 +67,37 @@ def _brute(flt, toks) -> set:
                                              flt.max_distance)[0]) <= flt.max_distance
         return {i + 1 for i, ts in enumerate(toks)
                 if any(near(t) for t in set(ts))}
+    if isinstance(flt, TermsFilter):
+        want = set(flt.terms)
+        return {i + 1 for i, ts in enumerate(toks) if want & set(ts)}
+    if isinstance(flt, RangeFilter):
+        def in_range(t):
+            if flt.lo is not None:
+                if t < flt.lo or (t == flt.lo and not flt.include_lo):
+                    return False
+            if flt.hi is not None:
+                if t > flt.hi or (t == flt.hi and not flt.include_hi):
+                    return False
+            return True
+        return {i + 1 for i, ts in enumerate(toks)
+                if any(in_range(t) for t in ts)}
+    if isinstance(flt, NgramSimilarityFilter):
+        # longest (pos, qidx) strictly-increasing chain, brute DP
+        def chain(ts):
+            matches = [(p, j) for p, t in enumerate(ts)
+                       for j, g in enumerate(flt.ngrams) if t == g]
+            import functools
+
+            @functools.lru_cache(maxsize=None)
+            def longest(k):
+                p, j = matches[k]
+                return 1 + max((longest(m) for m in range(k)
+                                if matches[m][0] < p and matches[m][1] < j),
+                               default=0)
+            return max((longest(k) for k in range(len(matches))), default=0)
+        m = len(flt.ngrams)
+        need = max(1, int(np.ceil(flt.threshold * m)))
+        return {i + 1 for i, ts in enumerate(toks) if chain(ts) >= need}
     if isinstance(flt, PhraseFilter):
         words = flt.terms
         return {i + 1 for i, ts in enumerate(toks)
@@ -87,7 +121,8 @@ def _brute(flt, toks) -> set:
 
 def _random_tree(rng, vocab, depth=0):
     kind = rng.choice(["term", "term", "prefix", "wildcard", "fuzzy",
-                       "phrase", "and", "or", "not"]
+                       "phrase", "terms", "range", "ngramsim",
+                       "and", "or", "not"]
                       if depth < 3 else ["term", "prefix", "phrase"])
     if kind == "term":
         return TermFilter(str(rng.choice(vocab + ["missingterm"])))
@@ -98,6 +133,20 @@ def _random_tree(rng, vocab, depth=0):
     if kind == "fuzzy":
         return FuzzyFilter(str(rng.choice(["alpha", "beeta", "zeta"])),
                            max_distance=int(rng.integers(1, 3)))
+    if kind == "terms":
+        n = int(rng.integers(1, 4))
+        return TermsFilter([str(w) for w in rng.choice(vocab, size=n)])
+    if kind == "range":
+        lo, hi = sorted(rng.choice(vocab + ["aa", "zz"], size=2,
+                                   replace=False))
+        return RangeFilter(str(lo), str(hi),
+                           include_lo=bool(rng.random() < 0.5),
+                           include_hi=bool(rng.random() < 0.5))
+    if kind == "ngramsim":
+        n = int(rng.integers(2, 5))
+        return NgramSimilarityFilter(
+            [str(w) for w in rng.choice(vocab, size=n)],
+            threshold=float(rng.choice([0.5, 0.7, 1.0])))
     if kind == "phrase":
         n = int(rng.integers(2, 4))
         return PhraseFilter([str(w) for w in rng.choice(vocab, size=n)])
