@@ -704,6 +704,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ray_docs(sf_dir, ["doc_id", "text"]), hash="md5").to_pandas()
         return out.sort_values(["doc_id", "fingerprint"]).reset_index(drop=True)
 
+    def more_like_this_q(sf_dir):
+        """Classic More-Like-This: seed = doc 0's text, its top-3 tf-idf
+        terms become a BM25 disjunction, top-10 excluding the seed.  The
+        term selection (tf x ln((N+1)/(df+1)), term-asc ties) is
+        IEEE-identical in SQL, so the whole operator has an exact
+        oracle."""
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from iresearch_ray.search import OrFilter, TermFilter
+        from iresearch_ray.search.executor import mlt_terms
+
+        reader = _index_reader(sf_dir)
+        docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
+        seed = docs.filter(pc.equal(docs["doc_id"], 0))["text"][0].as_py()
+        terms = mlt_terms(reader, seed, n_terms=3)
+        flt = OrFilter([TermFilter(t) for t in terms], min_match=1)
+        df = _all_matches(sf_dir, flt)
+        df = df[df["doc_id"] != 0]
+        return (df.sort_values(["score", "doc_id"], ascending=[False, True])
+                .head(10).reset_index(drop=True))
+
     def duplicated_spans_q(sf_dir):
         # md5 token hashes -> the rolling span hash is SQL-reproducible
         out = dedup.duplicated_spans(ray_docs(sf_dir, ["doc_id", "text"]),
@@ -833,6 +856,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination": contamination,
         "simhash_groups": simhash_q,
         "doc_fingerprints": fingerprints_q,
+        "more_like_this": more_like_this_q,
         "duplicated_spans": duplicated_spans_q,
         "duplicated_span_stats": duplicated_span_stats_q,
         "top_bigrams": top_bigrams_q,
@@ -1216,6 +1240,39 @@ SELECT DISTINCT doc_id,
                  THEN 18446744073709551616::HUGEINT ELSE 0 END)::BIGINT
          AS fingerprint
 FROM pick
+""",
+        # more_like_this: tf-idf term selection (tf * ln((N+1)/(df+1)),
+        # both sides IEEE double, term-asc ties) then the summed per-term
+        # BM25 of the picked disjunction — the whole operator in SQL
+        "more_like_this": f"""
+{_TOK_CTE},
+stats AS (SELECT count(*)::DOUBLE AS n, sum(len(ts))::DOUBLE AS tot FROM tok),
+dfs AS (SELECT w, count(*)::DOUBLE AS df
+        FROM (SELECT DISTINCT doc_id, unnest(ts) AS w FROM tok) GROUP BY w),
+seed AS (SELECT w, count(*)::DOUBLE AS f
+         FROM (SELECT unnest(ts) AS w FROM tok WHERE doc_id = 0) GROUP BY w),
+pick AS (SELECT seed.w
+         FROM seed JOIN dfs USING (w), stats s
+         ORDER BY seed.f * ln((s.n + 1) / (dfs.df + 1)) DESC, seed.w
+         LIMIT 3),
+tf AS (SELECT t.doc_id, p.w, len(list_filter(t.ts, x -> x = p.w)) AS f,
+              len(t.ts) AS dl
+       FROM tok t CROSS JOIN pick p),
+sc AS (SELECT tf.doc_id,
+              sum(CASE WHEN tf.f > 0 THEN
+                  (({BM25_K}+1)*ln(1+(s.n-d.df+0.5)/(d.df+0.5)))
+                  - (({BM25_K}+1)*ln(1+(s.n-d.df+0.5)/(d.df+0.5)))
+                    * (({BM25_K}-{BM25_K}*{BM25_B})
+                       + ({BM25_K}*{BM25_B}/(s.tot/s.n))*tf.dl)
+                    / ((({BM25_K}-{BM25_K}*{BM25_B})
+                        + ({BM25_K}*{BM25_B}/(s.tot/s.n))*tf.dl) + tf.f)
+                  ELSE 0 END) AS score,
+              max((tf.f > 0)::INT) AS matched
+       FROM tf JOIN dfs d ON tf.w = d.w, stats s
+       GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 4) AS score
+FROM sc WHERE matched = 1 AND doc_id <> 0
+ORDER BY round(score, 4) DESC, doc_id LIMIT 10
 """,
         # duplicated_spans / duplicated_span_stats: the UNSAMPLED rolling
         # span-hash family (FNV fold over md5_number_lower token hashes,

@@ -444,3 +444,54 @@ def _wand_term(prep: _PreparedTerm, seg: SegmentView, k: int,
     scores = np.concatenate(out_scores)
     order = np.argsort(docs, kind="stable")
     return docs[order], scores[order]
+
+
+def mlt_terms(reader, seed_text: str, n_terms: int = 3,
+              analyzer="ascii") -> list[str]:
+    """Pick the seed text's top ``n_terms`` representative terms by
+    tf-idf: tf within the seed times ln((N+1)/(df+1)), df summed over
+    segment dictionaries, ties broken by term ascending.  Terms absent
+    from the index (df=0) are skipped.  Deterministic by construction,
+    so the whole selection is reproducible in SQL for the correctness
+    oracle."""
+    from collections import Counter
+
+    from iresearch_ray.analysis import get_analyzer
+
+    ana = get_analyzer(analyzer) if isinstance(analyzer, str) else analyzer
+    tf = Counter(ana.tokens(seed_text))
+    if not tf:
+        return []
+    n_total = reader.num_docs
+    scored = []
+    for t, f in tf.items():
+        df = 0
+        for seg in reader.segments:
+            ti = seg.reader.lookup(t)
+            if ti >= 0:
+                df += seg.reader.df(ti)
+        if df > 0:
+            w = float(f) * float(np.log((n_total + 1) / (df + 1)))
+            scored.append((-w, t))
+    scored.sort()
+    return [t for _, t in scored[:n_terms]]
+
+
+def more_like_this(searcher: IndexSearcher, seed_text: str,
+                   n_terms: int = 3, k: int = 10, analyzer="ascii",
+                   exclude_keys=()) -> pd.DataFrame:
+    """Classic More-Like-This (the Lucene MoreLikeThis role, beyond the
+    reference's filter surface): the seed's top tf-idf terms become a
+    scored disjunction; the BM25 top-k matches excluding
+    ``exclude_keys`` (normally the seed doc itself) are returned with
+    the same (doc, key, score) shape as ``search``."""
+    from iresearch_ray.search.filters import OrFilter, TermFilter
+
+    terms = mlt_terms(searcher.reader, seed_text, n_terms, analyzer)
+    if not terms:
+        return pd.DataFrame({"doc": [], "key": [], "score": []})
+    flt = OrFilter([TermFilter(t) for t in terms], min_match=1)
+    excl = set(exclude_keys)
+    out = searcher.search(flt, k=k + len(excl), mode="all")
+    out = out[~out["key"].isin(excl)].head(k).reset_index(drop=True)
+    return out

@@ -469,3 +469,54 @@ def test_expansion_match_cache_uses_oversize_bypass():
     out = Probe()._cached_match(FakeReader())
     assert list(out) == [0, 1, 2]
     assert seen["bypass"] is True
+
+
+def test_more_like_this(index):
+    """mlt_terms picks the seed's highest tf-idf indexed terms
+    deterministically (brute-force cross-check) and more_like_this
+    returns the BM25 top-k of their disjunction minus the seed."""
+    import math
+    from collections import Counter
+
+    from iresearch_ray.search.executor import mlt_terms, more_like_this
+
+    reader, oracle = index
+    t = synthesize_pages(N_DOCS)
+    corpus = dict(zip(t["url"].to_pylist(), t["text"].to_pylist()))
+    seed_key = oracle.keys[0]
+    seed_text = corpus[seed_key]
+    terms = mlt_terms(reader, seed_text, n_terms=3)
+    assert len(terms) == 3
+
+    # brute-force the selection from the synthesized corpus
+    ana = get_analyzer("ascii")
+    tf = Counter(ana.tokens(seed_text))
+    n_total = len(corpus)
+    df = Counter()
+    for text in corpus.values():
+        df.update(set(ana.tokens(text)))
+    scored = sorted(
+        (-f * math.log((n_total + 1) / (df[t] + 1)), t)
+        for t, f in tf.items() if df[t] > 0)
+    assert terms == [t for _, t in scored[:3]]
+
+    s = IndexSearcher(reader, BM25())
+    out = more_like_this(s, seed_text, n_terms=3, k=10,
+                         exclude_keys={seed_key})
+    # tf-idf favors RARE terms, so the disjunction may match < k docs
+    assert 0 < len(out) <= 10
+    assert seed_key not in set(out["key"])
+    # scores equal the engine's own OR-query scores for the same docs
+    flt = OrFilter([TermFilter(t) for t in terms], min_match=1)
+    ref = s.search(flt, k=11, mode="all")
+    ref = ref[ref["key"] != seed_key].head(10).reset_index(drop=True)
+    assert list(out["key"]) == list(ref["key"])
+    assert np.allclose(out["score"], ref["score"])
+
+
+def test_more_like_this_empty_seed(index):
+    from iresearch_ray.search.executor import more_like_this
+
+    reader, _ = index
+    out = more_like_this(IndexSearcher(reader, BM25()), "??? !!!")
+    assert len(out) == 0
