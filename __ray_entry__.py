@@ -704,6 +704,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ray_docs(sf_dir, ["doc_id", "text"]), hash="md5").to_pandas()
         return out.sort_values(["doc_id", "fingerprint"]).reset_index(drop=True)
 
+    def keyterms_q(sf_dir):
+        out = textstats.keyterms(
+            ray_docs(sf_dir, ["doc_id", "text"]), n_terms=3).to_pandas()
+        return out.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
     def more_like_this_q(sf_dir):
         """Classic More-Like-This: seed = doc 0's text, its top-3 tf-idf
         terms become a BM25 disjunction, top-10 excluding the seed.  The
@@ -857,6 +862,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_groups": simhash_q,
         "doc_fingerprints": fingerprints_q,
         "more_like_this": more_like_this_q,
+        "keyterms": keyterms_q,
         "duplicated_spans": duplicated_spans_q,
         "duplicated_span_stats": duplicated_span_stats_q,
         "top_bigrams": top_bigrams_q,
@@ -1273,6 +1279,23 @@ sc AS (SELECT tf.doc_id,
 SELECT doc_id, round(score, 4) AS score
 FROM sc WHERE matched = 1 AND doc_id <> 0
 ORDER BY round(score, 4) DESC, doc_id LIMIT 10
+""",
+        # keyterms: per-doc top-3 tf-idf terms, same IEEE selection
+        # arithmetic as more_like_this applied per document
+        "keyterms": f"""
+{_TOK_CTE},
+stats AS (SELECT count(*)::DOUBLE AS n FROM tok),
+dfs AS (SELECT w, count(*)::DOUBLE AS df
+        FROM (SELECT DISTINCT doc_id, unnest(ts) AS w FROM tok) GROUP BY w),
+tfs AS (SELECT doc_id, w, count(*)::DOUBLE AS tf
+        FROM (SELECT doc_id, unnest(ts) AS w FROM tok) GROUP BY doc_id, w),
+rk AS (SELECT doc_id, w,
+              row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY tfs.tf * ln((s.n+1)/(d.df+1))
+                                          DESC, w) AS rank
+       FROM tfs JOIN dfs d USING (w), stats s)
+SELECT doc_id, w AS term, rank::BIGINT AS rank
+FROM rk WHERE rank <= 3 ORDER BY doc_id, rank
 """,
         # duplicated_spans / duplicated_span_stats: the UNSAMPLED rolling
         # span-hash family (FNV fold over md5_number_lower token hashes,

@@ -327,3 +327,92 @@ def repetition_stats(ds, text_column="text", id_column="doc_id",
     return ds.map_batches(
         StatelessBatchFn(RepBatch), batch_format="pyarrow",
         concurrency=pool_size(concurrency) if concurrency else None)
+
+
+def keyterms(ds, n_terms: int = 3, text_column="text", id_column="doc_id",
+             analyzer="ascii", concurrency=None, hash: str = "stable"):
+    """Per-document keyword extraction: each doc's top ``n_terms`` terms
+    by tf-idf (tf within the doc x ln((N+1)/(df+1)), ties broken by term
+    ascending) -> Dataset(doc_id, term, rank) — the tagging operator a
+    training-data pipeline uses to label corpus slices.
+
+    Two passes, both scale-shaped: (1) the corpus (term, df) table from
+    per-batch partials + one small groupby, pulled sorted BY TERM HASH
+    and broadcast once via ray.put (vocabulary-sized — the standard
+    broadcast-side assumption, documented); (2) a shuffle-free
+    map_batches that scores every (doc, term) pair against the broadcast
+    df map with one searchsorted per batch and ranks per doc with a
+    single lexsort.  The selection arithmetic is IEEE-identical to the
+    SQL oracle (same tf * ln((N+1)/(df+1)) double ops).
+
+    The df map keys on 64-bit term hashes (vocab^2 / 2^64 collision odds
+    — the same documented assumption as the LSH band keys; a collision
+    would only nudge one term's idf).
+    """
+    import ray
+
+    from iresearch_ray.pipelines.dedup import _sorted_member, _term_hasher
+
+    hasher = _term_hasher(hash)
+    # pass 1: (term, df) partials -> small groupby -> broadcast hash map
+    df_tbl = term_frequencies(ds, text_column=text_column,
+                              analyzer=analyzer,
+                              concurrency=concurrency).to_pandas()
+    n_total = ds.count()
+    if len(df_tbl):
+        th = hasher(df_tbl["term"].to_numpy())
+        order = np.argsort(th)
+        df_ref = ray.put((th[order],
+                          df_tbl["df"].to_numpy()[order].astype(np.float64)))
+    else:
+        df_ref = ray.put((np.empty(0, np.uint64), np.empty(0, np.float64)))
+
+    class KeyTermBatch:
+        def __init__(self):
+            self.analyzer = get_analyzer(analyzer)
+            self.hasher = _term_hasher(hash)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            codes, dict_np, doc_idx, doc_len = _coded_tokens(
+                self.analyzer, b[text_column])
+            empty = pa.table({id_column: pa.array([], b[id_column].type),
+                              "term": pa.array([], pa.string()),
+                              "rank": pa.array([], pa.int64())})
+            if not len(codes):
+                return empty
+            D = len(dict_np)
+            uq, tf = np.unique(doc_idx * D + codes, return_counts=True)
+            udoc, ucode = uq // D, uq % D
+            th_sorted, df_sorted = ray.get(df_ref)
+            bh = self.hasher(dict_np)
+            if len(th_sorted):
+                pos = np.searchsorted(th_sorted, bh)
+                pos[pos == len(th_sorted)] = 0
+                hit = _sorted_member(th_sorted, bh)
+                dfv = np.where(hit, df_sorted[pos], 0.0)
+            else:
+                dfv = np.zeros(len(bh), dtype=np.float64)
+            score = tf.astype(np.float64) * np.log(
+                (n_total + 1) / (dfv[ucode] + 1))
+            keep = dfv[ucode] > 0
+            udoc, ucode, score = udoc[keep], ucode[keep], score[keep]
+            if not len(udoc):
+                return empty
+            terms = dict_np[ucode]
+            order = np.lexsort((terms, -score, udoc))
+            udoc, terms = udoc[order], terms[order]
+            starts = np.flatnonzero(np.r_[True, udoc[1:] != udoc[:-1]])
+            ordinal = np.arange(len(udoc)) - np.repeat(
+                starts, np.diff(np.r_[starts, len(udoc)]))
+            keep2 = ordinal < n_terms
+            ids = b[id_column].to_numpy(zero_copy_only=False)
+            return pa.table({
+                id_column: pa.array(ids[udoc[keep2]],
+                                    type=b[id_column].type),
+                "term": pa.array(terms[keep2], pa.string()),
+                "rank": pa.array((ordinal[keep2] + 1).astype(np.int64)),
+            })
+
+    return ds.map_batches(
+        StatelessBatchFn(KeyTermBatch), batch_format="pyarrow",
+        concurrency=pool_size(concurrency) if concurrency else None)

@@ -286,3 +286,37 @@ def test_grouped_count_min_matches_pandas(ray_session, rows, min_count):
         assert (got["k"].to_numpy() == exp["k"].to_numpy()).all()
         assert (got["n"].to_numpy() == exp["n"].to_numpy()).all()
         assert (got["m"].to_numpy() == exp["m"].to_numpy()).all()
+
+
+def test_keyterms_bruteforce_and_hash_independence(ray_session):
+    """keyterms == a per-doc brute-force tf-idf ranking; stable and md5
+    term-hash maps give identical output."""
+    import math
+
+    rows = [{"doc_id": 1, "text": "rare rare common common common"},
+            {"doc_id": 2, "text": "common other words here rare"},
+            {"doc_id": 3, "text": "common common unique1 unique2"},
+            {"doc_id": 4, "text": ""}]
+    ds = ray.data.from_items(rows)
+    out = (textstats.keyterms(ds, n_terms=2).to_pandas()
+           .sort_values(["doc_id", "rank"]).reset_index(drop=True))
+    ana = get_analyzer("ascii")
+    corpus = {r["doc_id"]: ana.tokens(r["text"]) for r in rows}
+    df = collections.Counter()
+    for ts in corpus.values():
+        df.update(set(ts))
+    n_total = len(rows)
+    exp = []
+    for doc_id, ts in corpus.items():
+        tf = collections.Counter(ts)
+        scored = sorted((-f * math.log((n_total + 1) / (df[t] + 1)), t)
+                        for t, f in tf.items())
+        for r, (_, t) in enumerate(scored[:2], 1):
+            exp.append((doc_id, t, r))
+    got = list(zip(out["doc_id"], out["term"], out["rank"]))
+    assert got == exp
+    ds2 = ray.data.from_items(rows)
+    out_md5 = (textstats.keyterms(ds2, n_terms=2, hash="md5").to_pandas()
+               .sort_values(["doc_id", "rank"]).reset_index(drop=True))
+    assert got == list(zip(out_md5["doc_id"], out_md5["term"],
+                           out_md5["rank"]))
