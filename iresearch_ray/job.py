@@ -198,6 +198,9 @@ def cmd_stats(a) -> dict:
         if a.op == "bigrams":
             return T.top_bigrams(ds, text_column=a.text_column,
                                  k_top=a.k_top, analyzer=a.analyzer)
+        if a.op == "keyterms":
+            return T.keyterms(ds, n_terms=a.k_top, text_column=a.text_column,
+                              id_column=a.id_column, analyzer=a.analyzer)
         return T.term_frequencies(ds, text_column=a.text_column,
                                   analyzer=a.analyzer)  # termfreq
 
@@ -259,7 +262,7 @@ def main(argv=None) -> int:
     s.add_argument("--output", required=True)
     s.add_argument("--op", required=True,
                    choices=("quality", "langid", "repetition", "bigrams",
-                            "termfreq"))
+                            "keyterms", "termfreq"))
     s.add_argument("--k-top", type=int, default=20)
     s.add_argument("--id-column", default="doc_id")
     s.add_argument("--text-column", default="text")
