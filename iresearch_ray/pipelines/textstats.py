@@ -330,7 +330,8 @@ def repetition_stats(ds, text_column="text", id_column="doc_id",
 
 
 def keyterms(ds, n_terms: int = 3, text_column="text", id_column="doc_id",
-             analyzer="ascii", concurrency=None, hash: str = "stable"):
+             analyzer="ascii", concurrency=None, hash: str = "stable",
+             n_total: int | None = None):
     """Per-document keyword extraction: each doc's top ``n_terms`` terms
     by tf-idf (tf within the doc x ln((N+1)/(df+1)), ties broken by term
     ascending) -> Dataset(doc_id, term, rank) — the tagging operator a
@@ -351,14 +352,17 @@ def keyterms(ds, n_terms: int = 3, text_column="text", id_column="doc_id",
     """
     import ray
 
-    from iresearch_ray.pipelines.dedup import _sorted_member, _term_hasher
+    from iresearch_ray.pipelines.dedup import _term_hasher
 
     hasher = _term_hasher(hash)
     # pass 1: (term, df) partials -> small groupby -> broadcast hash map
     df_tbl = term_frequencies(ds, text_column=text_column,
                               analyzer=analyzer,
                               concurrency=concurrency).to_pandas()
-    n_total = ds.count()
+    if n_total is None:
+        # metadata-only for parquet reads; for derived datasets pass
+        # n_total explicitly to avoid re-executing the upstream lineage
+        n_total = ds.count()
     if len(df_tbl):
         th = hasher(df_tbl["term"].to_numpy())
         order = np.argsort(th)
@@ -388,8 +392,7 @@ def keyterms(ds, n_terms: int = 3, text_column="text", id_column="doc_id",
             if len(th_sorted):
                 pos = np.searchsorted(th_sorted, bh)
                 pos[pos == len(th_sorted)] = 0
-                hit = _sorted_member(th_sorted, bh)
-                dfv = np.where(hit, df_sorted[pos], 0.0)
+                dfv = np.where(th_sorted[pos] == bh, df_sorted[pos], 0.0)
             else:
                 dfv = np.zeros(len(bh), dtype=np.float64)
             score = tf.astype(np.float64) * np.log(

@@ -465,11 +465,7 @@ def mlt_terms(reader, seed_text: str, n_terms: int = 3,
     n_total = reader.num_docs
     scored = []
     for t, f in tf.items():
-        df = 0
-        for seg in reader.segments:
-            ti = seg.reader.lookup(t)
-            if ti >= 0:
-                df += seg.reader.df(ti)
+        df = reader.df(t)
         if df > 0:
             w = float(f) * float(np.log((n_total + 1) / (df + 1)))
             scored.append((-w, t))
@@ -489,7 +485,9 @@ def more_like_this(searcher: IndexSearcher, seed_text: str,
 
     terms = mlt_terms(searcher.reader, seed_text, n_terms, analyzer)
     if not terms:
-        return pd.DataFrame({"doc": [], "key": [], "score": []})
+        return pd.DataFrame({"doc": pd.Series([], dtype=np.int64),
+                             "key": pd.Series([], dtype=object),
+                             "score": pd.Series([], dtype=np.float64)})
     flt = OrFilter([TermFilter(t) for t in terms], min_match=1)
     excl = set(exclude_keys)
     out = searcher.search(flt, k=k + len(excl), mode="all")
