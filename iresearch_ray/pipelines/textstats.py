@@ -331,7 +331,7 @@ def repetition_stats(ds, text_column="text", id_column="doc_id",
 
 def keyterms(ds, n_terms: int = 3, text_column="text", id_column="doc_id",
              analyzer="ascii", concurrency=None, hash: str = "stable",
-             n_total: int | None = None):
+             n_total: int | None = None, max_broadcast: int = 50_000_000):
     """Per-document keyword extraction: each doc's top ``n_terms`` terms
     by tf-idf (tf within the doc x ln((N+1)/(df+1)), ties broken by term
     ascending) -> Dataset(doc_id, term, rank) — the tagging operator a
@@ -359,6 +359,11 @@ def keyterms(ds, n_terms: int = 3, text_column="text", id_column="doc_id",
     df_tbl = term_frequencies(ds, text_column=text_column,
                               analyzer=analyzer,
                               concurrency=concurrency).to_pandas()
+    if len(df_tbl) > max_broadcast:
+        raise ValueError(
+            f"vocabulary ({len(df_tbl)} terms) exceeds "
+            f"max_broadcast={max_broadcast}; pre-filter noise tokens (e.g. "
+            "a min-df pass) before keyword extraction")
     if n_total is None:
         # metadata-only for parquet reads; for derived datasets pass
         # n_total explicitly to avoid re-executing the upstream lineage

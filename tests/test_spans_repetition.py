@@ -320,3 +320,9 @@ def test_keyterms_bruteforce_and_hash_independence(ray_session):
                .sort_values(["doc_id", "rank"]).reset_index(drop=True))
     assert got == list(zip(out_md5["doc_id"], out_md5["term"],
                            out_md5["rank"]))
+
+
+def test_keyterms_vocab_broadcast_guard(ray_session):
+    rows = [{"doc_id": 1, "text": "a b c d e f"}]
+    with pytest.raises(ValueError, match="max_broadcast"):
+        textstats.keyterms(ray.data.from_items(rows), max_broadcast=2)
