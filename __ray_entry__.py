@@ -911,6 +911,82 @@ ORDER BY list_cosine_similarity(b.v, qb.qv) DESC, b.vec_id LIMIT 10
 """
 
 
+def _ivf_oracle_sql(n_rows: int = 500, n_cells: int = 8, iters: int = 10,
+                    n_probe: int = 3, k: int = 10, seed: int = 42) -> str:
+    """SQL twin of ann_ivf (build_ivf_index(n_cells=8) + ivf_index_topk
+    n_probe=3, query = vec 0): the ENTIRE spherical k-means (seeded init,
+    10 Lloyd iterations, empty-cell carry, renormalize) runs in chained
+    MATERIALIZED CTEs, then cell assignment, probe selection, and the
+    (cosine DESC, vec_id) top-k — the full approximate operator in SQL.
+
+    The driver's sf0.01 embeddings have vec_id = 0..n-1, so the
+    scattered-sample hash order and the seeded init permutation are
+    functions of the SHAPE alone: the ``n_cells`` init vec_ids are
+    computed here (same splitmix64 + rng(42).permutation the engine
+    uses) and inlined.  Generated for the contract's n_rows=500 shape.
+
+    Float safety, measured on the fixed sf0.01 table: training in
+    float32 (engine) vs float64 (SQL) leaves centroids within 5.5e-8,
+    with ZERO assignment flips over all 500 vectors and identical
+    top-10; perturbing the mean's summation order (what SQL avg() may
+    do) moves centroids by 1 ulp with zero flips.  Ties in the argmax
+    break toward the lowest cell index on both sides (numpy first-max ==
+    row_number ... ORDER BY dot DESC, j).
+    """
+    ids = np.arange(n_rows, dtype=np.int64)
+    h = ids.astype(np.uint64).copy()
+    h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    h = h ^ (h >> np.uint64(31))
+    order = np.argsort(h, kind="stable")
+    perm = np.random.default_rng(seed).permutation(n_rows)[:n_cells]
+    init_ids = ids[order][perm]
+    init_rows = ", ".join(f"({j}, {int(v)})" for j, v in enumerate(init_ids))
+
+    norm = ("list_transform(v0, y -> y / greatest("
+            "sqrt(list_dot_product(v0, v0)), 1e-30))")
+    parts = [f"""
+WITH en AS MATERIALIZED (SELECT vec_id, {norm} AS v
+            FROM (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings)),
+edim AS MATERIALIZED (SELECT vec_id, unnest(v) AS x,
+                generate_subscripts(v, 1) AS i FROM en),
+init(j, vid) AS (VALUES {init_rows}),
+c0 AS MATERIALIZED (SELECT init.j, en.v AS c
+                    FROM init JOIN en ON en.vec_id = init.vid)"""]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        parts.append(f""",
+a{it} AS MATERIALIZED (SELECT vec_id, j FROM (
+    SELECT e.vec_id, c.j,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_dot_product(e.v, c.c) DESC, c.j)
+             AS rn
+    FROM en e, {prev} c) WHERE rn = 1),
+u{it} AS MATERIALIZED (SELECT a.j, d.i, avg(d.x) AS x
+          FROM a{it} a JOIN edim d USING (vec_id) GROUP BY a.j, d.i),
+m{it} AS MATERIALIZED (SELECT p.j, coalesce(n.cl, p.c) AS v0
+          FROM {prev} p LEFT JOIN
+               (SELECT j, list(x ORDER BY i) AS cl FROM u{it} GROUP BY j) n
+               USING (j)),
+c{it} AS MATERIALIZED (SELECT j, {norm} AS c FROM m{it})""")
+        prev = f"c{it}"
+    parts.append(f""",
+afin AS MATERIALIZED (SELECT vec_id, j FROM (
+    SELECT e.vec_id, c.j,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_dot_product(e.v, c.c) DESC, c.j)
+             AS rn
+    FROM en e, {prev} c) WHERE rn = 1),
+qv AS (SELECT v AS q FROM en WHERE vec_id = 0),
+probe AS (SELECT c.j FROM {prev} c, qv
+          ORDER BY list_dot_product(qv.q, c.c) DESC, c.j LIMIT {n_probe})
+SELECT e.vec_id
+FROM en e JOIN afin USING (vec_id), qv
+WHERE afin.j IN (SELECT j FROM probe)
+ORDER BY list_cosine_similarity(e.v, qv.q) DESC, e.vec_id LIMIT {k}""")
+    return "".join(parts)
+
+
 def _minhash_oracle_sql() -> str:
     """SQL twin of minhash_lsh_pairs(threshold=0.9, hash='md5'): the 64
     seeded affine params are inlined so DuckDB computes the exact same
@@ -1399,6 +1475,9 @@ FROM agg ORDER BY doc_id
         # whole probe + rank is SQL-reproducible with the planes inlined
         # (see _lsh_oracle_sql float-safety margins)
         "ann_lsh": _lsh_oracle_sql(),
+        # ann_ivf: the whole k-means quantizer + probe in chained
+        # MATERIALIZED CTEs (see _ivf_oracle_sql float-safety margins)
+        "ann_ivf": _ivf_oracle_sql(),
         # classify fake: labels[(md5_number_lower(text) + 0) % n] — the
         # md5-family text hash makes the deterministic fake classifier
         # fully SQL-reproducible (the real-model path stays
@@ -1443,6 +1522,4 @@ SELECT doc_id,
             THEN 1.0 ELSE 0.8 END AS sim
 FROM (SELECT DISTINCT doc_id FROM c4) ORDER BY doc_id
 """,
-        # ann_ivf remains intentionally omitted: the iterative k-means
-        # quantizer is not ANSI-SQL-expressible -> rows-only.
     }
