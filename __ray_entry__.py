@@ -946,8 +946,15 @@ def _ivf_oracle_sql(n_rows: int = 500, n_cells: int = 8, iters: int = 10,
     norm = ("list_transform(v0, y -> y / greatest("
             "sqrt(list_dot_product(v0, v0)), 1e-30))")
     parts = [f"""
-WITH en AS MATERIALIZED (SELECT vec_id, {norm} AS v
-            FROM (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings)),
+WITH shape_guard AS (
+  SELECT CASE WHEN count(*) <> {n_rows} THEN error(
+    'ann_ivf oracle generated for n_rows={n_rows} (the contract sf); '
+    || 'this embeddings table has ' || count(*) || ' rows — regenerate '
+    || 'via _ivf_oracle_sql(n_rows=...)') ELSE 1 END AS ok
+  FROM embeddings),
+en AS MATERIALIZED (SELECT vec_id, {norm} AS v
+            FROM (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings),
+                 shape_guard WHERE shape_guard.ok = 1),
 edim AS MATERIALIZED (SELECT vec_id, unnest(v) AS x,
                 generate_subscripts(v, 1) AS i FROM en),
 init(j, vid) AS (VALUES {init_rows}),
