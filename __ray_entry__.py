@@ -704,6 +704,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ray_docs(sf_dir, ["doc_id", "text"]), hash="md5").to_pandas()
         return out.sort_values(["doc_id", "fingerprint"]).reset_index(drop=True)
 
+    def multimodal_frames_q(sf_dir):
+        """Frame-sampling fan-out over the derived pages' html payloads:
+        one row per sampled frame; counts are a pure function of payload
+        size (deterministic stub), so the fan-out plumbing has an exact
+        byte-arithmetic oracle."""
+        import ray.data
+        from iresearch_ray.sources.pages import pages_from_documents
+
+        ds = ray.data.from_arrow(pages_from_documents(sf_dir))
+        out = multimodal.sample_frames(
+            ds.select_columns(["url", "html"]), payload_column="html",
+            frame_bytes=64, every_n=2, max_frames=4).to_pandas()
+        return (pd.DataFrame({"url": out["url"],
+                              "frame_idx": out["frame_idx"].astype(np.int64),
+                              "frame_bytes": out["frame"].map(len).astype(np.int64)})
+                .sort_values(["url", "frame_idx"]).reset_index(drop=True))
+
     def keyterms_q(sf_dir):
         out = textstats.keyterms(
             ray_docs(sf_dir, ["doc_id", "text"]), n_terms=3).to_pandas()
@@ -863,6 +880,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": fingerprints_q,
         "more_like_this": more_like_this_q,
         "keyterms": keyterms_q,
+        "multimodal_frames": multimodal_frames_q,
         "duplicated_spans": duplicated_spans_q,
         "duplicated_span_stats": duplicated_span_stats_q,
         "top_bigrams": top_bigrams_q,
@@ -1362,6 +1380,20 @@ sc AS (SELECT tf.doc_id,
 SELECT doc_id, round(score, 4) AS score
 FROM sc WHERE matched = 1 AND doc_id <> 0
 ORDER BY round(score, 4) DESC, doc_id LIMIT 10
+""",
+        # multimodal_frames: the deterministic frame-sampling stub makes
+        # the fan-out row set pure byte arithmetic over the derived html
+        # payload (26 wrapper bytes + utf8 text; 64-byte chunks, every
+        # 2nd, max 4)
+        "multimodal_frames": """
+WITH base AS (SELECT printf('https://docs.example/%08d', doc_id) AS url,
+                     26 + octet_length(encode(text)) AS L FROM documents),
+n AS (SELECT url, L, (L + 63) // 64 AS nc FROM base),
+f AS (SELECT url, L, nc, unnest(range(least(4, (nc + 1) // 2))) AS j FROM n)
+SELECT url, j::BIGINT AS frame_idx,
+       (CASE WHEN 2*j = nc - 1 THEN L - 2*j*64 ELSE 64 END)::BIGINT
+         AS frame_bytes
+FROM f ORDER BY url, frame_idx
 """,
         # keyterms: per-doc top-3 tf-idf terms, same IEEE selection
         # arithmetic as more_like_this applied per document

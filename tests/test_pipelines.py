@@ -746,3 +746,45 @@ def test_embedding_exact_streams_blocks(ray_session):
     # exactly once each (duplicate pairs would break downstream union-find
     # counters)
     assert len(out) == len(want)
+
+
+def test_multimodal_resize_and_frames(ray_session):
+    """resize_images keeps output size exactly proportional to the target
+    box; sample_frames fans one input row out to its sampled chunks with
+    passthrough columns replicated."""
+    import pyarrow as pa
+    import ray.data
+
+    from iresearch_ray.pipelines.multimodal import (
+        FrameSampleBatch,
+        ResizeBatch,
+        resize_images,
+        sample_frames,
+    )
+
+    rows = [{"vid": "a", "blob": bytes(range(256)) * 3},    # 768 B
+            {"vid": "b", "blob": b"xy"},
+            {"vid": "c", "blob": b""}]
+    ds = ray.data.from_arrow(pa.table({
+        "vid": pa.array([r["vid"] for r in rows]),
+        "blob": pa.array([r["blob"] for r in rows], pa.binary())}))
+    rz = resize_images(ds, payload_column="blob", target_w=8,
+                       target_h=4).to_pandas().sort_values("vid")
+    assert [len(x) for x in rz["resized"]] == [32, 32, 32]
+    assert (rz["width"] == 8).all() and (rz["height"] == 4).all()
+
+    ds = ray.data.from_arrow(pa.table({
+        "vid": pa.array([r["vid"] for r in rows]),
+        "blob": pa.array([r["blob"] for r in rows], pa.binary())}))
+    fr = (sample_frames(ds, payload_column="blob", frame_bytes=256,
+                        every_n=2, max_frames=8).to_pandas()
+          .sort_values(["vid", "frame_idx"]))
+    # a: 3 chunks -> picks 0,2 ; b: 1 chunk -> pick 0 ; c: empty -> none
+    assert list(zip(fr["vid"], fr["frame_idx"])) == [("a", 0), ("a", 1),
+                                                     ("b", 0)]
+    assert [len(x) for x in fr["frame"]] == [256, 256, 2]
+
+    with pytest.raises(NotImplementedError):
+        ResizeBatch(fake=None)._resize_stub(b"z")
+    with pytest.raises(NotImplementedError):
+        FrameSampleBatch(fake=None)._frames_stub(b"z")
