@@ -887,8 +887,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": repetition_stats_q,
         # --- similarity search ---
         "ann_cosine": ann_cosine,
-        "ann_lsh": ann_lsh,                        # rows-only (approximate)
-        "ann_ivf": ann_ivf,                        # rows-only (approximate)
+        "ann_lsh": ann_lsh,                        # inlined-planes oracle
+        "ann_ivf": ann_ivf,                        # k-means-in-SQL oracle
         # --- multimodal plumbing ---
         "multimodal_features": multimodal_q,       # deterministic stub -> oracle
     }

@@ -634,7 +634,14 @@ class SegmentReader:
         return int(self.terms_table["df"][idx].as_py())
 
     def df_array(self) -> np.ndarray:
-        return self.terms_table["df"].to_numpy()
+        # cached: IndexReader.df() is called once per probe TERM (e.g.
+        # mlt_terms over a long seed doc) — re-materializing the whole
+        # column per call is O(terms x vocab) copies
+        cached = getattr(self, "_df_np", None)
+        if cached is None:
+            cached = self.terms_table["df"].to_numpy()
+            self._df_np = cached
+        return cached
 
     def term_max_freq(self, idx: int) -> int:
         """Whole-list max freq of term row ``idx`` (term-level WAND bound)."""

@@ -133,18 +133,19 @@ def _count_parquet_rows(path: str) -> int:
                for f in glob.glob(os.path.join(path, "*.parquet")))
 
 
-def _run_staged_op(a, name_field: str, build_op, extra_params: dict) -> dict:
-    """Shared runner for the dedup/stats subcommands: column-pruned read,
-    atomic staged Parquet output (resumable: same input + config is a
-    no-op on resubmit), row counts from Parquet footers — never a
-    re-execution."""
+def _run_staged_op(a, name_field: str, build_op, extra_params: dict,
+                   columns: list | None = None) -> dict:
+    """Shared runner for the dedup/stats subcommands: column-pruned read
+    (ops that never touch the id column read text only), atomic staged
+    Parquet output (resumable: same input + config is a no-op on
+    resubmit), row counts from Parquet footers — never a re-execution."""
     import ray.data
 
     from iresearch_ray.util import input_fingerprint, stage_parquet_atomic
 
     t0 = time.monotonic()
-    ds = ray.data.read_parquet(a.input,
-                               columns=[a.id_column, a.text_column])
+    ds = ray.data.read_parquet(
+        a.input, columns=columns or [a.id_column, a.text_column])
     params = {name_field: getattr(a, name_field),
               "analyzer": a.analyzer, "text_column": a.text_column,
               "id_column": a.id_column, **extra_params,
@@ -204,7 +205,11 @@ def cmd_stats(a) -> dict:
         return T.term_frequencies(ds, text_column=a.text_column,
                                   analyzer=a.analyzer)  # termfreq
 
-    return _run_staged_op(a, "op", build_op, {"k_top": a.k_top})
+    # corpus-global ops never touch the id column — prune it at the read
+    cols = ([a.text_column] if a.op in ("bigrams", "termfreq")
+            else [a.id_column, a.text_column])
+    return _run_staged_op(a, "op", build_op, {"k_top": a.k_top},
+                          columns=cols)
 
 
 def main(argv=None) -> int:

@@ -1104,12 +1104,13 @@ class _SpanHashBatch:
     equality is exact k-gram equality (up to the 64-bit hash).  Only
     (hash, id) rows ever leave the node — never document text."""
 
-    def __init__(self, text_column, id_column, analyzer, k, hash):
+    def __init__(self, text_column, id_column, analyzer, k, hash,
+                 analyzer_opts=None):
         from iresearch_ray.analysis import get_analyzer as _ga
 
         self.text_column = text_column
         self.id_column = id_column
-        self.analyzer = _ga(analyzer)
+        self.analyzer = _ga(analyzer, **(analyzer_opts or {}))
         self.k = k
         self.hasher = _term_hasher(hash)
 
@@ -1135,7 +1136,8 @@ class _SpanHashBatch:
 def duplicated_spans(ds, text_column: str = "text", id_column: str = "doc_id",
                      analyzer: str = "ascii", k: int = 5,
                      min_docs: int = 2, hash: str = "stable",
-                     concurrency: int | None = None):
+                     concurrency: int | None = None,
+                     analyzer_opts: dict | None = None):
     """Exact substring-duplication detection: spans (k-token windows)
     whose hash occurs in >= ``min_docs`` DISTINCT documents ->
     Dataset(span_hash, n_docs, keep_id=min doc id).
@@ -1162,7 +1164,7 @@ def duplicated_spans(ds, text_column: str = "text", id_column: str = "doc_id",
     spans = ds.map_batches(
         StatelessBatchFn(_SpanHashBatch, dict(
             text_column=text_column, id_column=id_column, analyzer=analyzer,
-            k=k, hash=hash)),
+            k=k, hash=hash, analyzer_opts=analyzer_opts)),
         batch_format="pyarrow",
         concurrency=pool_size(concurrency) if concurrency else None)
 
@@ -1174,7 +1176,8 @@ def duplicated_span_stats(ds, text_column: str = "text",
                           id_column: str = "doc_id", analyzer: str = "ascii",
                           k: int = 5, min_docs: int = 2, hash: str = "stable",
                           concurrency: int | None = None,
-                          max_broadcast: int = 50_000_000):
+                          max_broadcast: int = 50_000_000,
+                          analyzer_opts: dict | None = None):
     """Per-document duplicated-span statistics ->
     Dataset(doc_id, n_spans, n_dup_spans, dup_frac): of each doc's
     DISTINCT k-token span hashes, how many are duplicated across the
@@ -1194,7 +1197,8 @@ def duplicated_span_stats(ds, text_column: str = "text",
 
     dup = duplicated_spans(ds, text_column=text_column, id_column=id_column,
                            analyzer=analyzer, k=k, min_docs=min_docs,
-                           hash=hash, concurrency=concurrency)
+                           hash=hash, concurrency=concurrency,
+                           analyzer_opts=analyzer_opts)
     chunks = [b["span_hash"].to_numpy()
               for b in dup.select_columns(["span_hash"])
               .iter_batches(batch_format="pyarrow")]
@@ -1234,6 +1238,6 @@ def duplicated_span_stats(ds, text_column: str = "text",
     return ds.map_batches(
         StatelessBatchFn(StatsBatch, dict(
             text_column=text_column, id_column=id_column, analyzer=analyzer,
-            k=k, hash=hash)),
+            k=k, hash=hash, analyzer_opts=analyzer_opts)),
         batch_format="pyarrow",
         concurrency=pool_size(concurrency) if concurrency else None)

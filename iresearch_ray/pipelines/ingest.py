@@ -33,18 +33,17 @@ def _drop_ids(stream, sorted_ids: np.ndarray, key_column: str):
     near-dup and span-duplication drop stages."""
     import ray
 
+    from iresearch_ray.pipelines.dedup import _sorted_member
+
     ref = ray.put(sorted_ids)
 
     def drop(b: pa.Table) -> pa.Table:
         if not b.num_rows:
             return b
-        dr = ray.get(ref)
         # no astype: numpy compares mixed-width unicode exactly; a width
         # cast could truncate long ids
         ids = np.asarray(b[key_column].to_pylist())
-        at = np.searchsorted(dr, ids)
-        at[at == len(dr)] = 0
-        return b.filter(pa.array(dr[at] != ids))
+        return b.filter(pa.array(~_sorted_member(ray.get(ref), ids)))
 
     return stream.map_batches(drop, batch_format="pyarrow")
 
@@ -96,8 +95,9 @@ def ingest(ds, work_dir: str, *, analyzer: str = "ascii",
                       "near_dup_threshold": float(near_dup_threshold),
                       "span_dup_max": span_dup_max, "span_k": int(span_k),
                       # the span filter's drop set depends on tokenization,
-                      # so a changed analyzer must restage
+                      # so a changed analyzer (or its options) must restage
                       "analyzer": analyzer,
+                      "analyzer_opts": analyzer_opts or {},
                       "key_column": key_column,
                       "input": input_fingerprint(ds)}
     counters = {"n_dropped": 0, "n_near_dropped": 0, "n_span_dropped": 0}
@@ -172,7 +172,7 @@ def ingest(ds, work_dir: str, *, analyzer: str = "ascii",
             # filter on the per-doc stats stream, never the full listing)
             over = (duplicated_span_stats(
                         extracted, id_column=key_column, k=span_k,
-                        analyzer=analyzer)
+                        analyzer=analyzer, analyzer_opts=analyzer_opts)
                     .map_batches(lambda t: t.filter(
                         pc.greater(t["dup_frac"], span_dup_max)),
                         batch_format="pyarrow")

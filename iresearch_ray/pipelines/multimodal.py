@@ -52,12 +52,13 @@ class DecodeFeatureBatch:
 
 
 def decode_features(ds, payload_column: str = "html", feature_dim: int = 16,
-                    concurrency: int = 2, batch_size: int = 64):
+                    concurrency: int = 2, batch_size: int = 64,
+                    fake: str | None = "deterministic"):
     """Pipeline wrapper: large-binary-safe actor-pool decode stage."""
     return ds.map_batches(
         DecodeFeatureBatch,
         fn_constructor_kwargs=dict(payload_column=payload_column,
-                                   feature_dim=feature_dim),
+                                   feature_dim=feature_dim, fake=fake),
         batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)
 
 
@@ -106,12 +107,13 @@ class ResizeBatch:
 
 def resize_images(ds, payload_column: str = "image", target_w: int = 64,
                   target_h: int = 64, concurrency: int = 2,
-                  batch_size: int = 64):
+                  batch_size: int = 64, fake: str | None = "deterministic"):
     """Pipeline wrapper: large-binary-safe actor-pool resize stage."""
     return ds.map_batches(
         ResizeBatch,
         fn_constructor_kwargs=dict(payload_column=payload_column,
-                                   target_w=target_w, target_h=target_h),
+                                   target_w=target_w, target_h=target_h,
+                                   fake=fake),
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency)
 
@@ -166,13 +168,14 @@ class FrameSampleBatch:
 
 def sample_frames(ds, payload_column: str = "video", frame_bytes: int = 256,
                   every_n: int = 2, max_frames: int = 8,
-                  concurrency: int = 2, batch_size: int = 16):
+                  concurrency: int = 2, batch_size: int = 16,
+                  fake: str | None = "deterministic"):
     """Pipeline wrapper: frame-sampling fan-out stage (small batches —
     each input row multiplies into up to ``max_frames`` binary rows)."""
     return ds.map_batches(
         FrameSampleBatch,
         fn_constructor_kwargs=dict(payload_column=payload_column,
                                    frame_bytes=frame_bytes, every_n=every_n,
-                                   max_frames=max_frames),
+                                   max_frames=max_frames, fake=fake),
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency)
