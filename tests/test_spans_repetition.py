@@ -326,3 +326,29 @@ def test_keyterms_vocab_broadcast_guard(ray_session):
     rows = [{"doc_id": 1, "text": "a b c d e f"}]
     with pytest.raises(ValueError, match="max_broadcast"):
         textstats.keyterms(ray.data.from_items(rows), max_broadcast=2)
+
+
+from hypothesis import HealthCheck
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.data_too_large])
+@given(st.lists(st.lists(st.sampled_from("abcdefgh"),
+                         min_size=0, max_size=12),
+                min_size=1, max_size=25),
+       st.integers(1, 6))
+def test_duplicated_spans_property(ray_session, token_lists, k):
+    """duplicated_spans == the brute-force window-set counter for
+    arbitrary tiny corpora at every window length k (heavy collisions by
+    construction: single-letter vocab of 8)."""
+    rows = [{"doc_id": i, "text": " ".join(ts)}
+            for i, ts in enumerate(token_lists)]
+    ds = ray.data.from_items(rows)
+    out = dedup.duplicated_spans(ds, k=k).to_pandas()
+    got = sorted(out["n_docs"]) if len(out) else []   # empty -> column-less
+    spans = _brute_spans(rows, k=k)
+    counts = collections.Counter()
+    for s in spans.values():
+        counts.update(s)
+    exp = sorted(c for c in counts.values() if c >= 2)
+    assert got == exp
