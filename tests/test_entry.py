@@ -71,6 +71,27 @@ def test_every_query_has_an_oracle():
     assert sorted(set(ORACLE) - set(QUERIES)) == []
 
 
+def test_distinctive_queries_fit_driver_window():
+    """The external correctness driver records at most ~50 rows in dict
+    order (CORRECTNESS_r03 truncated at #50 of 54, dropping the whole ANN
+    family). Pin that every distinctive operator family sits inside the
+    first 50 slots and only near-duplicate engine variants risk truncation."""
+    order = list(QUERIES)
+    window = set(order[:50])
+    for name in ["ann_cosine", "ann_lsh", "ann_ivf", "multimodal_features",
+                 "multimodal_frames", "duplicated_spans", "minhash_pairs",
+                 "ngram_jaccard", "embedding_neardup", "keyterms"]:
+        assert name in window, f"{name} outside the driver's 50-row window"
+    # the tail must stay redundant-only: each has an in-window twin
+    twins = {"doc_stats": "quality_stats",
+             "term_search_tfidf": "term_search",
+             "same_position_search": "term_search",
+             "term_topk_distributed": "term_topk"}
+    for name in order[50:]:
+        assert name in twins and twins[name] in window, (
+            f"{name} in the truncation-risk tail without an in-window twin")
+
+
 def test_entry_smoke(ray_session):
     df = entrymod.entry()
     assert len(df) > 0
