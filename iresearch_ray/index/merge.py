@@ -188,25 +188,33 @@ def merge_segment_tables(readers: list[SegmentReader],
 
     # OFFS/PAY streams are occurrence-aligned with positions, so the same
     # gather permutation remaps them (deleted postings' runs drop out with
-    # their position runs)
+    # their position runs).  MIXED feature sets merge like the reference
+    # (merge_writer.cpp:1116-1174 merges any segment combination): a
+    # segment lacking a stream contributes EMPTY entries — zero-width
+    # [0, 0) offsets / zero-byte payloads per occurrence — so the merged
+    # segment declares the union of features and readers see absent data
+    # as empty, never an error
     has_offs = [("offs_starts" in d) for d in decoded]
     has_pay = [("pay_sizes" in d) for d in decoded]
-    if any(has_offs) != all(has_offs) or any(has_pay) != all(has_pay):
-        raise NotImplementedError(
-            "merging segments with mixed index features (some with "
-            "offs/pay, some without) — consolidate like with like")
     offs = None
-    if decoded and all(has_offs):
-        starts_all = np.concatenate([d["offs_starts"] for d in decoded])
-        lens_all = np.concatenate([d["offs_lens"] for d in decoded])
+    if decoded and any(has_offs):
+        starts_all = np.concatenate(
+            [d["offs_starts"] if h else np.zeros(len(d["poss"]), np.int64)
+             for d, h in zip(decoded, has_offs)])
+        lens_all = np.concatenate(
+            [d["offs_lens"] if h else np.zeros(len(d["poss"]), np.int64)
+             for d, h in zip(decoded, has_offs)])
         starts = starts_all[gather] if total else np.empty(0, dtype=np.int64)
         lens = lens_all[gather] if total else np.empty(0, dtype=np.int64)
         offs = (starts, starts + lens)
     pays = None
-    if decoded and all(has_pay):
-        sizes_all = np.concatenate([d["pay_sizes"] for d in decoded])
-        blob_all = (np.concatenate([d["pay_bytes"] for d in decoded])
-                    if decoded else np.empty(0, dtype=np.uint8))
+    if decoded and any(has_pay):
+        sizes_all = np.concatenate(
+            [d["pay_sizes"] if h else np.zeros(len(d["poss"]), np.int64)
+             for d, h in zip(decoded, has_pay)])
+        blob_all = np.concatenate(
+            [d["pay_bytes"] for d, h in zip(decoded, has_pay) if h]
+            or [np.empty(0, dtype=np.uint8)])
         by_bounds = np.zeros(len(sizes_all) + 1, dtype=np.int64)
         np.cumsum(sizes_all, out=by_bounds[1:])
         new_sizes = sizes_all[gather] if total else np.empty(0, dtype=np.int64)
@@ -247,30 +255,35 @@ def merge_segment_tables(readers: list[SegmentReader],
         "num_terms": terms_tbl.num_rows,
     }
     # carry stored norm-feature columns through the merge: writers are
-    # pure functions of doc_len (index/features.py), so recompute over the
-    # merged lengths; an unregistered custom feature must fail loudly
-    # rather than silently vanish from merged segments
-    norm_names = {r.meta.get("norm_feature") for r in readers
-                  if r.meta.get("norm_feature")}
+    # pure functions of doc_len (index/features.py), so each feature
+    # recomputes over the merged lengths — which also makes HETEROGENEOUS
+    # sets mergeable (merge_writer.cpp:1116-1174 merges any combination):
+    # the merged segment declares the union of features, every doc gets
+    # each feature's value (identical to what build would have written,
+    # since the writer sees only doc_len).  An unregistered custom
+    # feature must still fail loudly rather than silently vanish.
+    norm_names = sorted({r.meta.get("norm_feature") for r in readers
+                         if r.meta.get("norm_feature")})
     if norm_names:
         from iresearch_ray.index.features import get_norm_feature
 
-        if len(norm_names) > 1:
-            raise NotImplementedError(
-                f"merging segments with different norm features {sorted(norm_names)}")
-        name = norm_names.pop()
-        if name in docmap_cols:
-            raise ValueError(
-                f"norm feature name {name!r} collides with a reserved "
-                "docmap column")
-        try:
-            fn = get_norm_feature(name)
-        except KeyError:
-            raise NotImplementedError(
-                f"cannot merge segments with unregistered norm feature "
-                f"{name!r}; register it in this process first") from None
-        docmap_cols[name] = pa.array(fn(all_lens))
-        stats["norm_feature"] = name
+        for name in norm_names:
+            if name in docmap_cols:
+                raise ValueError(
+                    f"norm feature name {name!r} collides with a reserved "
+                    "docmap column")
+            try:
+                fn = get_norm_feature(name)
+            except KeyError:
+                raise NotImplementedError(
+                    f"cannot merge segments with unregistered norm feature "
+                    f"{name!r}; register it in this process first") from None
+            docmap_cols[name] = pa.array(fn(all_lens))
+        # meta keeps the singular key when unambiguous (existing readers/
+        # tools expect a string); the full union is always recorded
+        if len(norm_names) == 1:
+            stats["norm_feature"] = norm_names[0]
+        stats["norm_features"] = norm_names
     docmap = pa.table(docmap_cols)
 
     # stored-field columnstore: concat per-segment tables (schema-promoted —

@@ -79,6 +79,68 @@ def _csr_intersect_counts(flat: np.ndarray, offs: np.ndarray,
     return inter
 
 
+class _SortRangeGuardActor:
+    """Runtime guard for the range-sort invariant every sort+combine
+    aggregation in this module relies on: Ray's sort emits each key-range
+    partition as one block, so a run of equal keys never straddles blocks.
+    That is an (undocumented) Ray Data behavior; if a future Ray splits
+    partitions mid-run, the combines would silently undercount duplicate
+    groups.  Each combine task registers its block's [min, max] key with
+    this session-singleton actor, which errors on any overlap between
+    blocks of the same logical sort (keyed by call id) — turning a silent
+    wrong answer into a loud failure.
+
+    A task retry re-registers an identical (lo, hi, n_rows) record; that
+    exact repeat is accepted as a re-execution, not an overlap."""
+
+    def __init__(self):
+        from collections import OrderedDict
+
+        self._calls = OrderedDict()  # call_id -> (sorted [lo..] , set of seen)
+
+    def check(self, call_id: str, lo, hi, n_rows: int) -> None:
+        import bisect
+
+        if call_id not in self._calls:
+            # bound memory: keep the most recent logical sorts only
+            while len(self._calls) >= 64:
+                self._calls.popitem(last=False)
+            self._calls[call_id] = ([], set())
+        intervals, seen = self._calls[call_id]
+        rec = (lo, hi, n_rows)
+        if rec in seen:
+            return  # task retry of an already-registered block
+        i = bisect.bisect_left(intervals, (lo, hi))
+        for j in (i - 1, i):
+            if 0 <= j < len(intervals):
+                olo, ohi = intervals[j]
+                if olo <= hi and lo <= ohi:
+                    raise RuntimeError(
+                        "sort range-partition invariant violated: block key "
+                        f"ranges [{olo!r}, {ohi!r}] and [{lo!r}, {hi!r}] "
+                        "overlap — equal-key runs straddle sort output "
+                        "blocks, so sort+combine aggregation would "
+                        "undercount groups (Ray Data sort behavior changed?)")
+        intervals.insert(i, (lo, hi))
+        seen.add(rec)
+
+
+def _sort_range_guard():
+    """Session-singleton guard actor (num_cpus=0: never competes for task
+    slots; one tiny RPC per combine block).  Detached: a plain named actor
+    dies as soon as the creating call's handles go out of scope, killing
+    later pipelines' checks mid-flight ("all references removed"); the
+    detached singleton lives until ray.shutdown().  A restart (node loss)
+    only forgets prior intervals — degraded detection, never a false
+    positive."""
+    import ray
+
+    return ray.remote(num_cpus=0, max_restarts=-1)(
+        _SortRangeGuardActor).options(
+        name="_iresearch_sort_range_guard", lifetime="detached",
+        get_if_exists=True).remote()
+
+
 def _grouped_count_min(rows, key_column: str, id_column: str | None,
                        count_alias: str = "dup_count",
                        keep_alias: str = "keep_id",
@@ -97,10 +159,19 @@ def _grouped_count_min(rows, key_column: str, id_column: str | None,
     Exact because Ray's sort range-partitions rows by searchsorted over
     sampled boundaries — a pure function of the key — so a run of equal
     keys never straddles blocks; ``batch_size=None`` keeps map_batches
-    from splitting a block.  Key runs are detected arrow-side
-    (``pc.not_equal`` on offset slices), so string keys never convert to
-    Python objects."""
+    from splitting a block.  That behavior is pinned by a tiny-block
+    regression test AND guarded at runtime: each combine registers its
+    block's key range with :class:`_SortRangeGuardActor`, which errors on
+    overlap instead of letting a straddled run silently undercount.  Key
+    runs are detected arrow-side (``pc.not_equal`` on offset slices), so
+    string keys never convert to Python objects."""
+    import uuid
+
     import pyarrow.compute as pc
+    import ray
+
+    guard = _sort_range_guard()
+    call_id = uuid.uuid4().hex
 
     def combine(t: pa.Table) -> pa.Table:
         n = len(t)
@@ -114,6 +185,8 @@ def _grouped_count_min(rows, key_column: str, id_column: str | None,
                 cols[keep_alias] = pa.array([], id_type)
             return pa.table(cols)
         col = t[key_column].combine_chunks()
+        ray.get(guard.check.remote(call_id, col[0].as_py(),
+                                   col[n - 1].as_py(), n))
         neq = pc.not_equal(col.slice(1), col.slice(0, n - 1))
         starts = np.r_[0, np.flatnonzero(
             neq.to_numpy(zero_copy_only=False)) + 1]
@@ -928,13 +1001,98 @@ def dedup_keep_first(pairs_df: pd.DataFrame, all_ids: np.ndarray) -> np.ndarray:
     return np.array([i for i in all_ids if i not in drop], dtype=all_ids.dtype)
 
 
+def _exact_pairs_blocked(ds, threshold: float, id_column: str,
+                         vec_column: str, dtype,
+                         concurrency: int | None = None,
+                         bucket_column: str | None = None):
+    """Exact all-pairs cosine >= threshold over ``ds`` via (batch, block)
+    matmul tiles: the corpus is held as PER-BLOCK normalized matrices in
+    the object store (one ref per input block — never concatenated on the
+    driver, spillable individually) and every batch matmuls against each
+    block ref in turn.  Plasma caches each block once per NODE, so a ref
+    ships per node, not per batch.
+
+    ``bucket_column`` restricts output to same-bucket pairs (the LSH
+    degenerate-bucket path): tiles still cover all row pairs of ``ds``,
+    but cross-bucket hits are masked out — callers pass only the rows of
+    the oversized buckets, so the extra compute is |degenerate|^2 tiles,
+    not corpus^2."""
+    import ray
+    import ray.data
+
+    cols = [id_column, vec_column] + (
+        [bucket_column] if bucket_column else [])
+
+    @ray.remote
+    def _norm_block(t: pa.Table):
+        ids = t[id_column].to_numpy(zero_copy_only=False)
+        M = _as_matrix_of(t, vec_column, dtype)
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+        bk = (t[bucket_column].to_numpy(zero_copy_only=False)
+              if bucket_column else None)
+        return ids, Mn, bk
+
+    refs = ds.select_columns(cols).to_arrow_refs()
+    if not refs:
+        return ray.data.from_arrow(_empty_pairs_table())
+    block_refs = [_norm_block.remote(r) for r in refs]
+
+    def batch_pairs(t: pa.Table) -> pa.Table:
+        ids = t[id_column].to_numpy(zero_copy_only=False)
+        out_a = [np.empty(0, np.int64)]
+        out_b = [np.empty(0, np.int64)]
+        out_c = [np.empty(0, np.float64)]
+        if len(ids):
+            m = _as_matrix_of(t, vec_column, dtype)
+            mn = m / np.maximum(
+                np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+            bk = (t[bucket_column].to_numpy(zero_copy_only=False)
+                  if bucket_column else None)
+            for br in block_refs:
+                ids_all_, Mn_, bk_all_ = ray.get(br)  # node-cached
+                if not len(ids_all_):
+                    continue
+                sims = mn @ Mn_.T  # (batch, block)
+                r, c = np.nonzero(sims >= threshold)
+                keep = ids[r] < ids_all_[c]  # id_a < id_b, each once
+                if bk is not None:
+                    keep &= bk[r] == bk_all_[c]
+                out_a.append(ids[r][keep].astype(np.int64))
+                out_b.append(ids_all_[c][keep].astype(np.int64))
+                out_c.append(sims[r, c][keep].astype(np.float64))
+        return pa.table({
+            "id_a": pa.array(np.concatenate(out_a)),
+            "id_b": pa.array(np.concatenate(out_b)),
+            "cosine": pa.array(np.concatenate(out_c)),
+        })
+
+    # reuse the already-materialized block refs as the streaming side too
+    # — no second read of the source
+    return ray.data.from_arrow_refs(refs).map_batches(
+        batch_pairs, batch_format="pyarrow",
+        concurrency=pool_size(concurrency))
+
+
+def _empty_pairs_table() -> pa.Table:
+    return pa.table({"id_a": pa.array([], pa.int64()),
+                     "id_b": pa.array([], pa.int64()),
+                     "cosine": pa.array([], pa.float64())})
+
+
+def _as_matrix_of(t: pa.Table, vec_column: str, dtype):
+    from iresearch_ray.pipelines.ann import _as_matrix
+
+    return _as_matrix(t[vec_column], dtype)
+
+
 def embedding_neardup_pairs(ds, threshold: float = 0.9,
                             id_column: str = "vec_id",
                             vec_column: str = "embedding",
                             planes: int = 0, seed: int = 42,
                             concurrency: int | None = None,
                             dtype=np.float32,
-                            checkpoint_dir: str | None = None):
+                            checkpoint_dir: str | None = None,
+                            max_bucket: int = 4096):
     """Embedding-cosine near-duplicate pairs -> Dataset(id_a, id_b, cosine)
     with id_a < id_b and cosine >= threshold.
 
@@ -951,8 +1109,15 @@ def embedding_neardup_pairs(ds, threshold: float = 0.9,
     sketch is CHECKPOINTED to Parquet (``checkpoint_dir``; scratch dir by
     default) exactly like the MinHash path, so neither the count pass nor
     the membership filter pins corpus-sized objects in the object store.
-    Approximate: recall follows bucket collision probability; use as the
-    100 TB route where O(n^2) tiles are unaffordable."""
+    Pairing is DISTRIBUTED: hot-bucket survivors range-sort on bucket and
+    each block pairs its contiguous bucket runs (the sort+combine idiom,
+    guarded by :class:`_SortRangeGuardActor`); buckets wider than
+    ``max_bucket`` (degenerate: near-zero vectors, templated embeddings)
+    are instead routed through the exact (batch, block)-tiled path
+    restricted to same-bucket hits — no driver-side concat at ANY bucket
+    skew, bounded per-task memory.  Approximate: recall follows bucket
+    collision probability; use as the 100 TB route where O(n^2) tiles are
+    unaffordable."""
     import ray
 
     from iresearch_ray.pipelines.ann import (
@@ -961,71 +1126,17 @@ def embedding_neardup_pairs(ds, threshold: float = 0.9,
         lsh_bucket_ids,
     )
 
-    def _pairs_frame(ids_a, ids_b, cos):
-        return pd.DataFrame({
-            "id_a": np.asarray(ids_a, dtype=np.int64),
-            "id_b": np.asarray(ids_b, dtype=np.int64),
-            "cosine": np.asarray(cos, dtype=np.float64),
-        })
-
     if planes <= 0:
-        import ray.data
-
-        # per-block (ids, normalized matrix) refs: built INSIDE tasks from
-        # the block refs — the driver never holds more than one ObjectRef
-        # list, and each block can spill independently
-        @ray.remote
-        def _norm_block(t: pa.Table):
-            ids = t[id_column].to_numpy(zero_copy_only=False)
-            M = _as_matrix(t[vec_column], dtype)
-            Mn = M / np.maximum(
-                np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
-            return ids, Mn
-
-        refs = ds.select_columns([id_column, vec_column]).to_arrow_refs()
-        if not refs:
-            return ray.data.from_pandas(_pairs_frame([], [], []))
-        block_refs = [_norm_block.remote(r) for r in refs]
-
-        def batch_pairs(t: pa.Table) -> pa.Table:
-            ids = t[id_column].to_numpy(zero_copy_only=False)
-            out_a = [np.empty(0, np.int64)]
-            out_b = [np.empty(0, np.int64)]
-            out_c = [np.empty(0, np.float64)]
-            if len(ids):
-                m = _as_matrix(t[vec_column], dtype)
-                mn = m / np.maximum(
-                    np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
-                for br in block_refs:
-                    ids_all_, Mn_ = ray.get(br)  # node-cached after 1st use
-                    if not len(ids_all_):
-                        continue
-                    sims = mn @ Mn_.T  # (batch, block)
-                    r, c = np.nonzero(sims >= threshold)
-                    keep = ids[r] < ids_all_[c]  # id_a < id_b, each once
-                    out_a.append(ids[r][keep].astype(np.int64))
-                    out_b.append(ids_all_[c][keep].astype(np.int64))
-                    out_c.append(sims[r, c][keep].astype(np.float64))
-            return pa.table({
-                "id_a": pa.array(np.concatenate(out_a)),
-                "id_b": pa.array(np.concatenate(out_b)),
-                "cosine": pa.array(np.concatenate(out_c)),
-            })
-
-        # reuse the already-materialized block refs as the streaming side
-        # too — no second read of the source
-        return ray.data.from_arrow_refs(refs).map_batches(
-            batch_pairs, batch_format="pyarrow",
-            concurrency=pool_size(concurrency))
+        return _exact_pairs_blocked(ds, threshold, id_column, vec_column,
+                                    dtype, concurrency)
 
     # LSH-bucketed candidates: bucket assign in map_batches, Parquet sketch
     # checkpoint (shared machinery with MinHash-LSH), hot-bucket broadcast
-    # filter, vectorized pairwise within buckets on the candidate-sized
-    # survivors
+    # filter, then distributed within-bucket pairing
     import shutil
     import tempfile
+    import uuid
 
-    import pyarrow.compute as pc
     import ray.data
 
     P = None
@@ -1052,48 +1163,87 @@ def embedding_neardup_pairs(ds, threshold: float = 0.9,
             sk.select_columns(["bucket"]), "bucket", None,
             count_alias="n", min_count=2).to_pandas()
         if not len(hot):
-            return ray.data.from_pandas(_pairs_frame([], [], []))
-        hot_keys = np.sort(hot["bucket"].to_numpy())
-        href = ray.put(hot_keys)
+            return ray.data.from_arrow(_empty_pairs_table())
+        # bucket-count split: normal buckets pair within sorted runs
+        # (w <= max_bucket keeps per-task sims at w^2 floats); degenerate
+        # buckets go through the tiled exact path (same-bucket masked)
+        hkeys = hot["bucket"].to_numpy()
+        hcnts = hot["n"].to_numpy()
+        order = np.argsort(hkeys)
+        hkeys, hcnts = hkeys[order], hcnts[order]
+        normal_keys = np.ascontiguousarray(hkeys[hcnts <= max_bucket])
+        degen_keys = np.ascontiguousarray(hkeys[hcnts > max_bucket])
+        parts = []
+        if len(normal_keys):
+            nref = ray.put(normal_keys)
 
-        def keep_hot(t: pa.Table) -> pa.Table:
-            keys = ray.get(href)
-            return t.filter(pa.array(
-                _sorted_member(keys, t["bucket"].to_numpy())))
+            def keep_normal(t: pa.Table) -> pa.Table:
+                keys = ray.get(nref)
+                return t.filter(pa.array(
+                    _sorted_member(keys, t["bucket"].to_numpy())))
 
-        # candidate-sized pull, kept as ONE Arrow table (no pandas object
-        # rows); sorted by (bucket, id) so each bucket is a contiguous run
-        tabs = [t for t in ray.get(
-            sk.map_batches(keep_hot, batch_format="pyarrow")
-            .to_arrow_refs()) if t.num_rows]
+            guard = _sort_range_guard()
+            call_id = uuid.uuid4().hex
+
+            def bucket_pairs(t: pa.Table) -> pa.Table:
+                n = len(t)
+                if n == 0:
+                    return _empty_pairs_table()
+                buckets = t["bucket"].to_numpy()
+                ray.get(guard.check.remote(
+                    call_id, int(buckets[0]), int(buckets[-1]), n))
+                ids_all = t[id_column].to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                Mn = _as_matrix(t[vec_column], np.float32)
+                Mn = Mn / np.maximum(
+                    np.linalg.norm(Mn, axis=1, keepdims=True), 1e-30)
+                starts = np.flatnonzero(
+                    np.r_[True, buckets[1:] != buckets[:-1]])
+                bounds = np.r_[starts, n]
+                out_a, out_b, out_c = [np.empty(0, np.int64)], \
+                    [np.empty(0, np.int64)], [np.empty(0, np.float64)]
+                for s, e in zip(bounds[:-1], bounds[1:]):
+                    if e - s < 2:
+                        continue
+                    ids = ids_all[s:e]
+                    mn = Mn[s:e]
+                    sims = mn @ mn.T
+                    r, c = np.nonzero(np.triu(sims >= threshold, k=1))
+                    lo = np.minimum(ids[r], ids[c])
+                    hi = np.maximum(ids[r], ids[c])
+                    out_a.append(lo)
+                    out_b.append(hi)
+                    out_c.append(sims[r, c].astype(np.float64))
+                return pa.table({
+                    "id_a": pa.array(np.concatenate(out_a)),
+                    "id_b": pa.array(np.concatenate(out_b)),
+                    "cosine": pa.array(np.concatenate(out_c))})
+
+            parts.append(
+                sk.map_batches(keep_normal, batch_format="pyarrow")
+                .sort("bucket")
+                .map_batches(bucket_pairs, batch_format="pyarrow",
+                             batch_size=None))
+        if len(degen_keys):
+            dref = ray.put(degen_keys)
+
+            def keep_degen(t: pa.Table) -> pa.Table:
+                keys = ray.get(dref)
+                return t.filter(pa.array(
+                    _sorted_member(keys, t["bucket"].to_numpy())))
+
+            parts.append(_exact_pairs_blocked(
+                sk.map_batches(keep_degen, batch_format="pyarrow"),
+                threshold, id_column, vec_column, np.float32,
+                concurrency, bucket_column="bucket"))
+        res = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+        # each vector lives in exactly ONE sign-LSH bucket, so pairs are
+        # already unique; materialize (output-sized) before the scratch
+        # checkpoint is removed
+        return res.materialize()
     finally:
         if own_ckpt:
             shutil.rmtree(ckpt, ignore_errors=True)
-    if not tabs:
-        return ray.data.from_pandas(_pairs_frame([], [], []))
-    cand = pa.concat_tables(tabs).combine_chunks().sort_by(
-        [("bucket", "ascending"), (id_column, "ascending")])
-    buckets = cand["bucket"].to_numpy()
-    ids_all = cand[id_column].to_numpy(zero_copy_only=False)
-    Mn = _as_matrix(cand[vec_column], np.float32)
-    Mn = Mn / np.maximum(np.linalg.norm(Mn, axis=1, keepdims=True), 1e-30)
-    starts = np.flatnonzero(np.r_[True, buckets[1:] != buckets[:-1]])
-    bounds = np.r_[starts, len(buckets)]
-    out_a, out_b, out_c = [], [], []
-    for s, e in zip(bounds[:-1], bounds[1:]):
-        if e - s < 2:
-            continue
-        ids = ids_all[s:e]
-        mn = Mn[s:e]
-        sims = mn @ mn.T
-        r, c = np.nonzero(np.triu(sims >= threshold, k=1))
-        out_a.extend(ids[r])
-        out_b.extend(ids[c])
-        out_c.extend(sims[r, c].astype(np.float64))
-    pairs = _pairs_frame(out_a, out_b, out_c)
-    if len(pairs):
-        pairs = pairs.groupby(["id_a", "id_b"], as_index=False)["cosine"].max()
-    return ray.data.from_pandas(pairs)
 
 
 class _SpanHashBatch:

@@ -8,10 +8,11 @@ the Ray-Data-native constructions:
   bucket + combine INSIDE ``map_batches`` (one row per (bucket, type) per
   batch), then a small global ``groupby().aggregate`` over the partials.
   The shuffle moves pre-reduced rows, not events.
-- ``sessionize``: per-key gap sessions via ``groupby(key).map_groups`` —
-  the partitioning assumption is one user's events fit one group (true
-  for web-scale user activity; a pathological single-key skew would need
-  key salting + session-stitching across salt buckets).
+- ``sessionize``: per-key gap sessions.  The DEFAULT is the salted
+  two-stage construction (group by (user, time-bucket), then stitch
+  session summaries per user) so a pathological single-key skew never
+  pins one task; ``salted=False`` keeps the plain
+  ``groupby(key).map_groups`` shape for bounded-key corpora.
 """
 
 from __future__ import annotations
@@ -82,9 +83,17 @@ def _sessions_of_group(df: pd.DataFrame, gap_us: int) -> pd.DataFrame:
     })
 
 
-def sessionize(ds, gap_minutes: int = 30):
+def sessionize(ds, gap_minutes: int = 30, salted: bool = True):
     """Per-user gap-based sessions: (user_id, session ordinal) ->
-    (n_events, sum value)."""
+    (n_events, sum value).
+
+    Defaults to the hot-key-safe salted construction (``salted=True``):
+    one pathological user must never pin all their events in a single
+    ``map_groups`` task at 100 TB.  ``salted=False`` keeps the plain
+    ``groupby(user).map_groups`` shape (row-identical — tested) for
+    corpora whose per-user volume is known to be bounded."""
+    if salted:
+        return sessionize_salted(ds, gap_minutes=gap_minutes)
     gap_us = gap_minutes * 60 * 1_000_000
     return ds.groupby("user_id").map_groups(
         lambda df: _sessions_of_group(df, gap_us), batch_format="pandas")

@@ -120,16 +120,20 @@ def test_highlight_indexed_equals_retokenize(built_offs):
 
 def test_offs_feature_guards(built, built_offs, tmp_path):
     """Plain indexes reject postings_offsets; offs needs an offset-capable
-    analyzer; merging offs with non-offs segments is rejected."""
+    analyzer.  Mixed offs/non-offs segment sets MERGE (round-4, matching
+    merge_writer.cpp:1116-1174): the merged segment declares offs and the
+    offs-less source's occurrences read back as zero-width [0, 0)."""
     from iresearch_ray.index.merge import merge_segment_tables
 
     plain_reader, _ = built
     with pytest.raises(ValueError):
         plain_reader.segments[0].reader.postings_offsets(0)
     offs_reader, _ = built_offs
-    with pytest.raises(NotImplementedError):
-        merge_segment_tables([plain_reader.segments[0].reader,
-                              offs_reader.segments[0].reader])
+    terms_tbl, _, stats, _ = merge_segment_tables(
+        [plain_reader.segments[0].reader, offs_reader.segments[0].reader])
+    assert "offs_start_blob" in terms_tbl.column_names
+    assert stats["num_docs"] == (plain_reader.segments[0].reader.num_docs
+                                 + offs_reader.segments[0].reader.num_docs)
     from iresearch_ray.index.build import BuildSegmentTask
     with pytest.raises(ValueError):
         BuildSegmentTask(str(tmp_path / "x"), "keyword", {}, "text", "url",

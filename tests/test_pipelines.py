@@ -644,7 +644,7 @@ def test_sessionize_salted_equals_unsalted(ray_session):
 
     ds = ray.data.read_parquet(f"{SF}/events.parquet",
                                columns=["event_id", "ts", "user_id", "value"])
-    a = sessionize(ds, gap_minutes=30).to_pandas()
+    a = sessionize(ds, gap_minutes=30, salted=False).to_pandas()
     # 1-hour buckets guarantee many boundary-spanning sessions in testdata
     b = sessionize_salted(
         ray.data.read_parquet(f"{SF}/events.parquet",
@@ -788,3 +788,78 @@ def test_multimodal_resize_and_frames(ray_session):
         ResizeBatch(fake=None)._resize_stub(b"z")
     with pytest.raises(NotImplementedError):
         FrameSampleBatch(fake=None)._frames_stub(b"z")
+
+
+def test_sessionize_default_is_salted_and_hotkey_safe(ray_session):
+    """VERDICT r3 item 5: the DEFAULT sessionize path must survive one
+    pathological hot user (most events on a single key) — and stay
+    row-identical to the plain single-group construction."""
+    from iresearch_ray.pipelines.windows import sessionize
+
+    rng = np.random.default_rng(7)
+    # hot user 0 owns 2000 events spread over days; 10 cold users get 5
+    ts_hot = np.sort(rng.integers(0, 5 * 24 * 3600, size=2000)) * 1_000_000
+    rows = [{"event_id": i, "user_id": 0, "ts": int(t), "value": 1.0}
+            for i, t in enumerate(ts_hot)]
+    k = len(rows)
+    for u in range(1, 11):
+        for j in range(5):
+            rows.append({"event_id": k, "user_id": u,
+                         "ts": int((u * 9000 + j * 60) * 1_000_000),
+                         "value": 0.5})
+            k += 1
+    ds = ray.data.from_items(rows).repartition(8)
+    a = (sessionize(ds, gap_minutes=30).to_pandas()
+         .sort_values(["user_id", "session_id"]).reset_index(drop=True))
+    b = (sessionize(ray.data.from_items(rows), gap_minutes=30, salted=False)
+         .to_pandas()
+         .sort_values(["user_id", "session_id"]).reset_index(drop=True))
+    cols = sorted(a.columns)
+    pd.testing.assert_frame_equal(
+        a[cols].astype({"n_events": np.int64}),
+        b[cols].astype({"n_events": np.int64}))
+    assert a[a["user_id"] == 0]["n_events"].sum() == 2000
+
+
+def test_embedding_lsh_degenerate_bucket_distributed(ray_session):
+    """VERDICT r3 item 3: one adversarial hot bucket (every vector
+    identical -> one LSH bucket holds the whole corpus) must not drive a
+    corpus-sized driver concat: widths above max_bucket route through the
+    tiled exact path, same-bucket masked.  Pairs must be exact, unique,
+    and identical to the uncapped run."""
+    n = 40
+    rows = [{"vec_id": i, "embedding": [1.0, 0.0, 0.0]} for i in range(n)]
+    # one outlier in its own bucket direction
+    rows.append({"vec_id": 99, "embedding": [-1.0, 0.0, 0.0]})
+    ds = ray.data.from_items(rows).repartition(6)
+    out = dedup.embedding_neardup_pairs(
+        ds, threshold=0.9, planes=3, max_bucket=8).to_pandas()
+    want = {(a, b) for a in range(n) for b in range(a + 1, n)}
+    got = set(zip(out["id_a"], out["id_b"]))
+    assert got == want
+    assert len(out) == len(want)  # each pair exactly once
+    # and the normal (uncapped) path agrees
+    out2 = dedup.embedding_neardup_pairs(
+        ray.data.from_items(rows).repartition(6),
+        threshold=0.9, planes=3, max_bucket=4096).to_pandas()
+    assert set(zip(out2["id_a"], out2["id_b"])) == want
+    assert len(out2) == len(want)
+
+
+def test_sort_range_guard_actor_semantics():
+    """The runtime guard behind every sort+combine aggregation: disjoint
+    ranges pass, overlapping or touching ranges raise, and an exact
+    retried block re-registers silently."""
+    g = dedup._SortRangeGuardActor()
+    g.check("c", 0, 5, 10)
+    g.check("c", 6, 9, 4)
+    g.check("c", 0, 5, 10)  # task retry: identical record accepted
+    with pytest.raises(RuntimeError):
+        g.check("c", 5, 7, 3)  # touching endpoint = straddled run
+    with pytest.raises(RuntimeError):
+        g.check("c", 2, 3, 1)  # contained overlap
+    g.check("other", 2, 3, 1)  # other logical sorts are independent
+    # string keys compare too
+    g.check("s", "aa", "mm", 5)
+    with pytest.raises(RuntimeError):
+        g.check("s", "mm", "zz", 2)
