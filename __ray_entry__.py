@@ -1529,9 +1529,11 @@ FROM agg ORDER BY doc_id
         # fully SQL-reproducible (the real-model path stays
         # container-stubbed; what the oracle checks is the pipeline)
         "classify_labels": """
+-- coalesce matches the engine stub, which maps NULL text to '' before
+-- hashing (ClassifyBatch); md5_number_lower(NULL) would yield NULL
 SELECT doc_id,
        (['news', 'sports', 'tech', 'other'])
-         [(md5_number_lower(text) % 4)::BIGINT + 1] AS label
+         [(md5_number_lower(coalesce(text, '')) % 4)::BIGINT + 1] AS label
 FROM documents ORDER BY doc_id
 """,
         # multimodal: the pages derivation and the stub decode are both

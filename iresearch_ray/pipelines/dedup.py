@@ -1342,6 +1342,12 @@ def duplicated_span_stats(ds, text_column: str = "text",
     map_batches with one vectorized searchsorted membership per batch.
     ``max_broadcast`` guards the assumption: corpora whose duplicated-span
     set outgrows it should raise ``min_docs``/``k`` or pre-dedup first.
+
+    CONTRACT: ``id_column`` must be unique corpus-wide (the same contract
+    sessionize documents for user keys).  A repeated doc id — within or
+    across input blocks — emits one partial stats row per occurrence run
+    rather than one combined row per doc; exact-dedup the corpus first if
+    ids can repeat.
     """
     import ray
 

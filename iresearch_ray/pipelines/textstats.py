@@ -349,6 +349,13 @@ def keyterms(ds, n_terms: int = 3, text_column="text", id_column="doc_id",
     The df map keys on 64-bit term hashes (vocab^2 / 2^64 collision odds
     — the same documented assumption as the LSH band keys; a collision
     would only nudge one term's idf).
+
+    DERIVED (non-Parquet) inputs execute their upstream lineage up to
+    THREE times: once for the (term, df) pass, once for the default
+    ``n_total=ds.count()``, and once for the scoring pass.  Materialize a
+    filtered/derived stream first (``ds = ds.materialize()``) and/or pass
+    ``n_total`` explicitly; Parquet reads only pay the extra count as a
+    metadata lookup plus the two real scans.
     """
     import ray
 
