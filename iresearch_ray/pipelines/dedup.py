@@ -1003,36 +1003,24 @@ def dedup_keep_first(pairs_df: pd.DataFrame, all_ids: np.ndarray) -> np.ndarray:
 
 def _exact_pairs_blocked(ds, threshold: float, id_column: str,
                          vec_column: str, dtype,
-                         concurrency: int | None = None,
-                         bucket_column: str | None = None):
+                         concurrency: int | None = None):
     """Exact all-pairs cosine >= threshold over ``ds`` via (batch, block)
     matmul tiles: the corpus is held as PER-BLOCK normalized matrices in
     the object store (one ref per input block — never concatenated on the
     driver, spillable individually) and every batch matmuls against each
     block ref in turn.  Plasma caches each block once per NODE, so a ref
-    ships per node, not per batch.
-
-    ``bucket_column`` restricts output to same-bucket pairs (the LSH
-    degenerate-bucket path): tiles still cover all row pairs of ``ds``,
-    but cross-bucket hits are masked out — callers pass only the rows of
-    the oversized buckets, so the extra compute is |degenerate|^2 tiles,
-    not corpus^2."""
+    ships per node, not per batch."""
     import ray
     import ray.data
-
-    cols = [id_column, vec_column] + (
-        [bucket_column] if bucket_column else [])
 
     @ray.remote
     def _norm_block(t: pa.Table):
         ids = t[id_column].to_numpy(zero_copy_only=False)
         M = _as_matrix_of(t, vec_column, dtype)
         Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
-        bk = (t[bucket_column].to_numpy(zero_copy_only=False)
-              if bucket_column else None)
-        return ids, Mn, bk
+        return ids, Mn
 
-    refs = ds.select_columns(cols).to_arrow_refs()
+    refs = ds.select_columns([id_column, vec_column]).to_arrow_refs()
     if not refs:
         return ray.data.from_arrow(_empty_pairs_table())
     block_refs = [_norm_block.remote(r) for r in refs]
@@ -1046,17 +1034,13 @@ def _exact_pairs_blocked(ds, threshold: float, id_column: str,
             m = _as_matrix_of(t, vec_column, dtype)
             mn = m / np.maximum(
                 np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
-            bk = (t[bucket_column].to_numpy(zero_copy_only=False)
-                  if bucket_column else None)
             for br in block_refs:
-                ids_all_, Mn_, bk_all_ = ray.get(br)  # node-cached
+                ids_all_, Mn_ = ray.get(br)  # node-cached
                 if not len(ids_all_):
                     continue
                 sims = mn @ Mn_.T  # (batch, block)
                 r, c = np.nonzero(sims >= threshold)
                 keep = ids[r] < ids_all_[c]  # id_a < id_b, each once
-                if bk is not None:
-                    keep &= bk[r] == bk_all_[c]
                 out_a.append(ids[r][keep].astype(np.int64))
                 out_b.append(ids_all_[c][keep].astype(np.int64))
                 out_c.append(sims[r, c][keep].astype(np.float64))
@@ -1092,7 +1076,7 @@ def embedding_neardup_pairs(ds, threshold: float = 0.9,
                             concurrency: int | None = None,
                             dtype=np.float32,
                             checkpoint_dir: str | None = None,
-                            max_bucket: int = 4096):
+                            max_bucket: int = 16384):
     """Embedding-cosine near-duplicate pairs -> Dataset(id_a, id_b, cosine)
     with id_a < id_b and cosine >= threshold.
 
@@ -1111,13 +1095,17 @@ def embedding_neardup_pairs(ds, threshold: float = 0.9,
     the membership filter pins corpus-sized objects in the object store.
     Pairing is DISTRIBUTED: hot-bucket survivors range-sort on bucket and
     each block pairs its contiguous bucket runs (the sort+combine idiom,
-    guarded by :class:`_SortRangeGuardActor`); buckets wider than
+    guarded by :class:`_SortRangeGuardActor`); each bucket wider than
     ``max_bucket`` (degenerate: near-zero vectors, templated embeddings)
-    are instead routed through the exact (batch, block)-tiled path
-    restricted to same-bucket hits — no driver-side concat at ANY bucket
-    skew, bounded per-task memory.  Approximate: recall follows bucket
-    collision probability; use as the 100 TB route where O(n^2) tiles are
-    unaffordable."""
+    instead gets its OWN (batch, block)-tiled sub-pipeline — total
+    degenerate work is sum(w_i^2), never (sum w_i)^2, with no driver-side
+    concat at any bucket skew.  Run pairing is row-tiled, so task MEMORY
+    is bounded at any width; ``max_bucket`` bounds per-task COMPUTE (a
+    16384-wide run is ~17 Gflop — a few seconds; wider fans out).  It
+    must sit above the typical corpus/2^planes bucket width (guarded:
+    >64 oversized buckets raise).
+    Approximate: recall follows bucket collision probability; use as the
+    100 TB route where O(n^2) tiles are unaffordable."""
     import ray
 
     from iresearch_ray.pipelines.ann import (
@@ -1203,17 +1191,26 @@ def embedding_neardup_pairs(ds, threshold: float = 0.9,
                 out_a, out_b, out_c = [np.empty(0, np.int64)], \
                     [np.empty(0, np.int64)], [np.empty(0, np.float64)]
                 for s, e in zip(bounds[:-1], bounds[1:]):
-                    if e - s < 2:
+                    w = e - s
+                    if w < 2:
                         continue
                     ids = ids_all[s:e]
                     mn = Mn[s:e]
-                    sims = mn @ mn.T
-                    r, c = np.nonzero(np.triu(sims >= threshold, k=1))
-                    lo = np.minimum(ids[r], ids[c])
-                    hi = np.maximum(ids[r], ids[c])
-                    out_a.append(lo)
-                    out_b.append(hi)
-                    out_c.append(sims[r, c].astype(np.float64))
+                    # row-tiled within the run: sims memory stays ~4M
+                    # floats at ANY bucket width (compute is w^2 either
+                    # way; max_bucket bounds when that must distribute)
+                    step = max(1, (1 << 22) // w)
+                    for rs in range(0, w, step):
+                        sims = mn[rs:rs + step] @ mn.T
+                        r, c = np.nonzero(sims >= threshold)
+                        r_g = r + rs
+                        tri = c > r_g  # upper triangle: each pair once
+                        r_g, c = r_g[tri], c[tri]
+                        lo = np.minimum(ids[r_g], ids[c])
+                        hi = np.maximum(ids[r_g], ids[c])
+                        out_a.append(lo)
+                        out_b.append(hi)
+                        out_c.append(sims[r[tri], c].astype(np.float64))
                 return pa.table({
                     "id_a": pa.array(np.concatenate(out_a)),
                     "id_b": pa.array(np.concatenate(out_b)),
@@ -1224,7 +1221,19 @@ def embedding_neardup_pairs(ds, threshold: float = 0.9,
                 .sort("bucket")
                 .map_batches(bucket_pairs, batch_format="pyarrow",
                              batch_size=None))
+        if len(degen_keys) > 64:
+            raise ValueError(
+                f"{len(degen_keys)} LSH buckets exceed max_bucket="
+                f"{max_bucket} — that is the TYPICAL bucket width, not a "
+                "degenerate tail; raise max_bucket above the expected "
+                "corpus/2^planes bucket size (each oversized bucket pays "
+                "its own tiled O(w^2) sub-pipeline)")
         if len(degen_keys):
+            # ONE filter pass pulls the degenerate rows into (spillable)
+            # object-store blocks; the per-bucket sub-pipelines then read
+            # memory, not parquet — 29 oversized buckets must not mean 29
+            # full checkpoint scans (measured 202 s -> the scan was the
+            # cost, not the pairing)
             dref = ray.put(degen_keys)
 
             def keep_degen(t: pa.Table) -> pa.Table:
@@ -1232,10 +1241,20 @@ def embedding_neardup_pairs(ds, threshold: float = 0.9,
                 return t.filter(pa.array(
                     _sorted_member(keys, t["bucket"].to_numpy())))
 
+            degen_rows = sk.map_batches(
+                keep_degen, batch_format="pyarrow").materialize()
+        for bv in degen_keys.tolist():
+            # ONE tiled sub-pipeline per oversized bucket: total work is
+            # sum(w_i^2) over the (few, by nature) degenerate buckets,
+            # never (sum w_i)^2 across them
+            def keep_one(t: pa.Table, _bv=int(bv)) -> pa.Table:
+                import pyarrow.compute as pc
+
+                return t.filter(pc.equal(t["bucket"], _bv))
+
             parts.append(_exact_pairs_blocked(
-                sk.map_batches(keep_degen, batch_format="pyarrow"),
-                threshold, id_column, vec_column, np.float32,
-                concurrency, bucket_column="bucket"))
+                degen_rows.map_batches(keep_one, batch_format="pyarrow"),
+                threshold, id_column, vec_column, np.float32, concurrency))
         res = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
         # each vector lives in exactly ONE sign-LSH bucket, so pairs are
         # already unique; materialize (output-sized) before the scratch
