@@ -699,6 +699,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dedup.simhash_groups(ray_docs(sf_dir, ["doc_id", "text"]),
                                     hash="md5").to_pandas()
 
+    def dedup_clusters_q(sf_dir):
+        # transitive clusters over the exact minhash pair set (same
+        # params as minhash_pairs, so the oracle reuses its CTE chain)
+        pairs = dedup.minhash_lsh_pairs(ray_docs(sf_dir, ["doc_id", "text"]),
+                                        threshold=0.9, hash="md5")
+        out = dedup.dedup_clusters(pairs).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    def quality_filter_q(sf_dir):
+        out = textstats.quality_filter(
+            ray_docs(sf_dir, ["doc_id", "text"]), min_tokens=50,
+            min_stopword_ratio=0.01, min_unique_ratio=0.5).to_pandas()
+        out["keep"] = out["keep"].astype(np.int64)  # dtype-stable hashing
+        return out[["doc_id", "n_tokens", "n_unique_tokens",
+                    "stopword_ratio", "mean_token_len", "unique_ratio",
+                    "keep", "fail_mask"]]
+
+    def token_quantiles_q(sf_dir):
+        return textstats.token_count_quantiles(
+            ray_docs(sf_dir, ["doc_id", "text"]))
+
     def fingerprints_q(sf_dir):
         out = dedup.rolling_doc_fingerprints(
             ray_docs(sf_dir, ["doc_id", "text"]), hash="md5").to_pandas()
@@ -841,8 +862,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, OrFilter([TermFilter("spark"), TermFilter("window"),
                           TermFilter("dup")], min_match=2), with_counts=True),
         "phrase_search": lambda sf: _all_matches(sf, PhraseFilter(["batch", "batch"])),
-        "phrase_variadic": lambda sf: _all_matches(
-            sf, PhraseFilter([{"prefix": "st"}, "order"])),
         "sorted_topk": sorted_topk,
         "facet_lang": facet_lang,
         "filtered_agg": filtered_agg,
@@ -872,17 +891,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_frames": multimodal_frames_q,
         # --- text-analysis pipelines ---
         "quality_stats": quality,
+        "quality_filter": quality_filter_q,
+        "token_quantiles": token_quantiles_q,
         "langid": langid_q,
         "token_count_by_source": token_count_by_source,
         "lang_distribution": lang_distribution,
         # --- dedup pipelines ---
         "window_tumbling": window_tumbling,
-        "window_hopping": window_hopping,
         "embedding_neardup": embedding_neardup,
         "window_sessions": window_sessions,
         "dedup_exact": dedup_exact,
-        "dedup_fingerprint": dedup_fingerprint,
         "minhash_pairs": minhash_pairs,
+        "dedup_clusters": dedup_clusters_q,
         "ngram_jaccard": ngram_jaccard,
         "contamination": contamination,
         "simhash_groups": simhash_q,
@@ -898,6 +918,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_search_tfidf": term_search_tfidf,
         "same_position_search": same_position_search,
         "term_topk_distributed": term_topk_distributed,
+        "phrase_variadic": lambda sf: _all_matches(
+            sf, PhraseFilter([{"prefix": "st"}, "order"])),
+        "dedup_fingerprint": dedup_fingerprint,
+        "window_hopping": window_hopping,
     }
 
 
@@ -1019,11 +1043,15 @@ ORDER BY list_cosine_similarity(e.v, qv.q) DESC, e.vec_id LIMIT {k}""")
     return "".join(parts)
 
 
-def _minhash_oracle_sql() -> str:
+def _minhash_oracle_sql(tail: str | None = None) -> str:
     """SQL twin of minhash_lsh_pairs(threshold=0.9, hash='md5'): the 64
     seeded affine params are inlined so DuckDB computes the exact same
     signatures (uint64-wraparound a*x+b, then mod 2^61-1) as
-    analysis/minhash.py:minhash_signatures."""
+    analysis/minhash.py:minhash_signatures.
+
+    ``tail``: optional replacement for the final SELECT — extra CTEs +
+    a SELECT appended after the ``est`` CTE (used by the dedup_clusters
+    oracle to cluster the exact same pair set)."""
     from iresearch_ray.analysis.minhash import _affine_params
 
     a, b = _affine_params(64, 42)
@@ -1055,11 +1083,30 @@ est AS (
   FROM pairs p
   JOIN sig x ON x.doc_id = p.id_a
   JOIN sig y ON y.doc_id = p.id_b AND y.h = x.h
-  GROUP BY p.id_a, p.id_b)
-SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, est_jaccard
+  GROUP BY p.id_a, p.id_b){"," if tail is not None else ""}
+{tail if tail is not None else '''SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, est_jaccard
 FROM est WHERE est_jaccard >= 0.9
-ORDER BY id_a, id_b
+ORDER BY id_a, id_b'''}
 """
+
+
+def _clusters_oracle_sql() -> str:
+    """SQL twin of dedup_clusters(minhash_lsh_pairs(threshold=0.9,
+    hash='md5')): the exact minhash pair set from `_minhash_oracle_sql`,
+    clustered by a recursive transitive closure whose per-node minimum
+    reachable id IS the connected-component minimum (what hash-to-min
+    converges to)."""
+    sql = _minhash_oracle_sql(tail="""
+p2 AS (SELECT id_a::BIGINT AS u, id_b::BIGINT AS v
+       FROM est WHERE est_jaccard >= 0.9),
+edges AS (SELECT u, v FROM p2 UNION SELECT v, u FROM p2),
+reach(id, r) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id)
+SELECT id AS doc_id, min(r)::BIGINT AS cluster_id
+FROM reach GROUP BY id ORDER BY doc_id""")
+    return sql.replace("WITH tok AS", "WITH RECURSIVE tok AS", 1)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1242,6 +1289,39 @@ SELECT doc_id, len(ts)::BIGINT AS n_tokens,
   END AS mean_token_len
 FROM tok
 """,
+        # same token stats as quality_stats + unique-ratio, then the
+        # Gopher-rule bitmask (thresholds inlined = quality_filter_q's)
+        "quality_filter": f"""
+{_TOK_CTE},
+s AS (SELECT doc_id, len(ts)::BIGINT AS n_tokens,
+             len(list_distinct(ts))::BIGINT AS n_unique_tokens,
+  CASE WHEN len(ts) = 0 THEN 0.0 ELSE round(
+    len(list_filter(ts, x -> x IN ({', '.join(repr(w) for w in LANG_PROFILES['en'])})))::DOUBLE
+    / len(ts), 6) END AS stopword_ratio,
+  CASE WHEN len(ts) = 0 THEN 0.0 ELSE round(
+    list_aggregate(list_transform(ts, x -> len(x)), 'sum')::DOUBLE / len(ts), 6)
+  END AS mean_token_len
+      FROM tok),
+r AS (SELECT *, round(n_unique_tokens::DOUBLE
+                      / greatest(n_tokens, 1), 6) AS unique_ratio FROM s),
+m AS (SELECT *,
+  (CASE WHEN n_tokens < 50 OR n_tokens > 100000 THEN 1 ELSE 0 END
+   + CASE WHEN mean_token_len < 3.0 OR mean_token_len > 10.0 THEN 2 ELSE 0 END
+   + CASE WHEN stopword_ratio < 0.01 THEN 4 ELSE 0 END
+   + CASE WHEN unique_ratio < 0.5 THEN 8 ELSE 0 END)::BIGINT AS fail_mask
+  FROM r)
+SELECT doc_id, n_tokens, n_unique_tokens, stopword_ratio, mean_token_len,
+       unique_ratio,
+       (CASE WHEN fail_mask = 0 THEN 1 ELSE 0 END)::BIGINT AS keep, fail_mask
+FROM m
+""",
+        # ANSI percentile_disc == DuckDB quantile_disc == engine's
+        # ceil(q*n) histogram pick (index parity pinned by tests)
+        "token_quantiles": f"""
+{_TOK_CTE}, n AS (SELECT len(ts)::BIGINT AS c FROM tok)
+""" + "\nUNION ALL\n".join(
+            f"SELECT {q}::DOUBLE AS q, quantile_disc(c, {q})::BIGINT AS n_tokens_q FROM n"
+            for q in (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)) + "\nORDER BY q",
         "langid": profiles_sql,
         "token_count_by_source": f"""
 WITH tok AS (SELECT source, {_TOK} AS ts FROM documents)
@@ -1480,6 +1560,7 @@ ORDER BY doc_id
         # 64-bit mix of exactly those, so collision <=> slice equality
         # up to a ~2^-64 accident).
         "minhash_pairs": _minhash_oracle_sql(),
+        "dedup_clusters": _clusters_oracle_sql(),
         "ngram_jaccard": f"""
 {_TOK_CTE},
 sh AS (SELECT doc_id, ts, least(len(ts), 3) AS kk, len(ts) AS nt

@@ -1416,3 +1416,150 @@ def duplicated_span_stats(ds, text_column: str = "text",
             k=k, hash=hash, analyzer_opts=analyzer_opts)),
         batch_format="pyarrow",
         concurrency=pool_size(concurrency) if concurrency else None)
+
+
+def _pair_checksum(node: pd.Series, member: pd.Series) -> np.ndarray:
+    """Order-independent-summable uint64 fingerprint per (node, member)
+    row (deterministic: pandas siphash with its fixed key)."""
+    hn = pd.util.hash_pandas_object(node, index=False).to_numpy()
+    hm = pd.util.hash_pandas_object(member, index=False).to_numpy()
+    return hn * np.uint64(0x9E3779B97F4A7C15) + np.uint64(0xC2B2AE3D27D4EB4F) * hm
+
+
+def dedup_clusters(pairs, id_a: str = "id_a", id_b: str = "id_b",
+                   max_rounds: int = 50):
+    """Transitive near-duplicate clusters: connected components over a
+    pair edge list (e.g. :func:`minhash_lsh_pairs` /
+    :func:`ngram_jaccard_pairs` output) -> Dataset(doc_id, cluster_id),
+    one row per distinct doc appearing in a pair, ``cluster_id`` = the
+    component's minimum id.  The missing step between pairwise near-dup
+    detection and "keep one doc per duplicate group" at corpus scale.
+
+    Distributed hash-to-min label propagation (Rastogi et al., "Finding
+    Connected Components in Map-Reduce in Logarithmic Rounds", ICDE 2013
+    — published algorithm; the reference engine has no clustering step,
+    cf. its pairwise-only minhash utils `core/analysis/minhash_utils.cpp`):
+    state is a (node, member) adjacency row set, initially the symmetrized
+    pairs.  Each round range-sorts by node (the module's sort+combine
+    idiom, runtime-guarded by :class:`_SortRangeGuardActor`), dedupes rows
+    (global, because every row of a node shares one sorted block), and per
+    node-run with min m = min(members ∪ {node}) emits (m, y) and (y, m)
+    for every y in members ∪ {node}.  Components converge to star graphs
+    centered at their minimum in O(log n) rounds; the fixed point is
+    detected by an order-independent (row count, checksum-sum) signature
+    of the deduped row set being unchanged between rounds — at which point
+    per-node min(member ∪ node) IS the component minimum.
+
+    Scale shape: only id rows ever move; each round materializes the
+    row set, which is edge-set-sized (the near-dup graph — output scale,
+    not corpus scale) so rounds re-read object-store blocks instead of
+    replaying lineage, and the sum over rounds of shuffled rows is
+    O(|edges| log n).  No driver-side state beyond two scalars per round.
+    """
+    import ray
+    import ray.data
+    import uuid
+
+    # id types come from each Arrow block's own schema (a Ray Dataset
+    # schema over pandas blocks reports numpy/Python types, not Arrow)
+    def sym(b: pa.Table) -> pa.Table:
+        it = b.schema.field(id_a).type
+        a = b[id_a].combine_chunks()
+        c = b[id_b].cast(it).combine_chunks()
+        return pa.table({
+            "node": pa.concat_arrays([a, c]),
+            "member": pa.concat_arrays([c, a])})
+
+    rows = pairs.map_batches(sym, batch_format="pyarrow")
+
+    guard = _sort_range_guard()
+
+    def make_dedupe(call_id):
+        def dedupe(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                it = t.schema.field("node").type
+                return pa.table({"node": pa.array([], it),
+                                 "member": pa.array([], it),
+                                 "h_lo": pa.array([], pa.int64()),
+                                 "h_hi": pa.array([], pa.int64())})
+            col = t["node"].combine_chunks()
+            ray.get(guard.check.remote(call_id, col[0].as_py(),
+                                       col[len(t) - 1].as_py(), len(t)))
+            df = t.select(["node", "member"]).to_pandas()
+            df = df.drop_duplicates(["node", "member"])  # keeps sort order
+            h = _pair_checksum(df["node"], df["member"])
+            # two int32 halves as int64 columns: block sums stay far from
+            # int64 overflow for any feasible row count (< 2^31 rows/block)
+            df["h_lo"] = (h & np.uint64(0xFFFFFFFF)).astype(np.int64)
+            df["h_hi"] = (h >> np.uint64(32)).astype(np.int64)
+            return pa.Table.from_pandas(df, preserve_index=False)
+        return dedupe
+
+    def emit(t: pa.Table) -> pa.Table:
+        it = t.schema.field("node").type
+        if len(t) == 0:
+            return pa.table({"node": pa.array([], it),
+                             "member": pa.array([], it)})
+        node = t["node"].to_numpy(zero_copy_only=False)
+        member = t["member"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, node[1:] != node[:-1]])
+        lens = np.diff(np.r_[starts, len(node)])
+        m_run = np.minimum(np.minimum.reduceat(member, starts), node[starts])
+        m_row = np.repeat(m_run, lens)
+        # (m, y) and (y, m) for y in members ∪ {node}
+        new_node = np.concatenate([m_row, member, m_run, node[starts]])
+        new_member = np.concatenate([member, m_row, node[starts], m_run])
+        out = pd.DataFrame({"node": new_node, "member": new_member})
+        out = out.drop_duplicates()  # block-local trim before the shuffle
+        return pa.Table.from_pandas(out, preserve_index=False).cast(
+            pa.schema([("node", it), ("member", it)]))
+
+    prev = None
+    canon = None
+    for _ in range(max_rounds):
+        canon = (rows.sort("node")
+                 .map_batches(make_dedupe(uuid.uuid4().hex),
+                              batch_format="pyarrow", batch_size=None)
+                 .materialize())
+        n = canon.count()
+        if n == 0:
+            # a fully-empty materialized dataset has no schema; recover
+            # the id type from the INPUT dataset (numpy dtype when the
+            # pairs came from pandas blocks, object -> string)
+            psch = pairs.schema()
+            t = dict(zip(psch.names, psch.types))[id_a]
+            if not isinstance(t, pa.DataType):
+                try:
+                    t = pa.from_numpy_dtype(np.dtype(t))
+                except (TypeError, pa.ArrowNotImplementedError):
+                    t = pa.string()
+            return ray.data.from_arrow(pa.table({
+                "doc_id": pa.array([], type=t),
+                "cluster_id": pa.array([], type=t)}))
+        sums = canon.sum(["h_lo", "h_hi"])
+        stats = (n, int(sums["sum(h_lo)"]), int(sums["sum(h_hi)"]))
+        if stats == prev:
+            break
+        prev = stats
+        rows = canon.map_batches(emit, batch_format="pyarrow",
+                                 batch_size=None)
+    else:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_rounds} rounds "
+            "(hash-to-min needs O(log n) — is the pair list adversarial "
+            "or max_rounds too small?)")
+
+    def labels(t: pa.Table) -> pa.Table:
+        it = t.schema.field("node").type
+        if len(t) == 0:
+            return pa.table({"doc_id": pa.array([], it),
+                             "cluster_id": pa.array([], it)})
+        node = t["node"].to_numpy(zero_copy_only=False)
+        member = t["member"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, node[1:] != node[:-1]])
+        m_run = np.minimum(np.minimum.reduceat(member, starts), node[starts])
+        return pa.table({
+            "doc_id": pa.array(node[starts], type=it),
+            "cluster_id": pa.array(m_run, type=it)})
+
+    return canon.map_batches(labels, batch_format="pyarrow", batch_size=None)

@@ -431,3 +431,129 @@ def keyterms(ds, n_terms: int = 3, text_column="text", id_column="doc_id",
     return ds.map_batches(
         StatelessBatchFn(KeyTermBatch), batch_format="pyarrow",
         concurrency=pool_size(concurrency) if concurrency else None)
+
+
+class QualityFilterBatch:
+    """Gopher-style rule filter (Rae et al. 2021, "Scaling Language
+    Models: Methods, Analysis & Insights from Training Gopher", published
+    rule family): per-doc keep/drop from vectorized token stats.  Rules
+    (each its own bit in ``fail_mask`` so downstream audits can count
+    drop reasons without re-running the filter):
+
+    - bit 0: n_tokens outside [min_tokens, max_tokens]
+    - bit 1: mean_token_len outside [min_mean_token_len, max_mean_token_len]
+    - bit 2: stopword_ratio < min_stopword_ratio
+    - bit 3: unique_ratio (distinct/total tokens) < min_unique_ratio
+
+    All ratios are rounded to 6 places BEFORE comparison (both here and
+    in the SQL oracle) so IEEE noise can never flip a boundary doc."""
+
+    def __init__(self, text_column="text", analyzer="ascii",
+                 min_tokens=50, max_tokens=100_000,
+                 min_mean_token_len=3.0, max_mean_token_len=10.0,
+                 min_stopword_ratio=0.0, min_unique_ratio=0.0):
+        self.q = QualityBatch(text_column=text_column, analyzer=analyzer)
+        self.min_tokens = min_tokens
+        self.max_tokens = max_tokens
+        self.min_mean_token_len = min_mean_token_len
+        self.max_mean_token_len = max_mean_token_len
+        self.min_stopword_ratio = min_stopword_ratio
+        self.min_unique_ratio = min_unique_ratio
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        s = self.q(b)
+        n = s["n_tokens"].to_numpy()
+        uniq = s["n_unique_tokens"].to_numpy()
+        sw = s["stopword_ratio"].to_numpy()
+        ml = s["mean_token_len"].to_numpy()
+        uratio = np.round(uniq / np.maximum(n, 1).astype(np.float64), 6)
+        mask = ((n < self.min_tokens) | (n > self.max_tokens)).astype(np.int64)
+        mask |= ((ml < self.min_mean_token_len)
+                 | (ml > self.max_mean_token_len)).astype(np.int64) << 1
+        mask |= (sw < self.min_stopword_ratio).astype(np.int64) << 2
+        mask |= (uratio < self.min_unique_ratio).astype(np.int64) << 3
+        cols = {name: s[name] for name in s.column_names
+                if name not in ("unique_ratio", "keep", "fail_mask")}
+        cols["unique_ratio"] = pa.array(uratio)
+        cols["keep"] = pa.array(mask == 0)
+        cols["fail_mask"] = pa.array(mask)
+        return pa.table(cols)
+
+
+def quality_filter(ds, text_column="text", analyzer="ascii",
+                   concurrency=None, **rules):
+    """Per-doc Gopher-rule quality filter: appends n_tokens,
+    n_unique_tokens, stopword_ratio, mean_token_len, unique_ratio, keep
+    (bool) and fail_mask (reason bitmask) — one map_batches pass, no
+    shuffle.  See :class:`QualityFilterBatch` for the rule set; pass rule
+    thresholds as keyword overrides."""
+    return ds.map_batches(
+        StatelessBatchFn(QualityFilterBatch,
+                         dict(text_column=text_column, analyzer=analyzer,
+                              **rules)),
+        batch_format="pyarrow",
+        concurrency=pool_size(concurrency) if concurrency else None)
+
+
+def column_quantiles(ds, column: str, qs=(0.5,)):
+    """EXACT distributed order statistics of a column via a value
+    histogram: one sort+combine count per distinct value
+    (`dedup._grouped_count_min` — light keys-only shuffle), then a driver
+    cumsum over the (distinct-value-sized, NOT row-count-sized) histogram
+    picks ANSI ``percentile_disc`` answers: the smallest value whose
+    1-indexed position in the sorted multiset is >= ceil(q * n) — exactly
+    DuckDB's ``quantile_disc`` (index parity pinned by tests).
+
+    Exact for any column whose distinct-value count fits the driver
+    (token counts, document lengths, scores quantized upstream); for
+    unbounded continuous columns, quantize first.  Returns a pandas
+    DataFrame (q, value) — output is len(qs) rows, driver-small.
+    """
+    import math
+
+    from iresearch_ray.pipelines.dedup import _grouped_count_min
+
+    def project(b: pa.Table) -> pa.Table:
+        return b.select([column])
+
+    hist = _grouped_count_min(
+        ds.map_batches(project, batch_format="pyarrow"),
+        column, None, count_alias="n").to_pandas()
+    hist = hist.sort_values(column).reset_index(drop=True)
+    cnt = hist["n"].to_numpy()
+    cum = np.cumsum(cnt)
+    n = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile {q!r} outside [0, 1]")
+        if n == 0:
+            continue
+        target = max(1, math.ceil(q * n))  # ANSI percentile_disc position
+        idx = int(np.searchsorted(cum, target, side="left"))
+        out_q.append(float(q))
+        out_v.append(hist[column].iloc[idx])
+    return pd.DataFrame({"q": pd.Series(out_q, dtype=np.float64),
+                         "value": pd.Series(out_v)})
+
+
+def token_count_quantiles(ds, qs=(0.1, 0.25, 0.5, 0.75, 0.9, 0.99),
+                          text_column="text", analyzer="ascii",
+                          concurrency=None):
+    """Exact quantiles of per-doc token counts (the length screen a
+    quality pipeline sizes its filters from): tokenize in map_batches,
+    then :func:`column_quantiles` over the count column."""
+    class CountBatch:
+        def __init__(self):
+            self.analyzer = get_analyzer(analyzer)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            _, _, _, doc_len = _coded_tokens(self.analyzer, b[text_column])
+            return pa.table({"n_tokens": pa.array(
+                np.asarray(doc_len, dtype=np.int64))})
+
+    counts = ds.map_batches(
+        StatelessBatchFn(CountBatch), batch_format="pyarrow",
+        concurrency=pool_size(concurrency) if concurrency else None)
+    out = column_quantiles(counts, "n_tokens", qs=qs)
+    return out.rename(columns={"value": "n_tokens_q"})

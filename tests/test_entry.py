@@ -80,13 +80,17 @@ def test_distinctive_queries_fit_driver_window():
     window = set(order[:50])
     for name in ["ann_cosine", "ann_lsh", "ann_ivf", "multimodal_features",
                  "multimodal_frames", "duplicated_spans", "minhash_pairs",
-                 "ngram_jaccard", "embedding_neardup", "keyterms"]:
+                 "ngram_jaccard", "embedding_neardup", "keyterms",
+                 "dedup_clusters", "quality_filter", "token_quantiles"]:
         assert name in window, f"{name} outside the driver's 50-row window"
     # the tail must stay redundant-only: each has an in-window twin
     twins = {"doc_stats": "quality_stats",
              "term_search_tfidf": "term_search",
              "same_position_search": "term_search",
-             "term_topk_distributed": "term_topk"}
+             "term_topk_distributed": "term_topk",
+             "phrase_variadic": "phrase_search",
+             "dedup_fingerprint": "dedup_exact",
+             "window_hopping": "window_tumbling"}
     for name in order[50:]:
         assert name in twins and twins[name] in window, (
             f"{name} in the truncation-risk tail without an in-window twin")

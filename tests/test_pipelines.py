@@ -863,3 +863,117 @@ def test_sort_range_guard_actor_semantics():
     g.check("s", "aa", "mm", 5)
     with pytest.raises(RuntimeError):
         g.check("s", "mm", "zz", 2)
+
+
+def _brute_components(pairs):
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return sorted((x, find(x)) for x in parent)
+
+
+def test_dedup_clusters_matches_union_find(ray_session):
+    rng = np.random.default_rng(7)
+    cases = [
+        [(1, 2)],
+        [(i, i + 1) for i in range(1, 64)],       # worst-case chain
+        [(10, 1), (10, 2), (10, 3)],              # star
+        [(1, 2), (3, 4), (5, 6), (2, 3)],         # merge across pairs
+        list(zip(rng.integers(0, 300, 500).tolist(),
+                 rng.integers(0, 300, 500).tolist())),
+        list(zip(rng.integers(0, 4000, 1500).tolist(),
+                 rng.integers(0, 4000, 1500).tolist())),
+    ]
+    for pairs in cases:
+        pairs = [(a, b) for a, b in pairs if a != b]
+        ds = ray.data.from_pandas(pd.DataFrame(
+            {"id_a": [a for a, _ in pairs], "id_b": [b for _, b in pairs]}))
+        out = dedup.dedup_clusters(ds).to_pandas().sort_values("doc_id")
+        got = list(zip(out["doc_id"].tolist(), out["cluster_id"].tolist()))
+        assert got == _brute_components(pairs)
+
+
+def test_dedup_clusters_string_ids_and_empty(ray_session):
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"id_a": ["b", "c", "x"], "id_b": ["a", "b", "y"]}))
+    out = (dedup.dedup_clusters(ds).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out.to_dict("list") == {
+        "doc_id": ["a", "b", "c", "x", "y"],
+        "cluster_id": ["a", "a", "a", "x", "x"]}
+    empty = ray.data.from_pandas(pd.DataFrame(
+        {"id_a": pd.Series([], dtype=np.int64),
+         "id_b": pd.Series([], dtype=np.int64)}))
+    res = dedup.dedup_clusters(empty)
+    assert res.count() == 0
+    assert set(res.schema().names) == {"doc_id", "cluster_id"}
+
+
+def test_dedup_clusters_over_minhash_pairs(ray_session):
+    # identical texts at ids 1/5/9 + 2/7 -> clusters {1,5,9} and {2,7}
+    texts = {i: f"unique words for document number {i} " + "filler " * 10
+             for i in range(12)}
+    for i in (5, 9):
+        texts[i] = texts[1]
+    texts[7] = texts[2]
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": list(texts), "text": list(texts.values())}))
+    pairs = dedup.minhash_lsh_pairs(ds, threshold=0.9)
+    out = (dedup.dedup_clusters(pairs).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out.to_dict("list") == {
+        "doc_id": [1, 2, 5, 7, 9], "cluster_id": [1, 2, 1, 2, 1]}
+
+
+def test_column_quantiles_matches_duckdb(ray_session):
+    import duckdb
+
+    rng = np.random.default_rng(11)
+    con = duckdb.connect()
+    for _ in range(6):
+        vals = rng.integers(0, 60, size=int(rng.integers(1, 500))).astype(np.int64)
+        vds = ray.data.from_pandas(pd.DataFrame({"v": vals}))
+        qs = sorted(set([0.0, 1.0] + rng.random(4).round(3).tolist()))
+        out = textstats.column_quantiles(vds, "v", qs=qs)
+        for q, got in zip(out["q"], out["value"]):
+            exp = con.execute(
+                f"SELECT quantile_disc(v, {q}) FROM (SELECT unnest($1) AS v)",
+                [vals.tolist()]).fetchone()[0]
+            assert got == exp, (q, got, exp, len(vals))
+    with pytest.raises(ValueError):
+        textstats.column_quantiles(
+            ray.data.from_pandas(pd.DataFrame({"v": [1]})), "v", qs=(1.5,))
+
+
+def test_quality_filter_rules(ray_session):
+    texts = {
+        1: "the quick brown foxes jumped over the lazy dogs and " * 8,  # keep
+        2: "short doc",                              # fails min_tokens
+        3: "ab " * 80,                               # fails mean_token_len < 3
+        4: "zebra yonder xylem wombat vortex " * 16,  # fails stopword ratio
+    }
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": list(texts), "text": list(texts.values())}))
+    out = (textstats.quality_filter(
+        ds, min_tokens=50, min_stopword_ratio=0.01, min_unique_ratio=0.0)
+        .to_pandas().set_index("doc_id").sort_index())
+    assert bool(out.loc[1, "keep"])
+    assert out.loc[1, "fail_mask"] == 0
+    assert out.loc[2, "fail_mask"] & 1          # token count
+    assert out.loc[3, "fail_mask"] & 2          # mean token length
+    assert out.loc[4, "fail_mask"] & 4          # stopword ratio
+    assert not out.loc[2, "keep"] and not out.loc[4, "keep"]
+    # unique-ratio rule: a doc of one repeated token fails at 0.5
+    strict = (textstats.quality_filter(
+        ds, min_tokens=1, min_unique_ratio=0.5)
+        .to_pandas().set_index("doc_id"))
+    assert strict.loc[3, "fail_mask"] & 8
