@@ -176,6 +176,10 @@ def cmd_dedup(a) -> dict:
             return D.ngram_jaccard_pairs(ds, threshold=a.threshold, **common)
         if a.method == "spans":
             return D.duplicated_spans(ds, k=a.k, **common)
+        if a.method == "clusters":
+            # transitive near-dup clusters over the minhash pair list
+            return D.dedup_clusters(
+                D.minhash_lsh_pairs(ds, threshold=a.threshold, **common))
         return D.duplicated_span_stats(ds, k=a.k, **common)  # span-stats
 
     return _run_staged_op(a, "method", build_op,
@@ -202,11 +206,19 @@ def cmd_stats(a) -> dict:
         if a.op == "keyterms":
             return T.keyterms(ds, n_terms=a.k_top, text_column=a.text_column,
                               id_column=a.id_column, analyzer=a.analyzer)
+        if a.op == "quality-filter":
+            return T.quality_filter(ds, text_column=a.text_column,
+                                    analyzer=a.analyzer)
+        if a.op == "quantiles":
+            import ray.data
+
+            return ray.data.from_pandas(T.token_count_quantiles(
+                ds, text_column=a.text_column, analyzer=a.analyzer))
         return T.term_frequencies(ds, text_column=a.text_column,
                                   analyzer=a.analyzer)  # termfreq
 
     # corpus-global ops never touch the id column — prune it at the read
-    cols = ([a.text_column] if a.op in ("bigrams", "termfreq")
+    cols = ([a.text_column] if a.op in ("bigrams", "termfreq", "quantiles")
             else [a.id_column, a.text_column])
     return _run_staged_op(a, "op", build_op, {"k_top": a.k_top},
                           columns=cols)
@@ -254,7 +266,7 @@ def main(argv=None) -> int:
     d.add_argument("--output", required=True)
     d.add_argument("--method", required=True,
                    choices=("exact", "fingerprint", "simhash", "minhash",
-                            "jaccard", "spans", "span-stats"))
+                            "jaccard", "spans", "span-stats", "clusters"))
     d.add_argument("--threshold", type=float, default=0.9)
     d.add_argument("--k", type=int, default=5,
                    help="span window length for spans/span-stats")
@@ -267,7 +279,8 @@ def main(argv=None) -> int:
     s.add_argument("--output", required=True)
     s.add_argument("--op", required=True,
                    choices=("quality", "langid", "repetition", "bigrams",
-                            "keyterms", "termfreq"))
+                            "keyterms", "termfreq", "quality-filter",
+                            "quantiles"))
     s.add_argument("--k-top", type=int, default=20)
     s.add_argument("--id-column", default="doc_id")
     s.add_argument("--text-column", default="text")

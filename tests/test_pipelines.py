@@ -893,11 +893,15 @@ def test_dedup_clusters_matches_union_find(ray_session):
         list(zip(rng.integers(0, 4000, 1500).tolist(),
                  rng.integers(0, 4000, 1500).tolist())),
     ]
-    for pairs in cases:
+    for i, pairs in enumerate(cases):
         pairs = [(a, b) for a, b in pairs if a != b]
         ds = ray.data.from_pandas(pd.DataFrame(
             {"id_a": [a for a, _ in pairs], "id_b": [b for _, b in pairs]}))
-        out = dedup.dedup_clusters(ds).to_pandas().sort_values("doc_id")
+        # alternate paths: driver union-find and the distributed
+        # two-phase star contraction must be row-identical
+        out = dedup.dedup_clusters(
+            ds, driver_max=0 if i % 2 else 2_000_000
+        ).to_pandas().sort_values("doc_id")
         got = list(zip(out["doc_id"].tolist(), out["cluster_id"].tolist()))
         assert got == _brute_components(pairs)
 
@@ -905,11 +909,12 @@ def test_dedup_clusters_matches_union_find(ray_session):
 def test_dedup_clusters_string_ids_and_empty(ray_session):
     ds = ray.data.from_pandas(pd.DataFrame(
         {"id_a": ["b", "c", "x"], "id_b": ["a", "b", "y"]}))
-    out = (dedup.dedup_clusters(ds).to_pandas()
-           .sort_values("doc_id").reset_index(drop=True))
-    assert out.to_dict("list") == {
-        "doc_id": ["a", "b", "c", "x", "y"],
-        "cluster_id": ["a", "a", "a", "x", "x"]}
+    for dm in (0, 2_000_000):  # both paths handle string ids
+        out = (dedup.dedup_clusters(ds, driver_max=dm).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        assert out.to_dict("list") == {
+            "doc_id": ["a", "b", "c", "x", "y"],
+            "cluster_id": ["a", "a", "a", "x", "x"]}
     empty = ray.data.from_pandas(pd.DataFrame(
         {"id_a": pd.Series([], dtype=np.int64),
          "id_b": pd.Series([], dtype=np.int64)}))
