@@ -79,72 +79,61 @@ def _csr_intersect_counts(flat: np.ndarray, offs: np.ndarray,
     return inter
 
 
-class _SortRangeGuardActor:
-    """Runtime guard for the range-sort invariant every sort+combine
-    aggregation in this module relies on: Ray's sort emits each key-range
-    partition as one block, so a run of equal keys never straddles blocks.
-    That is an (undocumented) Ray Data behavior; if a future Ray splits
-    partitions mid-run, the combines would silently undercount duplicate
-    groups.  Each combine task registers its block's [min, max] key with
-    this session-singleton actor, which errors on any overlap between
-    blocks of the same logical sort (keyed by call id) — turning a silent
-    wrong answer into a loud failure.
-
-    A task retry re-registers an identical (lo, hi, n_rows) record; that
-    exact repeat is accepted as a re-execution, not an overlap."""
-
-    def __init__(self):
-        from collections import OrderedDict
-
-        self._calls = OrderedDict()  # call_id -> (sorted [lo..] , set of seen)
-
-    def check(self, call_id: str, lo, hi, n_rows: int) -> None:
-        import bisect
-
-        if call_id not in self._calls:
-            # bound memory: keep the most recent logical sorts only
-            while len(self._calls) >= 64:
-                self._calls.popitem(last=False)
-            self._calls[call_id] = ([], set())
-        intervals, seen = self._calls[call_id]
-        rec = (lo, hi, n_rows)
-        if rec in seen:
-            return  # task retry of an already-registered block
-        i = bisect.bisect_left(intervals, (lo, hi))
-        for j in (i - 1, i):
-            if 0 <= j < len(intervals):
-                olo, ohi = intervals[j]
-                if olo <= hi and lo <= ohi:
-                    raise RuntimeError(
-                        "sort range-partition invariant violated: block key "
-                        f"ranges [{olo!r}, {ohi!r}] and [{lo!r}, {hi!r}] "
-                        "overlap — equal-key runs straddle sort output "
-                        "blocks, so sort+combine aggregation would "
-                        "undercount groups (Ray Data sort behavior changed?)")
-        intervals.insert(i, (lo, hi))
-        seen.add(rec)
+# --- boundary-run repair for sort+combine aggregation -----------------
+#
+# Ray's sort emits GLOBALLY ORDERED blocks (documented), so a run of equal
+# keys is contiguous across the block sequence — but under heavy key skew
+# the sample-based range partitioner draws several boundaries equal to the
+# hot key and the run STRADDLES blocks (observed: a 2.4M-row hot node at a
+# 5M-row sort; at 100 TB a hot key — an empty-doc hash, a boilerplate
+# span, a converged dup-cluster hub — is a certainty, not an edge case).
+# Round 3 pinned the no-straddle assumption with a runtime guard actor
+# that turned the silent undercount into a loud failure; round 4 removes
+# the assumption entirely:
+#
+# - INTERIOR runs (neither first nor last in their block) can never
+#   straddle — by global ordering, a straddling run is the LAST run of
+#   one block and the FIRST run of the next — so each block combines its
+#   interior runs locally and exactly;
+# - the first and last run of every block are emitted as per-piece
+#   PARTIALS (<= 2 rows per block at any block count) and merged by key
+#   on the driver, which is exact for any aggregate with a partial form
+#   (count, min, max — everything this module needs).
+#
+# Combines that need a whole group's ROWS together (the embedding-LSH
+# within-bucket pairing) use the partials only to DETECT straddled
+# groups (a key with >= 2 partial rows) and route those through the
+# bounded per-group fan-out instead.
 
 
-def _sort_range_guard():
-    """Session-singleton guard actor (num_cpus=0: never competes for task
-    slots; one tiny RPC per combine block).  Detached: a plain named actor
-    dies as soon as the creating call's handles go out of scope, killing
-    later pipelines' checks mid-flight ("all references removed"); the
-    detached singleton lives until ray.shutdown().  A restart (node loss)
-    only forgets prior intervals — degraded detection, never a false
-    positive."""
+def _run_starts_arrow(col, n: int) -> np.ndarray:
+    """Run-start indices of a block-sorted Arrow array.  Arrow-side
+    compare (``pc.not_equal`` on offset slices), so string keys never
+    convert to Python objects."""
+    import pyarrow.compute as pc
+
+    neq = pc.not_equal(col.slice(1), col.slice(0, n - 1))
+    return np.r_[0, np.flatnonzero(neq.to_numpy(zero_copy_only=False)) + 1]
+
+
+def _collect_small(ds) -> pa.Table | None:
+    """Materialize a small Dataset (a few rows per block — boundary
+    partials) on the driver as ONE Arrow table, types preserved (a pandas
+    round-trip would mangle large_string/dictionary keys).  None when the
+    dataset has no rows."""
     import ray
 
-    return ray.remote(num_cpus=0, max_restarts=-1)(
-        _SortRangeGuardActor).options(
-        name="_iresearch_sort_range_guard", lifetime="detached",
-        get_if_exists=True).remote()
+    tbls = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    if not tbls:
+        return None
+    return pa.concat_tables(tbls, promote_options="default")
 
 
 def _grouped_count_min(rows, key_column: str, id_column: str | None,
                        count_alias: str = "dup_count",
                        keep_alias: str = "keep_id",
-                       min_count: int | None = None):
+                       min_count: int | None = None,
+                       _presorted: bool = False):
     """(key -> row count[, min id]) for a Dataset of (key[, id]) rows via
     ONE range sort + a per-block reduceat combine — the aggregation shape
     shared by every hash-bucket dedup operator.  ``id_column=None`` emits
@@ -153,62 +142,113 @@ def _grouped_count_min(rows, key_column: str, id_column: str | None,
     4x faster than ``groupby().aggregate(Count, Min)`` at probe scale
     (the aggregate path pays per-group overhead materializing every
     singleton group; this is one vector sweep per block) and, with
-    ``min_count``, the filter fuses into the combine so non-duplicated
-    groups never leave the combine task.
+    ``min_count``, the filter fuses into the combine AND the driver
+    merge, so non-duplicated groups never leave their task.
 
-    Exact because Ray's sort range-partitions rows by searchsorted over
-    sampled boundaries — a pure function of the key — so a run of equal
-    keys never straddles blocks; ``batch_size=None`` keeps map_batches
-    from splitting a block.  That behavior is pinned by a tiny-block
-    regression test AND guarded at runtime: each combine registers its
-    block's key range with :class:`_SortRangeGuardActor`, which errors on
-    overlap instead of letting a straddled run silently undercount.  Key
-    runs are detected arrow-side (``pc.not_equal`` on offset slices), so
-    string keys never convert to Python objects."""
-    import uuid
+    Exact at ANY key skew via boundary-run repair (see the module
+    comment above :func:`_run_starts_arrow`): each block combines only
+    its INTERIOR runs — which by global sort ordering can never straddle
+    blocks — while the first/last run of every block routes through
+    <=2-rows-per-block driver partials, merged by key and unioned back.
+    Hot keys wider than a whole block (the 100-TB certainty the round-3
+    guard actor could only fail loudly on) now aggregate exactly.
+    ``batch_size=None`` keeps map_batches from splitting a block, and
+    the sorted output is materialized so both passes see the SAME block
+    boundaries (a re-executed sort may sample different ones — that
+    re-sampling is exactly what false-tripped the retired round-3 guard
+    actor when a caller consumed the lazy result twice).
 
-    import pyarrow.compute as pc
+    ``_presorted`` is a TEST seam: skip the sort and treat the input's
+    existing blocks as the sorted blocking, so adversarial splits (runs
+    straddling hand-built blocks) can be injected — Ray's current
+    partitioner is a pure key function and never produces them."""
     import ray
+    import ray.data
 
-    guard = _sort_range_guard()
-    call_id = uuid.uuid4().hex
+    sorted_rows = (rows if _presorted
+                   else rows.sort(key_column)).materialize()
 
-    def combine(t: pa.Table) -> pa.Table:
-        n = len(t)
+    def _empty(t: pa.Table) -> pa.Table:
         key_type = t.schema.field(key_column).type
-        id_type = (t.schema.field(id_column).type
-                   if id_column is not None else None)
+        cols = {key_column: pa.array([], key_type),
+                count_alias: pa.array([], pa.int64())}
+        if id_column is not None:
+            cols[keep_alias] = pa.array(
+                [], t.schema.field(id_column).type)
+        return pa.table(cols)
+
+    def edge_partials(t: pa.Table) -> pa.Table:
+        n = len(t)
         if n == 0:
-            cols = {key_column: pa.array([], key_type),
-                    count_alias: pa.array([], pa.int64())}
-            if id_column is not None:
-                cols[keep_alias] = pa.array([], id_type)
-            return pa.table(cols)
+            return _empty(t)
         col = t[key_column].combine_chunks()
-        ray.get(guard.check.remote(call_id, col[0].as_py(),
-                                   col[n - 1].as_py(), n))
-        neq = pc.not_equal(col.slice(1), col.slice(0, n - 1))
-        starts = np.r_[0, np.flatnonzero(
-            neq.to_numpy(zero_copy_only=False)) + 1]
-        cnt = np.diff(np.r_[starts, n]).astype(np.int64)
+        starts = _run_starts_arrow(col, n)
+        bounds = [(0, int(starts[1]) if len(starts) > 1 else n)]
+        if len(starts) > 1:
+            bounds.append((int(starts[-1]), n))
+        take, cnts, mins = [], [], []
+        ids = (t[id_column].to_numpy(zero_copy_only=False)
+               if id_column is not None else None)
+        for s, e in bounds:
+            take.append(s)
+            cnts.append(e - s)
+            if ids is not None:
+                mins.append(ids[s:e].min())
+        cols = {key_column: col.take(pa.array(take)),
+                count_alias: pa.array(cnts, type=pa.int64())}
+        if ids is not None:
+            cols[keep_alias] = pa.array(
+                mins, type=t.schema.field(id_column).type)
+        return pa.table(cols)
+
+    def combine_interior(t: pa.Table) -> pa.Table:
+        n = len(t)
+        if n == 0:
+            return _empty(t)
+        col = t[key_column].combine_chunks()
+        starts = _run_starts_arrow(col, n)
+        if len(starts) <= 2:
+            return _empty(t)  # 1-2 runs: all boundary, driver owns them
+        lo, hi = int(starts[1]), int(starts[-1])
+        starts_i = starts[1:-1]
+        cnt = np.diff(np.r_[starts_i, hi]).astype(np.int64)
         mins = None
         if id_column is not None:
             ids = t[id_column].to_numpy(zero_copy_only=False)
             # object dtype (string ids) reduces via Python < — still one
             # sweep; numeric ids stay a C loop
-            mins = np.minimum.reduceat(ids, starts)
+            mins = np.minimum.reduceat(ids[lo:hi], starts_i - lo)
         if min_count is not None:
             keep = cnt >= min_count
-            starts, cnt = starts[keep], cnt[keep]
+            starts_i, cnt = starts_i[keep], cnt[keep]
             mins = mins[keep] if mins is not None else None
-        cols = {key_column: col.take(pa.array(starts)),
+        cols = {key_column: col.take(pa.array(starts_i)),
                 count_alias: pa.array(cnt)}
         if mins is not None:
-            cols[keep_alias] = pa.array(mins, type=id_type)
+            cols[keep_alias] = pa.array(
+                mins, type=t.schema.field(id_column).type)
         return pa.table(cols)
 
-    return (rows.sort(key_column)
-            .map_batches(combine, batch_format="pyarrow", batch_size=None))
+    parts = _collect_small(sorted_rows.map_batches(
+        edge_partials, batch_format="pyarrow", batch_size=None))
+    interior = sorted_rows.map_batches(
+        combine_interior, batch_format="pyarrow", batch_size=None)
+    if parts is None:
+        return interior
+    pdf = parts.to_pandas()
+    agg = {count_alias: (count_alias, "sum")}
+    if id_column is not None:
+        agg[keep_alias] = (keep_alias, "min")
+    merged = (pdf.groupby(key_column, sort=False, as_index=False)
+              .agg(**agg))
+    if min_count is not None:
+        merged = merged[merged[count_alias] >= min_count]
+    if not len(merged):
+        return interior
+    boundary = pa.Table.from_pandas(
+        merged, preserve_index=False).select(parts.column_names).cast(
+        parts.schema)
+    return interior.union(ray.data.from_arrow(boundary))
 
 
 def _sorted_member(sorted_arr: np.ndarray, values: np.ndarray) -> np.ndarray:
@@ -1094,8 +1134,10 @@ def embedding_neardup_pairs(ds, threshold: float = 0.9,
     default) exactly like the MinHash path, so neither the count pass nor
     the membership filter pins corpus-sized objects in the object store.
     Pairing is DISTRIBUTED: hot-bucket survivors range-sort on bucket and
-    each block pairs its contiguous bucket runs (the sort+combine idiom,
-    guarded by :class:`_SortRangeGuardActor`); each bucket wider than
+    each block pairs its contiguous bucket runs (the sort+combine idiom;
+    buckets whose run STRADDLES block boundaries are detected via the
+    boundary-partial scan and routed through the per-bucket fan-out, so
+    no pair is missed at any key skew); each bucket wider than
     ``max_bucket`` (degenerate: near-zero vectors, templated embeddings)
     instead gets its OWN (batch, block)-tiled sub-pipeline — total
     degenerate work is sum(w_i^2), never (sum w_i)^2, with no driver-side
@@ -1123,7 +1165,6 @@ def embedding_neardup_pairs(ds, threshold: float = 0.9,
     # filter, then distributed within-bucket pairing
     import shutil
     import tempfile
-    import uuid
 
     import ray.data
 
@@ -1162,6 +1203,7 @@ def embedding_neardup_pairs(ds, threshold: float = 0.9,
         normal_keys = np.ascontiguousarray(hkeys[hcnts <= max_bucket])
         degen_keys = np.ascontiguousarray(hkeys[hcnts > max_bucket])
         parts = []
+        straddled = np.empty(0, np.int64)
         if len(normal_keys):
             nref = ray.put(normal_keys)
 
@@ -1170,16 +1212,41 @@ def embedding_neardup_pairs(ds, threshold: float = 0.9,
                 return t.filter(pa.array(
                     _sorted_member(keys, t["bucket"].to_numpy())))
 
-            guard = _sort_range_guard()
-            call_id = uuid.uuid4().hex
+            normal_rows = (sk.map_batches(keep_normal,
+                                          batch_format="pyarrow")
+                           .sort("bucket").materialize())
+
+            # boundary partials: a bucket whose sorted run STRADDLES
+            # blocks (possible under skew — see the repair module
+            # comment) appears as the first/last run of >= 2 blocks;
+            # within-block pairing would silently MISS its cross-piece
+            # pairs, so straddled buckets are detected here and routed
+            # through the same per-bucket fan-out as oversized ones.
+            # |straddled| <= block count - 1 (each consumes a boundary),
+            # and is 0 unless a sampled sort boundary lands mid-bucket.
+            def bucket_edges(t: pa.Table) -> pa.Table:
+                if len(t) == 0:
+                    return pa.table({"bucket": pa.array([], pa.int64())})
+                b = t["bucket"].to_numpy()
+                vals = [int(b[0])]
+                if b[-1] != b[0]:
+                    vals.append(int(b[-1]))
+                return pa.table({"bucket": pa.array(vals, pa.int64())})
+
+            edge_tbl = _collect_small(normal_rows.map_batches(
+                bucket_edges, batch_format="pyarrow", batch_size=None))
+            if edge_tbl is not None:
+                bvals, bcnts = np.unique(
+                    edge_tbl["bucket"].to_numpy(), return_counts=True)
+                straddled = np.ascontiguousarray(bvals[bcnts >= 2])
+            sref = ray.put(straddled)
 
             def bucket_pairs(t: pa.Table) -> pa.Table:
                 n = len(t)
                 if n == 0:
                     return _empty_pairs_table()
                 buckets = t["bucket"].to_numpy()
-                ray.get(guard.check.remote(
-                    call_id, int(buckets[0]), int(buckets[-1]), n))
+                skip = ray.get(sref)
                 ids_all = t[id_column].to_numpy(
                     zero_copy_only=False).astype(np.int64)
                 Mn = _as_matrix(t[vec_column], np.float32)
@@ -1188,11 +1255,13 @@ def embedding_neardup_pairs(ds, threshold: float = 0.9,
                 starts = np.flatnonzero(
                     np.r_[True, buckets[1:] != buckets[:-1]])
                 bounds = np.r_[starts, n]
+                skip_run = (_sorted_member(skip, buckets[starts])
+                            if len(skip) else np.zeros(len(starts), bool))
                 out_a, out_b, out_c = [np.empty(0, np.int64)], \
                     [np.empty(0, np.int64)], [np.empty(0, np.float64)]
-                for s, e in zip(bounds[:-1], bounds[1:]):
+                for ri, (s, e) in enumerate(zip(bounds[:-1], bounds[1:])):
                     w = e - s
-                    if w < 2:
+                    if w < 2 or skip_run[ri]:
                         continue
                     ids = ids_all[s:e]
                     mn = Mn[s:e]
@@ -1216,11 +1285,24 @@ def embedding_neardup_pairs(ds, threshold: float = 0.9,
                     "id_b": pa.array(np.concatenate(out_b)),
                     "cosine": pa.array(np.concatenate(out_c))})
 
-            parts.append(
-                sk.map_batches(keep_normal, batch_format="pyarrow")
-                .sort("bucket")
-                .map_batches(bucket_pairs, batch_format="pyarrow",
-                             batch_size=None))
+            parts.append(normal_rows.map_batches(
+                bucket_pairs, batch_format="pyarrow", batch_size=None))
+            if len(straddled):
+                # straddled buckets are normal-width (<= max_bucket), so
+                # each gets one small exact sub-pipeline over the
+                # already-materialized sorted rows — no driver concat
+                for bv in straddled.tolist():
+                    def keep_straddled(t: pa.Table,
+                                       _bv=int(bv)) -> pa.Table:
+                        import pyarrow.compute as pc
+
+                        return t.filter(pc.equal(t["bucket"], _bv))
+
+                    parts.append(_exact_pairs_blocked(
+                        normal_rows.map_batches(keep_straddled,
+                                                batch_format="pyarrow"),
+                        threshold, id_column, vec_column, np.float32,
+                        concurrency))
         if len(degen_keys) > 64:
             raise ValueError(
                 f"{len(degen_keys)} LSH buckets exceed max_bucket="
@@ -1418,14 +1500,6 @@ def duplicated_span_stats(ds, text_column: str = "text",
         concurrency=pool_size(concurrency) if concurrency else None)
 
 
-def _pair_checksum(node: pd.Series, member: pd.Series) -> np.ndarray:
-    """Order-independent-summable uint64 fingerprint per (node, member)
-    row (deterministic: pandas siphash with its fixed key)."""
-    hn = pd.util.hash_pandas_object(node, index=False).to_numpy()
-    hm = pd.util.hash_pandas_object(member, index=False).to_numpy()
-    return hn * np.uint64(0x9E3779B97F4A7C15) + np.uint64(0xC2B2AE3D27D4EB4F) * hm
-
-
 def dedup_clusters(pairs, id_a: str = "id_a", id_b: str = "id_b",
                    max_rounds: int = 50, log_rounds: bool = False,
                    driver_max: int = 2_000_000):
@@ -1445,24 +1519,38 @@ def dedup_clusters(pairs, id_a: str = "id_a", id_b: str = "id_b",
     - large-star: per node u with neighborhood G(u), m = min(G(u) ∪ {u}):
       emit edge (v, m) for every v in G(u) with v > u;
     - small-star: same m; emit (v, m) for every v in G(u) ∪ {u} with
-      v <= u and v != m;
+      v <= u and v != m.
 
-    until the edge multiset is unchanged (order-independent
-    count+checksum signature).  Components converge to star graphs
-    centered at their minima; unlike hash-to-min, the per-round edge
-    count NEVER exceeds the input edge count (one output edge per
-    adjacency entry — probed: hash-to-min ballooned a 0.5M-edge corpus
-    with a 10k chain to 63.7M intermediate rows; two-phase stays flat).
-    Each star op is one range sort of the symmetrized (node, nbr) rows +
-    a per-run vector combine — the module's sort+combine idiom,
-    runtime-guarded by :class:`_SortRangeGuardActor`.
+    Components converge to star graphs centered at their minima; unlike
+    hash-to-min, the per-round edge count NEVER exceeds the input edge
+    count (probed: hash-to-min ballooned a 0.5M-edge corpus with a 10k
+    chain to 63.7M intermediate rows; two-phase stays flat).  Each star
+    op is one range sort of the symmetrized (node, nbr) rows + a per-run
+    ``np.minimum.reduceat`` combine, BOUNDARY-REPAIRED (see the module
+    comment above :func:`_run_starts_arrow`): a converged duplicate
+    cluster IS a hot node whose adjacency run outgrows a sort block — a
+    2.4M-row hub at a 5M-edge probe straddled blocks — so the first/last
+    run of every block takes its neighborhood min from <=2-rows-per-block
+    driver-merged partials instead of trusting block locality.
+
+    Everything is DUPLICATE-INSENSITIVE min/max algebra, so emissions
+    never need an exact global dedup (block-local drop_duplicates only
+    trims shuffle bytes).  Convergence is a star-forest CERTIFICATE, not
+    an edge-multiset signature: with edges canonicalized child > parent,
+    the state is converged iff NO node sees neighbors on both sides of
+    itself AND no pure child sees two distinct parents (per-run min/max
+    tests + the same boundary repair).  At the certificate every
+    component is a star centered at its minimum, so labels are immediate:
+    label(u) = min(neighbors ∪ u).  (The retired signature needed an
+    exact global dedup, which nondeterministic run splits made unstable —
+    the 5M probe churned 14 extra no-op rounds before failing.)
 
     Scale shape: only id rows ever move; each iteration materializes an
     edge-set-sized row set (the near-dup graph — output scale, not
     corpus scale) so rounds re-read object-store blocks instead of
-    replaying lineage.  No driver-side state beyond two scalars/round.
-    Self-pairs (id_a == id_b) are dropped; ``max_rounds`` bounds the
-    provably O(log^2 n) iteration count.
+    replaying lineage.  Driver-side state per round: <=2 rows per sort
+    block (the boundary partials).  Self-pairs (id_a == id_b) are
+    dropped; ``max_rounds`` bounds the provably O(log^2 n) iterations.
 
     ``driver_max``: edge lists at or below this bound skip the round
     loop for a driver-side union-find (the `distributed_verify_min`
@@ -1472,12 +1560,9 @@ def dedup_clusters(pairs, id_a: str = "id_a", id_b: str = "id_b",
     Both paths are row-identical (tested).
     """
     import time as _time
-    import uuid
 
     import ray
     import ray.data
-
-    guard = _sort_range_guard()
 
     # --- initial canonical edges: (child=max, parent=min), a != b ---
     def canon(b: pa.Table) -> pa.Table:
@@ -1503,44 +1588,134 @@ def dedup_clusters(pairs, id_a: str = "id_a", id_b: str = "id_b",
         lens = np.diff(np.r_[starts, len(node)])
         return starts, lens
 
-    def make_star(call_id, large: bool, checksum: bool):
+    def piece_stats(t: pa.Table) -> pa.Table:
+        """Boundary partials: <=2 rows per block — (node, pmin, pmax)
+        over nbr for the block's first and last node-run, the only runs
+        that can straddle blocks under skew."""
+        n = len(t)
+        it = t.schema.field("node").type
+        if n == 0:
+            return pa.table({"node": pa.array([], it),
+                             "pmin": pa.array([], it),
+                             "pmax": pa.array([], it)})
+        col = t["node"].combine_chunks()
+        starts = _run_starts_arrow(col, n)
+        bounds = [(0, int(starts[1]) if len(starts) > 1 else n)]
+        if len(starts) > 1:
+            bounds.append((int(starts[-1]), n))
+        nbr = t["nbr"].to_numpy(zero_copy_only=False)
+        take, mn, mx = [], [], []
+        for s, e in bounds:
+            take.append(s)
+            mn.append(nbr[s:e].min())
+            mx.append(nbr[s:e].max())
+        return pa.table({"node": col.take(pa.array(take)),
+                         "pmin": pa.array(mn, type=it),
+                         "pmax": pa.array(mx, type=it)})
+
+    def _sorted_sym(edge_ds):
+        # materialized so every pass sees the SAME block boundaries (a
+        # re-executed sort may sample different ones)
+        return (edge_ds.map_batches(sym_edges, batch_format="pyarrow")
+                .sort("node").materialize())
+
+    def _repair(sorted_sym):
+        """Driver-merged boundary partials: (nodes_sorted, global nbr
+        min/max per boundary node, arrow id type)."""
+        parts = _collect_small(sorted_sym.map_batches(
+            piece_stats, batch_format="pyarrow", batch_size=None))
+        if parts is None:
+            return None
+        pdf = parts.to_pandas()
+        merged = (pdf.groupby("node", sort=True, as_index=False)
+                  .agg(gmin=("pmin", "min"), gmax=("pmax", "max")))
+        return (merged["node"].to_numpy(), merged["gmin"].to_numpy(),
+                merged["gmax"].to_numpy(),
+                parts.schema.field("node").type)
+
+    def count_viol_interior(t: pa.Table) -> pa.Table:
+        """Star-forest violations over INTERIOR runs: node u violates iff
+        it sees neighbors on both sides of itself (child AND parent on a
+        >= length-2 path) or, as a pure child, two distinct parents."""
+        n = len(t)
+        if n == 0:
+            return pa.table({"viol": pa.array([0], pa.int64())})
+        node = t["node"].to_numpy(zero_copy_only=False)
+        nbr = t["nbr"].to_numpy(zero_copy_only=False)
+        starts, _ = _runs(node)
+        if len(starts) <= 2:
+            return pa.table({"viol": pa.array([0], pa.int64())})
+        lo, hi = starts[1], starts[-1]
+        si = starts[1:-1] - lo
+        mn = np.minimum.reduceat(nbr[lo:hi], si)
+        mx = np.maximum.reduceat(nbr[lo:hi], si)
+        u = node[starts[1:-1]]
+        viol = ((mx > u) & (mn < u)) | ((mx < u) & (mn != mx))
+        return pa.table(
+            {"viol": pa.array([int(np.count_nonzero(viol))], pa.int64())})
+
+    def _viol_total(sorted_sym, rep) -> int:
+        total = int(sorted_sym.map_batches(
+            count_viol_interior, batch_format="pyarrow",
+            batch_size=None).sum("viol") or 0)
+        if rep is not None:
+            nodes, gmin, gmax, _ = rep
+            v = (((gmax > nodes) & (gmin < nodes))
+                 | ((gmax < nodes) & (gmin != gmax)))
+            total += int(np.count_nonzero(v))
+        return total
+
+    def make_star(large: bool, rep_ref):
         def star(t: pa.Table) -> pa.Table:
-            it = (t.schema.field("node").type if len(t.schema) else None)
-            cols = {"child": pa.array([], it), "parent": pa.array([], it)}
+            it = t.schema.field("node").type
             if len(t) == 0:
-                if checksum:
-                    cols["h_lo"] = pa.array([], pa.int64())
-                    cols["h_hi"] = pa.array([], pa.int64())
-                return pa.table(cols)
-            col = t["node"].combine_chunks()
-            ray.get(guard.check.remote(call_id, col[0].as_py(),
-                                       col[len(t) - 1].as_py(), len(t)))
-            df = (t.select(["node", "nbr"]).to_pandas()
-                  .drop_duplicates(["node", "nbr"]))  # keeps sort order
-            node = df["node"].to_numpy()
-            nbr = df["nbr"].to_numpy()
+                return pa.table({"child": pa.array([], it),
+                                 "parent": pa.array([], it)})
+            node = t["node"].to_numpy(zero_copy_only=False)
+            nbr = t["nbr"].to_numpy(zero_copy_only=False)
             starts, lens = _runs(node)
             m_run = np.minimum(np.minimum.reduceat(nbr, starts),
                                node[starts])
+            # boundary repair: the first/last run may be a PIECE of a
+            # straddled run — its m comes from the driver merge
+            rep_nodes, rep_min, _, _ = ray.get(rep_ref)
+            for ri in {0, len(starts) - 1}:
+                u = node[starts[ri]]
+                j = int(np.searchsorted(rep_nodes, u))
+                m_run[ri] = min(rep_min[j], u)
             m_row = np.repeat(m_run, lens)
             if large:
                 sel = nbr > node
                 child, parent = nbr[sel], m_row[sel]
             else:
                 sel = (nbr <= node) & (nbr != m_row)
-                extra = node[starts] != m_run
-                child = np.concatenate([nbr[sel], node[starts][extra]])
-                parent = np.concatenate([m_row[sel], m_run[extra]])
+                child, parent = nbr[sel], m_row[sel]
+                if len(starts) > 2:
+                    # the (u, m) self-edge for INTERIOR runs only; the
+                    # driver emits boundary nodes' exactly once
+                    iu = node[starts[1:-1]]
+                    im = m_run[1:-1]
+                    ex = iu != im
+                    child = np.concatenate([child, iu[ex]])
+                    parent = np.concatenate([parent, im[ex]])
             out = pd.DataFrame({"child": child, "parent": parent})
-            out = out.drop_duplicates()  # block-local trim
-            if checksum:
-                h = _pair_checksum(out["child"], out["parent"])
-                out["h_lo"] = (h & np.uint64(0xFFFFFFFF)).astype(np.int64)
-                out["h_hi"] = (h >> np.uint64(32)).astype(np.int64)
+            out = out.drop_duplicates()  # trims shuffle bytes only —
+            # the min/max algebra downstream is duplicate-insensitive
             res = pa.Table.from_pandas(out, preserve_index=False)
             return res.set_column(0, "child", res["child"].cast(it)) \
                       .set_column(1, "parent", res["parent"].cast(it))
         return star
+
+    def _boundary_extras(rep):
+        """Small-star (u, m) self-edges for boundary nodes, emitted once
+        by the driver (a straddled run would emit one per piece)."""
+        nodes, gmin, _, it = rep
+        m = np.minimum(gmin, nodes)
+        ex = nodes != m
+        if not np.count_nonzero(ex):
+            return None
+        return pa.table({"child": pa.array(nodes[ex], type=it),
+                         "parent": pa.array(m[ex], type=it)})
 
     def _empty_labels():
         # recover the id type from the INPUT dataset (numpy dtype when
@@ -1591,57 +1766,63 @@ def dedup_clusters(pairs, id_a: str = "id_a", id_b: str = "id_b",
                   f"{len(uniq_sorted)} nodes (<= driver_max={driver_max})")
         return ray.data.from_arrow(lbl)
 
-    prev = None
-    for rnd in range(max_rounds):
-        t0 = _time.time()
-        ls = (edges.map_batches(sym_edges, batch_format="pyarrow")
-              .sort("node")
-              .map_batches(make_star(uuid.uuid4().hex, True, False),
-                           batch_format="pyarrow", batch_size=None))
-        edges = (ls.map_batches(sym_edges, batch_format="pyarrow")
-                 .sort("node")
-                 .map_batches(make_star(uuid.uuid4().hex, False, True),
-                              batch_format="pyarrow", batch_size=None)
-                 .materialize())
-        n = edges.count()
-        if log_rounds:
-            print(f"dedup_clusters round {rnd}: edges={n} "
-                  f"({_time.time() - t0:.2f}s)")
-        if n == 0:  # unreachable for non-empty input; kept as a guard
-            return _empty_labels()
-        sums = edges.sum(["h_lo", "h_hi"])
-        stats = (n, int(sums["sum(h_lo)"]), int(sums["sum(h_hi)"]))
-        if stats == prev:
-            break
-        prev = stats
-        edges = edges.drop_columns(["h_lo", "h_hi"])
-    else:
-        raise RuntimeError(
-            f"dedup_clusters did not converge in {max_rounds} rounds "
-            "(two-phase star contraction needs O(log^2 n) — is the pair "
-            "list adversarial or max_rounds too small?)")
-
-    # converged star edges (child -> component min). label(child)=parent;
-    # label(parent)=parent — one sorted min pass over symmetrized edges.
-    labels_guard_id = uuid.uuid4().hex
-
-    def labels(t: pa.Table) -> pa.Table:
+    def labels_interior(t: pa.Table) -> pa.Table:
         it = t.schema.field("node").type
-        if len(t) == 0:
-            return pa.table({"doc_id": pa.array([], it),
-                             "cluster_id": pa.array([], it)})
-        col = t["node"].combine_chunks()
-        ray.get(guard.check.remote(labels_guard_id, col[0].as_py(),
-                                   col[len(t) - 1].as_py(), len(t)))
+        empty = pa.table({"doc_id": pa.array([], it),
+                          "cluster_id": pa.array([], it)})
+        n = len(t)
+        if n == 0:
+            return empty
         node = t["node"].to_numpy(zero_copy_only=False)
         nbr = t["nbr"].to_numpy(zero_copy_only=False)
         starts, _ = _runs(node)
-        m_run = np.minimum(np.minimum.reduceat(nbr, starts), node[starts])
-        return pa.table({
-            "doc_id": pa.array(node[starts], type=it),
-            "cluster_id": pa.array(m_run, type=it)})
+        if len(starts) <= 2:
+            return empty  # all-boundary block: the driver labels these
+        lo, hi = starts[1], starts[-1]
+        si = starts[1:-1] - lo
+        mn = np.minimum.reduceat(nbr[lo:hi], si)
+        u = node[starts[1:-1]]
+        return pa.table({"doc_id": pa.array(u, type=it),
+                         "cluster_id": pa.array(np.minimum(mn, u),
+                                                type=it)})
 
-    return (edges.drop_columns(["h_lo", "h_hi"])
-            .map_batches(sym_edges, batch_format="pyarrow")
-            .sort("node")
-            .map_batches(labels, batch_format="pyarrow", batch_size=None))
+    def _labels(sorted_sym, rep):
+        lab = sorted_sym.map_batches(labels_interior,
+                                     batch_format="pyarrow",
+                                     batch_size=None)
+        if rep is not None:
+            nodes, gmin, _, it = rep
+            btbl = pa.table({
+                "doc_id": pa.array(nodes, type=it),
+                "cluster_id": pa.array(np.minimum(gmin, nodes), type=it)})
+            lab = lab.union(ray.data.from_arrow(btbl))
+        return lab
+
+    state = edges
+    for rnd in range(max_rounds):
+        t0 = _time.time()
+        ss = _sorted_sym(state)
+        rep = _repair(ss)
+        nviol = _viol_total(ss, rep)
+        if log_rounds:
+            print(f"dedup_clusters round {rnd}: violations={nviol} "
+                  f"({_time.time() - t0:.2f}s)")
+        if nviol == 0:
+            # star forest centered at component minima: label(u) is
+            # min(neighbors, u), exactly once per node (interior runs
+            # locally, boundary nodes from the driver merge)
+            return _labels(ss, rep)
+        ls = ss.map_batches(make_star(True, ray.put(rep)),
+                            batch_format="pyarrow", batch_size=None)
+        ss2 = _sorted_sym(ls)
+        rep2 = _repair(ss2)
+        state = ss2.map_batches(make_star(False, ray.put(rep2)),
+                                batch_format="pyarrow", batch_size=None)
+        extras = _boundary_extras(rep2) if rep2 is not None else None
+        if extras is not None:
+            state = state.union(ray.data.from_arrow(extras))
+        state = state.materialize()
+    raise RuntimeError(
+        f"dedup_clusters did not converge in {max_rounds} rounds "
+        "(two-phase star contraction needs O(log^2 n) — is the pair "
+        "list adversarial or max_rounds too small?)")

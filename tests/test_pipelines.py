@@ -846,23 +846,58 @@ def test_embedding_lsh_degenerate_bucket_distributed(ray_session):
     assert len(out2) == len(want)
 
 
-def test_sort_range_guard_actor_semantics():
-    """The runtime guard behind every sort+combine aggregation: disjoint
-    ranges pass, overlapping or touching ranges raise, and an exact
-    retried block re-registers silently."""
-    g = dedup._SortRangeGuardActor()
-    g.check("c", 0, 5, 10)
-    g.check("c", 6, 9, 4)
-    g.check("c", 0, 5, 10)  # task retry: identical record accepted
-    with pytest.raises(RuntimeError):
-        g.check("c", 5, 7, 3)  # touching endpoint = straddled run
-    with pytest.raises(RuntimeError):
-        g.check("c", 2, 3, 1)  # contained overlap
-    g.check("other", 2, 3, 1)  # other logical sorts are independent
-    # string keys compare too
-    g.check("s", "aa", "mm", 5)
-    with pytest.raises(RuntimeError):
-        g.check("s", "mm", "zz", 2)
+def test_grouped_count_min_boundary_repair(ray_session):
+    """Sort+combine must stay exact when equal-key runs straddle block
+    boundaries.  Ray's current partitioner is a pure key function and
+    never splits a run, so adversarial splits are injected through the
+    ``_presorted`` seam: hand-built sorted blocks where a hot run spans
+    three blocks, tiny runs sit exactly on boundaries, and whole blocks
+    are a single key."""
+    import pyarrow as pa
+
+    splits = [
+        # hot key 5 spans blocks 1-3 (incl. one block that is ONLY 5s)
+        [(1, 10), (2, 11), (5, 30)],
+        [(5, 12), (5, 13)],
+        [(5, 14), (7, 15), (8, 16)],
+        # key 8 straddles the next boundary too; 9 is interior
+        [(8, 17), (9, 18), (9, 3), (10, 19)],
+        # single-run block, same key continues once more
+        [(10, 2)],
+        [(10, 40), (11, 41)],
+    ]
+    blocks = [pa.table({"k": pa.array([k for k, _ in rows], pa.int64()),
+                        "i": pa.array([i for _, i in rows], pa.int64())})
+              for rows in splits]
+    ds = ray.data.from_arrow(blocks)
+    flat = [r for rows in splits for r in rows]
+    exp = (pd.DataFrame(flat, columns=["k", "i"]).groupby("k")
+           .agg(n=("i", "size"), m=("i", "min")).reset_index())
+    for min_count in (None, 2, 3):
+        got = dedup._grouped_count_min(
+            ds, "k", "i", count_alias="n", keep_alias="m",
+            min_count=min_count, _presorted=True).to_pandas()
+        got = got.sort_values("k").reset_index(drop=True)
+        want = exp if min_count is None else \
+            exp[exp["n"] >= min_count].reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_grouped_count_min_result_is_reconsumable(ray_session):
+    """Consuming the lazy result twice (count then to_pandas) must not
+    change it: the sorted input is materialized, so a second execution
+    cannot re-sample sort boundaries (the failure mode that false-tripped
+    the retired round-3 range-guard actor on a 5M-edge probe)."""
+    rng = np.random.default_rng(3)
+    k = rng.integers(0, 50, 5000)
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"k": k, "i": np.arange(5000)})).repartition(8)
+    out = dedup._grouped_count_min(ds, "k", "i", count_alias="n",
+                                   keep_alias="m")
+    n1 = out.count()
+    df = out.to_pandas()
+    assert n1 == len(df) == 50
+    assert int(df["n"].sum()) == 5000
 
 
 def _brute_components(pairs):
@@ -887,6 +922,10 @@ def test_dedup_clusters_matches_union_find(ray_session):
         [(1, 2)],
         [(i, i + 1) for i in range(1, 64)],       # worst-case chain
         [(10, 1), (10, 2), (10, 3)],              # star
+        # mega-hub: a converged duplicate cluster IS a hot node whose
+        # symmetrized adjacency dominates every sort block — the shape
+        # that exercises the boundary-repair path on first/last runs
+        [(0, v) for v in range(1, 3000)] + [(9000, 9001)],
         [(1, 2), (3, 4), (5, 6), (2, 3)],         # merge across pairs
         list(zip(rng.integers(0, 300, 500).tolist(),
                  rng.integers(0, 300, 500).tolist())),

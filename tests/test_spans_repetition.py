@@ -228,11 +228,10 @@ def test_string_id_columns_with_tokenless_blocks(ray_session):
 
 
 def test_sort_combine_survives_tiny_block_targets(ray_session):
-    """The sort+combine aggregation relies on Ray's sort emitting each
-    key-range partition as ONE block (equal-key runs never straddle
-    blocks).  Pin that invariant against Ray upgrades: force a 4 KB
-    target block size — far below the hot run's bytes — and require the
-    hot key to still combine to a single exact row."""
+    """Sort+combine exactness must not depend on block sizing: force a
+    4 KB target block size — far below the hot run's bytes — and require
+    the hot key to still combine to a single exact row (the boundary
+    repair merges however many pieces the blocking produces)."""
     ctx = ray.data.DataContext.get_current()
     old = ctx.target_max_block_size
     try:
