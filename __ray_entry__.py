@@ -716,6 +716,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     "stopword_ratio", "mean_token_len", "unique_ratio",
                     "keep", "fail_mask"]]
 
+    def redact_pii_q(sf_dir):
+        # augment each doc with deterministic synthetic PII (the test
+        # corpus has none) so every row exercises all three patterns;
+        # the oracle builds the identical string in SQL
+        import pyarrow as pa
+
+        def augment(b):
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            txt = pd.Series(b["text"].to_pylist()).fillna("")
+            s = ids.astype(str)
+            aug = (txt + " contact u" + s + "@ex"
+                   + (ids % 7).astype(str) + ".com or 10."
+                   + (ids % 256).astype(str) + ".0."
+                   + (ids % 100).astype(str) + " tel +1 555-"
+                   + pd.Series((ids % 10000).astype(str)).str.zfill(4))
+            return pa.table({"doc_id": b["doc_id"],
+                             "text": pa.array(aug.tolist())})
+
+        docs = ray_docs(sf_dir, ["doc_id", "text"]).map_batches(
+            augment, batch_format="pyarrow")
+        out = textstats.redact_pii(docs).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    def dedup_corpus_q(sf_dir):
+        # end-to-end keep-one-per-cluster over the exact md5 minhash
+        # pair set (same params as minhash_pairs/dedup_clusters)
+        out = dedup.dedup_corpus(ray_docs(sf_dir, ["doc_id", "text"]),
+                                 threshold=0.9, hash="md5").to_pandas()
+        return (out[["doc_id"]].sort_values("doc_id")
+                .reset_index(drop=True))
+
     def token_quantiles_q(sf_dir):
         return textstats.token_count_quantiles(
             ray_docs(sf_dir, ["doc_id", "text"]))
@@ -911,9 +942,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyterms": keyterms_q,
         "duplicated_spans": duplicated_spans_q,
         "duplicated_span_stats": duplicated_span_stats_q,
+        "redact_pii": redact_pii_q,                # RE2-exact oracle
+        "dedup_corpus": dedup_corpus_q,            # keep-one-per-cluster
+        # --- tail: r03-green rows / engine variants (safe to truncate:
+        # the driver records the first ~50 entries) ---
         "top_bigrams": top_bigrams_q,
         "repetition_stats": repetition_stats_q,
-        # --- tail: near-duplicate engine variants (safe to truncate) ---
         "doc_stats": doc_stats,
         "term_search_tfidf": term_search_tfidf,
         "same_position_search": same_position_search,
@@ -1107,6 +1141,53 @@ reach(id, r) AS (
 SELECT id AS doc_id, min(r)::BIGINT AS cluster_id
 FROM reach GROUP BY id ORDER BY doc_id""")
     return sql.replace("WITH tok AS", "WITH RECURSIVE tok AS", 1)
+
+
+def _dedup_corpus_oracle_sql() -> str:
+    """SQL twin of dedup_corpus(threshold=0.9, hash='md5'): the
+    dedup_clusters transitive closure, then keep every doc that is not a
+    non-minimum member of a cluster."""
+    sql = _minhash_oracle_sql(tail="""
+p2 AS (SELECT id_a::BIGINT AS u, id_b::BIGINT AS v
+       FROM est WHERE est_jaccard >= 0.9),
+edges AS (SELECT u, v FROM p2 UNION SELECT v, u FROM p2),
+reach(id, r) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id),
+labels AS (SELECT id AS doc_id, min(r) AS cluster_id
+           FROM reach GROUP BY id)
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN
+      (SELECT doc_id FROM labels WHERE cluster_id <> doc_id)
+ORDER BY d.doc_id""")
+    return sql.replace("WITH tok AS", "WITH RECURSIVE tok AS", 1)
+
+
+def _redact_oracle_sql() -> str:
+    """SQL twin of the redact_pii query: the deterministic PII
+    augmentation is rebuilt in SQL, then each RE2 pattern from
+    ``PII_PATTERNS`` is counted and replaced IN ORDER — DuckDB's
+    regexp_replace(..., 'g') and Arrow's replace_substring_regex both
+    link RE2, which is what makes the strings byte-exact."""
+    from iresearch_ray.pipelines.textstats import PII_PATTERNS
+
+    aug = ("coalesce(text, '') || ' contact u' || doc_id || '@ex' || "
+           "(doc_id % 7) || '.com or 10.' || (doc_id % 256) || '.0.' || "
+           "(doc_id % 100) || ' tel +1 555-' || "
+           "lpad((doc_id % 10000)::VARCHAR, 4, '0')")
+    expr = "t"
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        p = pat.replace("'", "''")
+        counts.append(
+            f"length(regexp_extract_all({expr}, '{p}'))::BIGINT"
+            f" AS n_{name}")
+        expr = f"regexp_replace({expr}, '{p}', '{repl}', 'g')"
+    return (f"WITH aug AS (SELECT doc_id, {aug} AS t FROM documents)\n"
+            f"SELECT doc_id, {expr} AS text_redacted,\n"
+            f"       {', '.join(counts)}\n"
+            f"FROM aug ORDER BY doc_id")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1561,6 +1642,8 @@ ORDER BY doc_id
         # up to a ~2^-64 accident).
         "minhash_pairs": _minhash_oracle_sql(),
         "dedup_clusters": _clusters_oracle_sql(),
+        "dedup_corpus": _dedup_corpus_oracle_sql(),
+        "redact_pii": _redact_oracle_sql(),
         "ngram_jaccard": f"""
 {_TOK_CTE},
 sh AS (SELECT doc_id, ts, least(len(ts), 3) AS kk, len(ts) AS nt

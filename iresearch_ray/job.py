@@ -180,6 +180,9 @@ def cmd_dedup(a) -> dict:
             # transitive near-dup clusters over the minhash pair list
             return D.dedup_clusters(
                 D.minhash_lsh_pairs(ds, threshold=a.threshold, **common))
+        if a.method == "corpus":
+            # end-to-end keep-one-per-cluster: the surviving rows
+            return D.dedup_corpus(ds, threshold=a.threshold, **common)
         return D.duplicated_span_stats(ds, k=a.k, **common)  # span-stats
 
     return _run_staged_op(a, "method", build_op,
@@ -214,6 +217,9 @@ def cmd_stats(a) -> dict:
 
             return ray.data.from_pandas(T.token_count_quantiles(
                 ds, text_column=a.text_column, analyzer=a.analyzer))
+        if a.op == "redact-pii":
+            return T.redact_pii(ds, text_column=a.text_column,
+                                id_column=a.id_column)
         return T.term_frequencies(ds, text_column=a.text_column,
                                   analyzer=a.analyzer)  # termfreq
 
@@ -266,7 +272,7 @@ def main(argv=None) -> int:
     d.add_argument("--output", required=True)
     d.add_argument("--method", required=True,
                    choices=("exact", "fingerprint", "simhash", "minhash",
-                            "jaccard", "spans", "span-stats", "clusters"))
+                            "jaccard", "spans", "span-stats", "clusters", "corpus"))
     d.add_argument("--threshold", type=float, default=0.9)
     d.add_argument("--k", type=int, default=5,
                    help="span window length for spans/span-stats")
@@ -280,7 +286,7 @@ def main(argv=None) -> int:
     s.add_argument("--op", required=True,
                    choices=("quality", "langid", "repetition", "bigrams",
                             "keyterms", "termfreq", "quality-filter",
-                            "quantiles"))
+                            "quantiles", "redact-pii"))
     s.add_argument("--k-top", type=int, default=20)
     s.add_argument("--id-column", default="doc_id")
     s.add_argument("--text-column", default="text")

@@ -1826,3 +1826,66 @@ def dedup_clusters(pairs, id_a: str = "id_a", id_b: str = "id_b",
         f"dedup_clusters did not converge in {max_rounds} rounds "
         "(two-phase star contraction needs O(log^2 n) — is the pair "
         "list adversarial or max_rounds too small?)")
+
+
+def dedup_corpus(ds, pairs=None, id_column: str = "doc_id",
+                 text_column: str = "text", threshold: float = 0.9,
+                 analyzer: str = "ascii", hash: str = "stable",
+                 max_broadcast: int = 50_000_000,
+                 driver_max: int = 2_000_000,
+                 concurrency: int | None = None, **lsh_opts):
+    """End-to-end fuzzy deduplication: keep ONE document per transitive
+    near-duplicate cluster (the cluster's minimum id), drop the rest ->
+    the surviving rows of ``ds``, full schema, streaming.
+
+    Composes :func:`minhash_lsh_pairs` (or a caller-supplied ``pairs``
+    edge list — e.g. :func:`ngram_jaccard_pairs` output) ->
+    :func:`dedup_clusters` -> a broadcast drop-set filter.  The drop set
+    is every clustered doc except its cluster minimum — OUTPUT-sized
+    (only docs that actually near-duplicate something), pulled sorted to
+    the driver under the ``max_broadcast`` guard and applied as one
+    shuffle-free searchsorted pass over the corpus (the ingest
+    drop-stage idiom).  Only id rows ever shuffle (pairs + clusters);
+    the corpus itself streams through a single filter map.
+
+    ``**lsh_opts`` forward to :func:`minhash_lsh_pairs` (num_hashes,
+    bands, shingle_k, checkpoint_dir).
+    """
+    import ray
+
+    if pairs is None:
+        pairs = minhash_lsh_pairs(
+            ds, text_column=text_column, id_column=id_column,
+            analyzer=analyzer, threshold=threshold, hash=hash,
+            concurrency=concurrency, **lsh_opts)
+    labels = dedup_clusters(pairs, driver_max=driver_max)
+
+    def _ids(col) -> np.ndarray:
+        t = col.type
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            # unicode ndarray: numpy compares mixed-width exactly; an
+            # object array would fall back to per-element Python compare
+            return np.asarray(col.to_pylist())
+        return col.to_numpy(zero_copy_only=False)
+
+    chunks = []
+    for b in labels.iter_batches(batch_format="pyarrow"):
+        d = _ids(b["doc_id"])
+        keep = d != _ids(b["cluster_id"])
+        if keep.any():
+            chunks.append(d[keep])
+    drop = np.sort(np.concatenate(chunks)) if chunks else np.empty(0)
+    if len(drop) > max_broadcast:
+        raise ValueError(
+            f"near-duplicate drop set ({len(drop)} ids) exceeds "
+            f"max_broadcast={max_broadcast}; raise the threshold or dedup "
+            "in keyed partitions")
+    ref = ray.put(drop)
+
+    def keep_rows(b: pa.Table) -> pa.Table:
+        if not b.num_rows:
+            return b
+        ids = _ids(b[id_column])
+        return b.filter(pa.array(~_sorted_member(ray.get(ref), ids)))
+
+    return ds.map_batches(keep_rows, batch_format="pyarrow")

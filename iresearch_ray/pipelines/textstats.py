@@ -557,3 +557,50 @@ def token_count_quantiles(ds, qs=(0.1, 0.25, 0.5, 0.75, 0.9, 0.99),
         concurrency=pool_size(concurrency) if concurrency else None)
     out = column_quantiles(counts, "n_tokens", qs=qs)
     return out.rename(columns={"value": "n_tokens_q"})
+
+
+# PII redaction patterns, applied IN ORDER (counts for pattern i are
+# taken on the text already redacted by patterns < i, so an IP inside an
+# email address is never double-counted).  RE2 syntax only — both Arrow
+# (`replace_substring_regex`) and DuckDB (`regexp_replace(..., 'g')`)
+# link RE2, which is what makes the oracle byte-exact.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ip", r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+[0-9][0-9() \-]{6,}[0-9]", "<PHONE>"),
+)
+
+
+def redact_pii(ds, text_column="text", id_column="doc_id",
+               concurrency=None):
+    """PII scrubbing for training corpora: replace emails, IPv4
+    addresses and international phone numbers with typed placeholders ->
+    Dataset(id, text_redacted, n_email, n_ip, n_phone).
+
+    Entirely Arrow-side (`pc.replace_substring_regex` /
+    `pc.count_substring_regex` — compiled RE2 over the raw string
+    buffers, no Python per row) in one shuffle-free map_batches pass.
+    NULL text is treated as '' (the classify-stub convention).  The
+    phone pattern is deliberately conservative (must start with '+') so
+    prose numbers survive; extend ``PII_PATTERNS`` for jurisdictional
+    variants.
+    """
+    import pyarrow.compute as pc
+
+    def redact(b: pa.Table) -> pa.Table:
+        txt = pc.fill_null(b[text_column], "")
+        cols = {id_column: b[id_column]}
+        counts = {}
+        for name, pat, repl in PII_PATTERNS:
+            counts[f"n_{name}"] = pc.cast(
+                pc.count_substring_regex(txt, pattern=pat), pa.int64())
+            txt = pc.replace_substring_regex(
+                txt, pattern=pat, replacement=repl)
+        cols["text_redacted"] = txt
+        cols.update(counts)
+        return pa.table(cols)
+
+    return ds.map_batches(
+        redact, batch_format="pyarrow",
+        concurrency=pool_size(concurrency) if concurrency else None)

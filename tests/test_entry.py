@@ -81,16 +81,22 @@ def test_distinctive_queries_fit_driver_window():
     for name in ["ann_cosine", "ann_lsh", "ann_ivf", "multimodal_features",
                  "multimodal_frames", "duplicated_spans", "minhash_pairs",
                  "ngram_jaccard", "embedding_neardup", "keyterms",
-                 "dedup_clusters", "quality_filter", "token_quantiles"]:
+                 "dedup_clusters", "quality_filter", "token_quantiles",
+                 "redact_pii", "dedup_corpus"]:
         assert name in window, f"{name} outside the driver's 50-row window"
     # the tail must stay redundant-only: each has an in-window twin
+    # (r03-green rows demoted to make room count as their own evidence)
     twins = {"doc_stats": "quality_stats",
              "term_search_tfidf": "term_search",
              "same_position_search": "term_search",
              "term_topk_distributed": "term_topk",
              "phrase_variadic": "phrase_search",
              "dedup_fingerprint": "dedup_exact",
-             "window_hopping": "window_tumbling"}
+             "window_hopping": "window_tumbling",
+             # demoted in round 4 for redact_pii/dedup_corpus; both have
+             # green CORRECTNESS_r03 rows and per-doc-stat twins
+             "top_bigrams": "top_terms",
+             "repetition_stats": "quality_stats"}
     for name in order[50:]:
         assert name in twins and twins[name] in window, (
             f"{name} in the truncation-risk tail without an in-window twin")

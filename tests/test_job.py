@@ -133,3 +133,20 @@ def test_job_dedup_and_stats_subcommands(ray_session, tmp_path, capsys):
     assert rep4["rows"] == 3
     bg = pq.read_table(st_dir).to_pandas()
     assert bg.iloc[0]["bigram"] == "alpha beta" and bg.iloc[0]["n"] == 2
+
+    corpus_dir = str(tmp_path / "corpus_out")
+    assert main(["dedup", "--input", src, "--output", corpus_dir,
+                 "--method", "corpus", "--threshold", "0.9"]) == 0
+    rep5 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep5["rows"] == 2  # one exact-dup family collapses to doc 0
+    surv = pq.read_table(corpus_dir).to_pandas()
+    assert sorted(surv["doc_id"]) == [0, 2]
+
+    red_dir = str(tmp_path / "redact_out")
+    assert main(["stats", "--input", src, "--output", red_dir,
+                 "--op", "redact-pii"]) == 0
+    rep6 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep6["rows"] == 3
+    red = pq.read_table(red_dir).to_pandas()
+    assert (red["n_email"] == 0).all()  # corpus has no PII
+    assert set(red.columns) >= {"doc_id", "text_redacted"}

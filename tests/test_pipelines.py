@@ -1021,3 +1021,49 @@ def test_quality_filter_rules(ray_session):
         ds, min_tokens=1, min_unique_ratio=0.5)
         .to_pandas().set_index("doc_id"))
     assert strict.loc[3, "fail_mask"] & 8
+
+
+def test_redact_pii_patterns_and_counts(ray_session):
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["mail bob.smith+x@foo-bar.co.uk or 10.0.0.7, "
+                 "tel +1 (555) 123-4567 now",
+                 None,
+                 "no pii here 1.2.3 and plain 5551234567",
+                 "a@b.io a@b.io 255.255.255.255"]}))
+    out = (textstats.redact_pii(ds).to_pandas()
+           .set_index("doc_id").sort_index())
+    assert out.loc[1, "text_redacted"] == \
+        "mail <EMAIL> or <IP>, tel <PHONE> now"
+    assert out.loc[2, "text_redacted"] == ""      # NULL -> ''
+    # conservative phone pattern: bare digit runs survive
+    assert out.loc[3, "text_redacted"] == \
+        "no pii here 1.2.3 and plain 5551234567"
+    assert out.loc[4, "text_redacted"] == "<EMAIL> <EMAIL> <IP>"
+    assert out["n_email"].tolist() == [1, 0, 0, 2]
+    assert out["n_ip"].tolist() == [1, 0, 0, 1]
+    assert out["n_phone"].tolist() == [1, 0, 0, 0]
+
+
+def test_dedup_corpus_keeps_cluster_minimum(ray_session):
+    # three exact-duplicate families + unique docs; minhash at 0.9 with
+    # identical texts is deterministic (est_jaccard = 1.0)
+    rows = []
+    for i in range(30):
+        fam = i % 3
+        if i < 9:  # docs 0..8: three families of three duplicates
+            text = f"family {fam} " + " ".join(
+                f"tok{fam}w{j}" for j in range(40))
+        else:      # unique long docs
+            text = " ".join(f"unique{i}x{j}" for j in range(40))
+        rows.append({"doc_id": i, "text": text})
+    ds = ray.data.from_pandas(pd.DataFrame(rows)).repartition(4)
+    out = dedup.dedup_corpus(ds, threshold=0.9).to_pandas()
+    survivors = sorted(out["doc_id"].tolist())
+    # each family keeps its minimum id (0, 1, 2); 3..8 drop
+    assert survivors == [0, 1, 2] + list(range(9, 30))
+    assert set(out.columns) == {"doc_id", "text"}  # full schema streams
+    # pairs= override path: reuse precomputed edges
+    pairs = dedup.minhash_lsh_pairs(ds, threshold=0.9)
+    out2 = dedup.dedup_corpus(ds, pairs=pairs).to_pandas()
+    assert sorted(out2["doc_id"].tolist()) == survivors
