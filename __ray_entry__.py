@@ -747,6 +747,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (out[["doc_id"]].sort_values("doc_id")
                 .reset_index(drop=True))
 
+    def hash_split_q(sf_dir):
+        from iresearch_ray.pipelines import curate
+
+        out = curate.hash_split(
+            ray_docs(sf_dir, ["doc_id"])).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    def url_canonical_q(sf_dir):
+        # derive deterministic messy URLs from doc_id (the documents
+        # table has no url column); the oracle rebuilds them in SQL
+        import pyarrow as pa
+
+        from iresearch_ray.pipelines import curate
+
+        def derive(b):
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            s = pd.Series(ids.astype(str))
+            scheme = pd.Series(np.where(ids % 2 == 0, "HTTP", "https"))
+            port = pd.Series(np.where(ids % 2 == 0, ":80", ":443"))
+            head = (scheme + "://Ex" + (ids % 5).astype(str)
+                    + ".Example.COM" + port)
+            path = "/P" + s + "?x=" + s + "&utm_source=" + s + "#f" + s
+            url = head + path.where(pd.Series(ids % 3 != 0), "/")
+            return pa.table({"doc_id": b["doc_id"],
+                             "url": pa.array(url.tolist())})
+
+        docs = ray_docs(sf_dir, ["doc_id"]).map_batches(
+            derive, batch_format="pyarrow")
+        out = curate.url_canonicalize(docs).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
     def token_quantiles_q(sf_dir):
         return textstats.token_count_quantiles(
             ray_docs(sf_dir, ["doc_id", "text"]))
@@ -956,6 +987,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, PhraseFilter([{"prefix": "st"}, "order"])),
         "dedup_fingerprint": dedup_fingerprint,
         "window_hopping": window_hopping,
+        # new in round 4 (tail: full oracles, driver row only if the
+        # window grows; covered by the in-repo mini-driver + tests)
+        "hash_split": hash_split_q,
+        "url_canonical": url_canonical_q,
     }
 
 
@@ -1162,6 +1197,59 @@ WHERE d.doc_id NOT IN
       (SELECT doc_id FROM labels WHERE cluster_id <> doc_id)
 ORDER BY d.doc_id""")
     return sql.replace("WITH tok AS", "WITH RECURSIVE tok AS", 1)
+
+
+def _hash_split_oracle_sql() -> str:
+    """SQL twin of hash_split(defaults): md5_number_lower(id::VARCHAR) %
+    10000 bucketed by the cumulative (0.98, 0.01, 0.01) bounds."""
+    from iresearch_ray.pipelines.curate import SPLIT_BUCKETS
+
+    b1 = round(0.98 * SPLIT_BUCKETS)
+    b2 = round(0.99 * SPLIT_BUCKETS)
+    return f"""
+SELECT doc_id,
+       CASE WHEN b < {b1} THEN 'train'
+            WHEN b < {b2} THEN 'valid' ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             md5_number_lower(doc_id::VARCHAR) % {SPLIT_BUCKETS} AS b
+      FROM documents)
+ORDER BY doc_id"""
+
+
+def _url_canonical_oracle_sql() -> str:
+    """SQL twin of the url_canonical query: the deterministic messy-URL
+    derivation rebuilt in SQL, then the RE2 canonicalization chain from
+    ``URL_CANON_STEPS`` — same engine (RE2) on both sides, byte-exact."""
+    from iresearch_ray.pipelines.curate import URL_CANON_STEPS
+
+    sh = r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)(.*)$"
+
+    def q(p: str) -> str:
+        return p.replace("'", "''")
+
+    expr = "url"
+    for pat, repl in URL_CANON_STEPS[:3]:
+        expr = f"regexp_replace({expr}, '{q(pat)}', '{q(repl)}', 'g')"
+    expr2 = "u"
+    for pat, repl in URL_CANON_STEPS[3:]:
+        expr2 = f"regexp_replace({expr2}, '{q(pat)}', '{q(repl)}', 'g')"
+    return f"""
+WITH derived AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+         || '://Ex' || (doc_id % 5) || '.Example.COM'
+         || (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+         || (CASE WHEN doc_id % 3 = 0 THEN '/'
+             ELSE '/P' || doc_id || '?x=' || doc_id || '&utm_source='
+                  || doc_id || '#f' || doc_id END) AS url
+  FROM documents),
+s1 AS (SELECT doc_id, url, {expr} AS u FROM derived),
+s2 AS (SELECT doc_id, url, CASE WHEN regexp_matches(u, '{q(sh)}')
+         THEN lower(regexp_extract(u, '{q(sh)}', 1)) || '://' ||
+              lower(regexp_extract(u, '{q(sh)}', 2)) ||
+              regexp_extract(u, '{q(sh)}', 3)
+         ELSE u END AS u FROM s1)
+SELECT doc_id, url, {expr2} AS url_canonical FROM s2 ORDER BY doc_id"""
 
 
 def _redact_oracle_sql() -> str:
@@ -1644,6 +1732,8 @@ ORDER BY doc_id
         "dedup_clusters": _clusters_oracle_sql(),
         "dedup_corpus": _dedup_corpus_oracle_sql(),
         "redact_pii": _redact_oracle_sql(),
+        "hash_split": _hash_split_oracle_sql(),
+        "url_canonical": _url_canonical_oracle_sql(),
         "ngram_jaccard": f"""
 {_TOK_CTE},
 sh AS (SELECT doc_id, ts, least(len(ts), 3) AS kk, len(ts) AS nt

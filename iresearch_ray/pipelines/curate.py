@@ -1,0 +1,124 @@
+"""Corpus-curation stages: deterministic held-out splits and webtext URL
+canonicalization — shuffle-free map_batches passes whose arithmetic is
+reproducible in ANSI SQL for exact oracles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from iresearch_ray.analysis.minhash import md5_hash_strings
+from iresearch_ray.util import pool_size
+
+SPLIT_BUCKETS = 10_000
+
+
+def hash_split(ds, ratios=(0.98, 0.01, 0.01),
+               names=("train", "valid", "test"),
+               id_column: str = "doc_id", hash: str = "md5",
+               concurrency: int | None = None):
+    """Deterministic corpus splits -> Dataset(id, split): bucket =
+    hash(id) % 10000, assigned to ``names`` by cumulative ``ratios``.
+
+    The held-out-split primitive a training pipeline needs at 100 TB:
+    membership is a pure function of the document id, so re-runs, added
+    shards and resumed jobs never reshuffle documents between splits
+    (a random_sample would).  One shuffle-free map_batches pass.
+
+    ``hash='md5'`` equals DuckDB ``md5_number_lower(id::VARCHAR)``, so
+    the assignment is SQL-reproducible bit-for-bit (a per-row C md5 —
+    ~1 us/id).  ``hash='stable'`` is the at-scale fast path (vectorized
+    siphash over the id strings); both are deterministic, they just
+    draw different (equally uniform) bucket assignments.
+    """
+    from iresearch_ray.analysis.minhash import stable_hash_strings
+
+    if len(ratios) != len(names):
+        raise ValueError("ratios and names must align")
+    cum = np.cumsum(np.asarray(ratios, dtype=np.float64))
+    if not np.isclose(cum[-1], 1.0):
+        raise ValueError(f"ratios must sum to 1.0, got {cum[-1]}")
+    bounds = np.round(cum * SPLIT_BUCKETS).astype(np.int64)
+    bounds[-1] = SPLIT_BUCKETS
+    labels = list(names)
+    hash_fn = md5_hash_strings if hash == "md5" else stable_hash_strings
+
+    def assign(b: pa.Table) -> pa.Table:
+        ids = [str(v) for v in b[id_column].to_pylist()]
+        bucket = (hash_fn(ids) % SPLIT_BUCKETS).astype(np.int64)
+        idx = np.searchsorted(bounds, bucket, side="right")
+        return pa.table({
+            id_column: b[id_column],
+            "split": pa.array([labels[i] for i in idx], pa.string())})
+
+    return ds.map_batches(
+        assign, batch_format="pyarrow",
+        concurrency=pool_size(concurrency) if concurrency else None)
+
+
+# URL canonicalization: RE2-only rewrite chain, applied IN ORDER.  Both
+# Arrow (`replace_substring_regex`) and DuckDB (`regexp_replace(...,'g')`)
+# link RE2, so the oracle is byte-exact by construction.  Deliberate
+# simplifications (documented, not bugs): only scheme+host lowercase,
+# only utm_* params stripped, only the default :80/:443 ports removed,
+# only a single trailing slash on the bare authority trimmed.
+URL_CANON_STEPS = (
+    # 1. fragment
+    (r"#.*$", ""),
+    # 2. utm_* tracking params: interior (consumes the following '&'),
+    #    then a trailing/only param (consumes the preceding '?'/'&')
+    (r"utm_[A-Za-z0-9_]*=[^&#]*&", ""),
+    (r"[?&]utm_[A-Za-z0-9_]*=[^&#]*$", ""),
+    # 4-5 run AFTER the scheme/host lowercase pass (so they match the
+    # lowered scheme): default ports, then a bare trailing slash
+    (r"^(http://[^/?#:]*):80([/?#].*)?$", r"\1\2"),
+    (r"^(https://[^/?#:]*):443([/?#].*)?$", r"\1\2"),
+    (r"^([a-z][a-z0-9+.-]*://[^/?#]+)/$", r"\1"),
+)
+# named groups for Arrow's extract_regex; the SQL twin uses the same
+# pattern with plain groups and regexp_extract(url, pat, i)
+_SCHEME_HOST = (r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.\-]*)://"
+                r"(?P<host>[^/?#]*)(?P<rest>.*)$")
+
+
+def url_canonicalize(ds, url_column: str = "url", out_column: str =
+                     "url_canonical", concurrency: int | None = None):
+    """Webtext URL canonicalization -> the input columns plus
+    ``out_column``: strip fragments and utm_* tracking params, lowercase
+    scheme+host (path/query case is significant and kept), drop default
+    :80/:443 ports and a bare trailing slash.
+
+    The canonical form is the key for URL-level dedup
+    (``exact_dedup_groups(ds, text_column=out_column)``) and for
+    per-domain grouping.  Entirely Arrow-side: two RE2 rewrites, one
+    RE2 group-extract for the scheme/host lowercase (URLs without a
+    scheme pass through unchanged), then three more rewrites — compiled
+    once per pattern, no Python per row.
+    """
+    import pyarrow.compute as pc
+
+    def canon(b: pa.Table) -> pa.Table:
+        u = pc.fill_null(b[url_column], "")
+        if isinstance(u, pa.ChunkedArray):
+            u = u.combine_chunks()
+        for pat, repl in URL_CANON_STEPS[:3]:
+            u = pc.replace_substring_regex(u, pattern=pat,
+                                           replacement=repl)
+        # lowercase scheme + host, keep the rest verbatim
+        parts = pc.extract_regex(u, pattern=_SCHEME_HOST)
+        has = pc.is_valid(parts)
+        lowered = pc.binary_join_element_wise(
+            pc.utf8_lower(pc.struct_field(parts, "scheme")), "://",
+            pc.binary_join_element_wise(
+                pc.utf8_lower(pc.struct_field(parts, "host")),
+                pc.struct_field(parts, "rest"), ""), "")
+        u = pc.if_else(has, pc.fill_null(lowered, ""), u)
+        for pat, repl in URL_CANON_STEPS[3:]:
+            u = pc.replace_substring_regex(u, pattern=pat,
+                                           replacement=repl)
+        return b.append_column(out_column, u)
+
+    return ds.map_batches(
+        canon, batch_format="pyarrow",
+        concurrency=pool_size(concurrency) if concurrency else None)

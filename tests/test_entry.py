@@ -96,7 +96,12 @@ def test_distinctive_queries_fit_driver_window():
              # demoted in round 4 for redact_pii/dedup_corpus; both have
              # green CORRECTNESS_r03 rows and per-doc-stat twins
              "top_bigrams": "top_terms",
-             "repetition_stats": "quality_stats"}
+             "repetition_stats": "quality_stats",
+             # round-4 additions born in the tail (window already full of
+             # r03-green rows): simple single-pass transforms, full
+             # oracles, covered by the in-repo mini-driver + unit tests
+             "hash_split": "dedup_exact",
+             "url_canonical": "redact_pii"}
     for name in order[50:]:
         assert name in twins and twins[name] in window, (
             f"{name} in the truncation-risk tail without an in-window twin")

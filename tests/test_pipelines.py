@@ -1067,3 +1067,52 @@ def test_dedup_corpus_keeps_cluster_minimum(ray_session):
     pairs = dedup.minhash_lsh_pairs(ds, threshold=0.9)
     out2 = dedup.dedup_corpus(ds, pairs=pairs).to_pandas()
     assert sorted(out2["doc_id"].tolist()) == survivors
+
+
+def test_hash_split_deterministic_and_proportional(ray_session):
+    from iresearch_ray.pipelines import curate
+
+    ds = ray.data.range(20000).map_batches(
+        lambda b: {"doc_id": b["id"]}, batch_format="numpy")
+    out = curate.hash_split(ds, ratios=(0.8, 0.1, 0.1)).to_pandas()
+    frac = out["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.02
+    assert abs(frac["valid"] - 0.1) < 0.01
+    assert abs(frac["test"] - 0.1) < 0.01
+    # pure function of the id: a re-run and a differently-partitioned
+    # run assign every doc identically
+    out2 = curate.hash_split(ds.repartition(7),
+                             ratios=(0.8, 0.1, 0.1)).to_pandas()
+    m = out.set_index("doc_id")["split"]
+    m2 = out2.set_index("doc_id")["split"]
+    assert m.sort_index().equals(m2.sort_index())
+    with pytest.raises(ValueError):
+        curate.hash_split(ds, ratios=(0.5, 0.1))  # doesn't sum to 1
+
+
+def test_url_canonicalize_rules(ray_session):
+    from iresearch_ray.pipelines import curate
+
+    cases = {
+        "HTTP://Example.COM:80/Path?x=1&utm_source=a&y=2#frag":
+            "http://example.com/Path?x=1&y=2",
+        "https://Host.org:443/": "https://host.org",
+        "http://h.io/p?utm_a=1&utm_b=2": "http://h.io/p",
+        "ftp://Mixed.Case/KeepPath": "ftp://mixed.case/KeepPath",
+        "http://h.io:8080/x": "http://h.io:8080/x",  # non-default port
+        "no-scheme/path": "no-scheme/path",
+    }
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": range(len(cases)), "url": list(cases)}))
+    out = curate.url_canonicalize(ds).to_pandas()
+    got = dict(zip(out["url"], out["url_canonical"]))
+    assert got == cases
+    # canonical form is the URL-dedup key
+    dup = ray.data.from_items(
+        [{"doc_id": 1, "url": "HTTP://A.com:80/x"},
+         {"doc_id": 2, "url": "http://a.COM/x"},
+         {"doc_id": 3, "url": "http://b.com/x"}])
+    groups = dedup.exact_dedup_groups(
+        curate.url_canonicalize(dup), text_column="url_canonical"
+    ).to_pandas()
+    assert sorted(groups["dup_count"]) == [1, 2]
