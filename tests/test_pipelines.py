@@ -1116,3 +1116,46 @@ def test_url_canonicalize_rules(ray_session):
         curate.url_canonicalize(dup), text_column="url_canonical"
     ).to_pandas()
     assert sorted(groups["dup_count"]) == [1, 2]
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.tuples(st.integers(-8, 8), st.integers(0, 100)),
+                min_size=1, max_size=120),
+       st.lists(st.integers(1, 9), min_size=1, max_size=10),
+       st.one_of(st.none(), st.integers(1, 3)))
+def test_grouped_count_min_presorted_random_splits(ray_session, rows,
+                                                   cuts, min_count):
+    """Property: sort+combine with boundary repair equals pandas groupby
+    for ANY blocking of the sorted rows — random cut points put runs on
+    boundaries, split runs across many blocks, and make whole-block
+    single-key pieces (the tiny key space guarantees collisions)."""
+    import pyarrow as pa
+
+    rows = sorted(rows, key=lambda r: r[0])
+    bounds, pos = [], 0
+    for c in cuts:
+        pos += c
+        if pos >= len(rows):
+            break
+        bounds.append(pos)
+    pieces = np.split(np.arange(len(rows)), bounds)
+    blocks = [pa.table({"k": pa.array([rows[i][0] for i in p], pa.int64()),
+                        "i": pa.array([rows[i][1] for i in p], pa.int64())})
+              for p in pieces if len(p)]
+    got = dedup._grouped_count_min(
+        ray.data.from_arrow(blocks), "k", "i", count_alias="n",
+        keep_alias="m", min_count=min_count,
+        _presorted=True).to_pandas()
+    if len(got):
+        got = got.sort_values("k").reset_index(drop=True)
+    exp = (pd.DataFrame(rows, columns=["k", "i"]).groupby("k")
+           .agg(n=("i", "size"), m=("i", "min")).reset_index())
+    if min_count is not None:
+        exp = exp[exp["n"] >= min_count].reset_index(drop=True)
+    if not len(exp):
+        assert not len(got)
+    else:
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
