@@ -262,8 +262,18 @@ def merge_segment_tables(readers: list[SegmentReader],
     # each feature's value (identical to what build would have written,
     # since the writer sees only doc_len).  An unregistered custom
     # feature must still fail loudly rather than silently vanish.
-    norm_names = sorted({r.meta.get("norm_feature") for r in readers
-                         if r.meta.get("norm_feature")})
+    # a previously-merged heterogeneous segment records the union under the
+    # plural key only (the singular key is ambiguous there), so read the
+    # plural first — otherwise re-merging such a segment would silently drop
+    # every norm column, the exact outcome the loud-failure policy forbids
+    _norm_set: set = set()
+    for r in readers:
+        plural = r.meta.get("norm_features")
+        if plural:
+            _norm_set.update(plural)
+        elif r.meta.get("norm_feature"):
+            _norm_set.add(r.meta["norm_feature"])
+    norm_names = sorted(_norm_set)
     if norm_names:
         from iresearch_ray.index.features import get_norm_feature
 

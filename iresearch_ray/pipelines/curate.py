@@ -66,9 +66,12 @@ def hash_split(ds, ratios=(0.98, 0.01, 0.01),
 URL_CANON_STEPS = (
     # 1. fragment
     (r"#.*$", ""),
-    # 2. utm_* tracking params: interior (consumes the following '&'),
-    #    then a trailing/only param (consumes the preceding '?'/'&')
-    (r"utm_[A-Za-z0-9_]*=[^&#]*&", ""),
+    # 2. utm_* tracking params: interior runs (anchored at a '?'/'&'
+    #    boundary so a param merely CONTAINING 'utm_' — e.g. 'xutm_a' —
+    #    is untouched; '+' eats consecutive utm params whose boundary
+    #    char was consumed by the previous repetition), then a
+    #    trailing/only param (consumes the preceding '?'/'&')
+    (r"([?&])(?:utm_[A-Za-z0-9_]*=[^&#]*&)+", r"\1"),
     (r"[?&]utm_[A-Za-z0-9_]*=[^&#]*$", ""),
     # 4-5 run AFTER the scheme/host lowercase pass (so they match the
     # lowered scheme): default ports, then a bare trailing slash

@@ -1053,10 +1053,12 @@ def _exact_pairs_blocked(ds, threshold: float, id_column: str,
     import ray
     import ray.data
 
+    from iresearch_ray.pipelines.ann import _as_matrix
+
     @ray.remote
     def _norm_block(t: pa.Table):
         ids = t[id_column].to_numpy(zero_copy_only=False)
-        M = _as_matrix_of(t, vec_column, dtype)
+        M = _as_matrix(t[vec_column], dtype)
         Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
         return ids, Mn
 
@@ -1071,7 +1073,7 @@ def _exact_pairs_blocked(ds, threshold: float, id_column: str,
         out_b = [np.empty(0, np.int64)]
         out_c = [np.empty(0, np.float64)]
         if len(ids):
-            m = _as_matrix_of(t, vec_column, dtype)
+            m = _as_matrix(t[vec_column], dtype)
             mn = m / np.maximum(
                 np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
             for br in block_refs:
@@ -1101,12 +1103,6 @@ def _empty_pairs_table() -> pa.Table:
     return pa.table({"id_a": pa.array([], pa.int64()),
                      "id_b": pa.array([], pa.int64()),
                      "cosine": pa.array([], pa.float64())})
-
-
-def _as_matrix_of(t: pa.Table, vec_column: str, dtype):
-    from iresearch_ray.pipelines.ann import _as_matrix
-
-    return _as_matrix(t[vec_column], dtype)
 
 
 def embedding_neardup_pairs(ds, threshold: float = 0.9,
@@ -1289,18 +1285,28 @@ def embedding_neardup_pairs(ds, threshold: float = 0.9,
                 bucket_pairs, batch_format="pyarrow", batch_size=None))
             if len(straddled):
                 # straddled buckets are normal-width (<= max_bucket), so
-                # each gets one small exact sub-pipeline over the
-                # already-materialized sorted rows — no driver concat
+                # each gets one small exact sub-pipeline — but over a
+                # ONE-pass materialized extract of just the straddled
+                # rows (mirroring degen_rows below): S straddled buckets
+                # must not mean S full passes over normal_rows plus
+                # O(blocks) re-normalize tasks each
+                def keep_straddled(t: pa.Table) -> pa.Table:
+                    skip = ray.get(sref)
+                    return t.filter(pa.array(
+                        _sorted_member(skip, t["bucket"].to_numpy())))
+
+                straddled_rows = normal_rows.map_batches(
+                    keep_straddled, batch_format="pyarrow").materialize()
                 for bv in straddled.tolist():
-                    def keep_straddled(t: pa.Table,
-                                       _bv=int(bv)) -> pa.Table:
+                    def keep_one_straddled(t: pa.Table,
+                                           _bv=int(bv)) -> pa.Table:
                         import pyarrow.compute as pc
 
                         return t.filter(pc.equal(t["bucket"], _bv))
 
                     parts.append(_exact_pairs_blocked(
-                        normal_rows.map_batches(keep_straddled,
-                                                batch_format="pyarrow"),
+                        straddled_rows.map_batches(keep_one_straddled,
+                                                   batch_format="pyarrow"),
                         threshold, id_column, vec_column, np.float32,
                         concurrency))
         if len(degen_keys) > 64:

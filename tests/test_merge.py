@@ -320,3 +320,23 @@ def test_mixed_feature_merge_roundtrip(ray_session, tmp_path):
     assert np.allclose(
         seg.norms("norm"),
         np.float32(1) / np.sqrt(np.maximum(dl, 1).astype(np.float32)))
+
+    # RE-merge the heterogeneous merged segment: its meta records the norm
+    # union only under the plural 'norm_features' key (singular is ambiguous
+    # there), and a later tier consolidation must still carry both features —
+    # this used to silently drop every norm column
+    r_more = mk("more", ["alpha zeta eta"], analyzer="ascii",
+                norm_feature="norm")
+    terms2, docmap2, stats2, cols2 = merge_segment_tables([seg, r_more])
+    assert stats2["norm_features"] == ["invlen2_test", "norm"]
+    out2 = str(tmp_path / "merged_idx2")
+    write_segment_dir(out2, "seg-m0001", terms2, docmap2,
+                      {"format_version": FORMAT_VERSION,
+                       "segment_id": "seg-m0001", **stats2}, cols2)
+    seg2 = SegmentReader(f"{out2}/seg-m0001")
+    dl2 = seg2.doc_len
+    assert len(dl2) == 5
+    assert np.allclose(seg2.norms("invlen2_test"), 1.0 / np.maximum(dl2, 1))
+    assert np.allclose(
+        seg2.norms("norm"),
+        np.float32(1) / np.sqrt(np.maximum(dl2, 1).astype(np.float32)))

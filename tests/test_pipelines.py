@@ -1101,6 +1101,11 @@ def test_url_canonicalize_rules(ray_session):
         "ftp://Mixed.Case/KeepPath": "ftp://mixed.case/KeepPath",
         "http://h.io:8080/x": "http://h.io:8080/x",  # non-default port
         "no-scheme/path": "no-scheme/path",
+        # a param NAME merely containing 'utm_' is not a tracking param —
+        # the interior strip is anchored at a [?&] boundary
+        "http://h.io/p?xutm_source=1&y=2": "http://h.io/p?xutm_source=1&y=2",
+        # consecutive interior utm params all go in one anchored pass
+        "http://h.io/p?utm_a=1&utm_b=2&y=3": "http://h.io/p?y=3",
     }
     ds = ray.data.from_pandas(pd.DataFrame(
         {"doc_id": range(len(cases)), "url": list(cases)}))
