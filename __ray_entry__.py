@@ -956,8 +956,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": quality_filter_q,
         "token_quantiles": token_quantiles_q,
         "langid": langid_q,
-        "token_count_by_source": token_count_by_source,
-        "lang_distribution": lang_distribution,
+        # --- webtext curation (new in round 4: keep inside the driver's
+        # ~50-row correctness window) ---
+        "hash_split": hash_split_q,
+        "url_canonical": url_canonical_q,
         # --- dedup pipelines ---
         "window_tumbling": window_tumbling,
         "embedding_neardup": embedding_neardup,
@@ -977,6 +979,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_corpus": dedup_corpus_q,            # keep-one-per-cluster
         # --- tail: r03-green rows / engine variants (safe to truncate:
         # the driver records the first ~50 entries) ---
+        "token_count_by_source": token_count_by_source,  # ~ token_quantiles
+        "lang_distribution": lang_distribution,          # ~ langid + facet
         "top_bigrams": top_bigrams_q,
         "repetition_stats": repetition_stats_q,
         "doc_stats": doc_stats,
@@ -987,10 +991,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, PhraseFilter([{"prefix": "st"}, "order"])),
         "dedup_fingerprint": dedup_fingerprint,
         "window_hopping": window_hopping,
-        # new in round 4 (tail: full oracles, driver row only if the
-        # window grows; covered by the in-repo mini-driver + tests)
-        "hash_split": hash_split_q,
-        "url_canonical": url_canonical_q,
     }
 
 

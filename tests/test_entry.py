@@ -82,7 +82,8 @@ def test_distinctive_queries_fit_driver_window():
                  "multimodal_frames", "duplicated_spans", "minhash_pairs",
                  "ngram_jaccard", "embedding_neardup", "keyterms",
                  "dedup_clusters", "quality_filter", "token_quantiles",
-                 "redact_pii", "dedup_corpus"]:
+                 "redact_pii", "dedup_corpus", "hash_split",
+                 "url_canonical"]:
         assert name in window, f"{name} outside the driver's 50-row window"
     # the tail must stay redundant-only: each has an in-window twin
     # (r03-green rows demoted to make room count as their own evidence)
@@ -97,11 +98,10 @@ def test_distinctive_queries_fit_driver_window():
              # green CORRECTNESS_r03 rows and per-doc-stat twins
              "top_bigrams": "top_terms",
              "repetition_stats": "quality_stats",
-             # round-4 additions born in the tail (window already full of
-             # r03-green rows): simple single-pass transforms, full
-             # oracles, covered by the in-repo mini-driver + unit tests
-             "hash_split": "dedup_exact",
-             "url_canonical": "redact_pii"}
+             # demoted in round 4 so hash_split/url_canonical (NEW ops)
+             # get driver rows; both r03-green with in-window twins
+             "token_count_by_source": "token_quantiles",
+             "lang_distribution": "langid"}
     for name in order[50:]:
         assert name in twins and twins[name] in window, (
             f"{name} in the truncation-risk tail without an in-window twin")
