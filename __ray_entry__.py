@@ -754,29 +754,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ray_docs(sf_dir, ["doc_id"])).to_pandas()
         return out.sort_values("doc_id").reset_index(drop=True)
 
-    def url_canonical_q(sf_dir):
+    def _with_messy_urls(b):
         # derive deterministic messy URLs from doc_id (the documents
-        # table has no url column); the oracle rebuilds them in SQL
+        # table has no url column; the oracles rebuild them in SQL),
+        # appended so other columns (text) pass through
         import pyarrow as pa
 
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        s = pd.Series(ids.astype(str))
+        scheme = pd.Series(np.where(ids % 2 == 0, "HTTP", "https"))
+        port = pd.Series(np.where(ids % 2 == 0, ":80", ":443"))
+        head = (scheme + "://Ex" + (ids % 5).astype(str)
+                + ".Example.COM" + port)
+        path = "/P" + s + "?x=" + s + "&utm_source=" + s + "#f" + s
+        url = head + path.where(pd.Series(ids % 3 != 0), "/")
+        return b.append_column("url", pa.array(url.tolist()))
+
+    def url_canonical_q(sf_dir):
         from iresearch_ray.pipelines import curate
 
-        def derive(b):
-            ids = b["doc_id"].to_numpy(zero_copy_only=False)
-            s = pd.Series(ids.astype(str))
-            scheme = pd.Series(np.where(ids % 2 == 0, "HTTP", "https"))
-            port = pd.Series(np.where(ids % 2 == 0, ":80", ":443"))
-            head = (scheme + "://Ex" + (ids % 5).astype(str)
-                    + ".Example.COM" + port)
-            path = "/P" + s + "?x=" + s + "&utm_source=" + s + "#f" + s
-            url = head + path.where(pd.Series(ids % 3 != 0), "/")
-            return pa.table({"doc_id": b["doc_id"],
-                             "url": pa.array(url.tolist())})
-
         docs = ray_docs(sf_dir, ["doc_id"]).map_batches(
-            derive, batch_format="pyarrow")
+            _with_messy_urls, batch_format="pyarrow")
         out = curate.url_canonicalize(docs).to_pandas()
         return out.sort_values("doc_id").reset_index(drop=True)
+
+    def domain_stats_q(sf_dir):
+        from iresearch_ray.pipelines import curate
+
+        docs = ray_docs(sf_dir, ["doc_id", "text"]).map_batches(
+            _with_messy_urls, batch_format="pyarrow")
+        out = curate.domain_stats(docs).to_pandas()
+        return out.sort_values("domain").reset_index(drop=True)
+
+    def cap_per_domain_q(sf_dir):
+        from iresearch_ray.pipelines import curate
+
+        docs = ray_docs(sf_dir, ["doc_id"]).map_batches(
+            _with_messy_urls, batch_format="pyarrow")
+        out = curate.cap_per_domain(docs, cap=40).to_pandas()
+        return (out[["doc_id", "url"]]
+                .sort_values("doc_id").reset_index(drop=True))
 
     def token_quantiles_q(sf_dir):
         return textstats.token_count_quantiles(
@@ -925,7 +942,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
                           TermFilter("dup")], min_match=2), with_counts=True),
         "phrase_search": lambda sf: _all_matches(sf, PhraseFilter(["batch", "batch"])),
         "sorted_topk": sorted_topk,
-        "facet_lang": facet_lang,
         "filtered_agg": filtered_agg,
         "prefix_search": lambda sf: _all_matches(sf, PrefixFilter("st"),
                                                  with_counts=True),
@@ -940,7 +956,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "numeric_range": numeric_range,
         "multifield_and": multifield_and,
         "column_existence": column_existence,
-        "keyword_search": keyword_search,
         "delete_search": delete_search,
         "classify_labels": classify_labels,        # md5 fake -> exact oracle
         "ngram_similarity": ngram_similarity,      # bounded chain-join oracle
@@ -960,6 +975,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ~50-row correctness window) ---
         "hash_split": hash_split_q,
         "url_canonical": url_canonical_q,
+        "domain_stats": domain_stats_q,
+        "cap_per_domain": cap_per_domain_q,
         # --- dedup pipelines ---
         "window_tumbling": window_tumbling,
         "embedding_neardup": embedding_neardup,
@@ -991,6 +1008,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, PhraseFilter([{"prefix": "st"}, "order"])),
         "dedup_fingerprint": dedup_fingerprint,
         "window_hopping": window_hopping,
+        # demoted in round 4 for domain_stats/cap_per_domain: same
+        # VERDICT operator rows as their in-window twins
+        "facet_lang": facet_lang,          # ~ column_existence (row 59)
+        "keyword_search": keyword_search,  # ~ numeric_range (row 21)
     }
 
 
@@ -1216,6 +1237,58 @@ FROM (SELECT doc_id,
 ORDER BY doc_id"""
 
 
+# the deterministic messy-URL fixture (_with_messy_urls) rebuilt in SQL,
+# shared by every URL-based curation oracle; carries text through for the
+# token-counting ones
+_DERIVED_URLS_SQL = """
+  SELECT doc_id, text,
+         (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+         || '://Ex' || (doc_id % 5) || '.Example.COM'
+         || (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+         || (CASE WHEN doc_id % 3 = 0 THEN '/'
+             ELSE '/P' || doc_id || '?x=' || doc_id || '&utm_source='
+                  || doc_id || '#f' || doc_id END) AS url
+  FROM documents"""
+
+
+def _sql_quote(p: str) -> str:
+    return p.replace("'", "''")
+
+
+def _domain_expr_sql() -> str:
+    """The curate.extract_domain chain in SQL: RE2 host extract (DuckDB
+    regexp_extract returns '' on no match, matching the engine's
+    fill_null('')), lowercase, port and leading-www strips."""
+    from iresearch_ray.pipelines.curate import _DOMAIN_PATTERN, _DOMAIN_STEPS
+
+    expr = (f"lower(regexp_extract(url, "
+            f"'{_sql_quote(_DOMAIN_PATTERN)}', 1))")
+    for pat, repl in _DOMAIN_STEPS:
+        expr = (f"regexp_replace({expr}, '{_sql_quote(pat)}', "
+                f"'{_sql_quote(repl)}', 'g')")
+    return expr
+
+
+def _domain_stats_oracle_sql() -> str:
+    return f"""
+WITH derived AS ({_DERIVED_URLS_SQL}),
+d AS (SELECT {_domain_expr_sql()} AS domain, text FROM derived),
+tok AS (SELECT domain, {_TOK} AS ts FROM d)
+SELECT domain, count(*)::BIGINT AS n_docs,
+       sum(len(ts))::BIGINT AS total_tokens
+FROM tok GROUP BY domain ORDER BY domain"""
+
+
+def _cap_per_domain_oracle_sql(cap: int = 40) -> str:
+    return f"""
+WITH derived AS ({_DERIVED_URLS_SQL}),
+d AS (SELECT doc_id, url, {_domain_expr_sql()} AS domain FROM derived),
+r AS (SELECT doc_id, url,
+             row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rk
+      FROM d)
+SELECT doc_id, url FROM r WHERE rk <= {cap} ORDER BY doc_id"""
+
+
 def _url_canonical_oracle_sql() -> str:
     """SQL twin of the url_canonical query: the deterministic messy-URL
     derivation rebuilt in SQL, then the RE2 canonicalization chain from
@@ -1224,8 +1297,7 @@ def _url_canonical_oracle_sql() -> str:
 
     sh = r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)(.*)$"
 
-    def q(p: str) -> str:
-        return p.replace("'", "''")
+    q = _sql_quote
 
     expr = "url"
     for pat, repl in URL_CANON_STEPS[:3]:
@@ -1234,15 +1306,7 @@ def _url_canonical_oracle_sql() -> str:
     for pat, repl in URL_CANON_STEPS[3:]:
         expr2 = f"regexp_replace({expr2}, '{q(pat)}', '{q(repl)}', 'g')"
     return f"""
-WITH derived AS (
-  SELECT doc_id,
-         (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
-         || '://Ex' || (doc_id % 5) || '.Example.COM'
-         || (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
-         || (CASE WHEN doc_id % 3 = 0 THEN '/'
-             ELSE '/P' || doc_id || '?x=' || doc_id || '&utm_source='
-                  || doc_id || '#f' || doc_id END) AS url
-  FROM documents),
+WITH derived AS ({_DERIVED_URLS_SQL}),
 s1 AS (SELECT doc_id, url, {expr} AS u FROM derived),
 s2 AS (SELECT doc_id, url, CASE WHEN regexp_matches(u, '{q(sh)}')
          THEN lower(regexp_extract(u, '{q(sh)}', 1)) || '://' ||
@@ -1734,6 +1798,8 @@ ORDER BY doc_id
         "redact_pii": _redact_oracle_sql(),
         "hash_split": _hash_split_oracle_sql(),
         "url_canonical": _url_canonical_oracle_sql(),
+        "domain_stats": _domain_stats_oracle_sql(),
+        "cap_per_domain": _cap_per_domain_oracle_sql(),
         "ngram_jaccard": f"""
 {_TOK_CTE},
 sh AS (SELECT doc_id, ts, least(len(ts), 3) AS kk, len(ts) AS nt

@@ -183,10 +183,19 @@ def cmd_dedup(a) -> dict:
         if a.method == "corpus":
             # end-to-end keep-one-per-cluster: the surviving rows
             return D.dedup_corpus(ds, threshold=a.threshold, **common)
+        if a.method == "cap-domain":
+            from iresearch_ray.pipelines import curate
+
+            return curate.cap_per_domain(ds, cap=a.cap,
+                                         url_column=a.url_column,
+                                         id_column=a.id_column)
         return D.duplicated_span_stats(ds, k=a.k, **common)  # span-stats
 
+    cols = ([a.id_column, a.url_column, a.text_column]
+            if a.method == "cap-domain" else None)
     return _run_staged_op(a, "method", build_op,
-                          {"threshold": a.threshold, "k": a.k})
+                          {"threshold": a.threshold, "k": a.k,
+                           "cap": a.cap}, columns=cols)
 
 
 def cmd_stats(a) -> dict:
@@ -220,11 +229,18 @@ def cmd_stats(a) -> dict:
         if a.op == "redact-pii":
             return T.redact_pii(ds, text_column=a.text_column,
                                 id_column=a.id_column)
+        if a.op == "domains":
+            from iresearch_ray.pipelines import curate
+
+            return curate.domain_stats(ds, url_column=a.url_column,
+                                       text_column=a.text_column,
+                                       analyzer=a.analyzer)
         return T.term_frequencies(ds, text_column=a.text_column,
                                   analyzer=a.analyzer)  # termfreq
 
     # corpus-global ops never touch the id column — prune it at the read
     cols = ([a.text_column] if a.op in ("bigrams", "termfreq", "quantiles")
+            else [a.url_column, a.text_column] if a.op == "domains"
             else [a.id_column, a.text_column])
     return _run_staged_op(a, "op", build_op, {"k_top": a.k_top},
                           columns=cols)
@@ -272,13 +288,17 @@ def main(argv=None) -> int:
     d.add_argument("--output", required=True)
     d.add_argument("--method", required=True,
                    choices=("exact", "fingerprint", "simhash", "minhash",
-                            "jaccard", "spans", "span-stats", "clusters", "corpus"))
+                            "jaccard", "spans", "span-stats", "clusters",
+                            "corpus", "cap-domain"))
     d.add_argument("--threshold", type=float, default=0.9)
     d.add_argument("--k", type=int, default=5,
                    help="span window length for spans/span-stats")
     d.add_argument("--id-column", default="doc_id")
     d.add_argument("--text-column", default="text")
     d.add_argument("--analyzer", default="ascii")
+    d.add_argument("--url-column", default="url")
+    d.add_argument("--cap", type=int, default=1000,
+                   help="max docs kept per domain for cap-domain")
 
     s = sub.add_parser("stats")
     s.add_argument("--input", required=True, nargs="+")
@@ -286,11 +306,12 @@ def main(argv=None) -> int:
     s.add_argument("--op", required=True,
                    choices=("quality", "langid", "repetition", "bigrams",
                             "keyterms", "termfreq", "quality-filter",
-                            "quantiles", "redact-pii"))
+                            "quantiles", "redact-pii", "domains"))
     s.add_argument("--k-top", type=int, default=20)
     s.add_argument("--id-column", default="doc_id")
     s.add_argument("--text-column", default="text")
     s.add_argument("--analyzer", default="ascii")
+    s.add_argument("--url-column", default="url")
 
     a = ap.parse_args(argv)
     owns = _ray_init()

@@ -125,3 +125,125 @@ def url_canonicalize(ds, url_column: str = "url", out_column: str =
     return ds.map_batches(
         canon, batch_format="pyarrow",
         concurrency=pool_size(concurrency) if concurrency else None)
+
+
+# domain = lowercase URL authority, default-port and "www." stripped —
+# NOT the PSL registrable domain (no public-suffix list in-container;
+# "a.co.uk" and "b.co.uk" therefore stay distinct hosts, a documented
+# simplification).  RE2 on both sides keeps the SQL oracle byte-exact.
+_DOMAIN_PATTERN = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)"
+_DOMAIN_STEPS = (
+    (r":[0-9]+$", ""),   # port
+    (r"^www\.", ""),     # canonical www-less host
+)
+
+
+def extract_domain(ds, url_column: str = "url",
+                   out_column: str = "domain",
+                   concurrency: int | None = None):
+    """Input columns plus ``out_column``: the document's host — lowercase
+    URL authority with the port and a leading ``www.`` stripped; ``''``
+    for null urls / urls without a scheme.  One RE2 group-extract + two
+    RE2 rewrites per batch, shuffle-free; the key for every per-domain
+    curation policy (stats, caps, per-site dedup)."""
+    import pyarrow.compute as pc
+
+    def dom(b: pa.Table) -> pa.Table:
+        u = pc.fill_null(b[url_column], "")
+        if isinstance(u, pa.ChunkedArray):
+            u = u.combine_chunks()
+        parts = pc.extract_regex(u, pattern=r"^[A-Za-z][A-Za-z0-9+.\-]*"
+                                            r"://(?P<host>[^/?#]*)")
+        host = pc.fill_null(
+            pc.utf8_lower(pc.struct_field(parts, "host")), "")
+        for pat, repl in _DOMAIN_STEPS:
+            host = pc.replace_substring_regex(host, pattern=pat,
+                                              replacement=repl)
+        return b.append_column(out_column, host)
+
+    return ds.map_batches(
+        dom, batch_format="pyarrow",
+        concurrency=pool_size(concurrency) if concurrency else None)
+
+
+def domain_stats(ds, url_column: str = "url", text_column: str = "text",
+                 analyzer: str = "ascii",
+                 concurrency: int | None = None):
+    """Per-domain corpus profile -> Dataset(domain, n_docs, total_tokens):
+    the first thing a Common-Crawl-scale curation run asks of a crawl
+    ("which sites dominate the corpus?") and the input to cap / boost
+    decisions.
+
+    Tokenizes once per batch (pooled analyzer), reduces each batch to
+    (domain, tokens) rows, then aggregates with the boundary-repaired
+    sort+combine (count + sum share one sweep) — keys-only shuffle,
+    exact at any domain skew."""
+    from iresearch_ray.analysis import get_analyzer
+    from iresearch_ray.pipelines.dedup import _grouped_count_min
+    from iresearch_ray.pipelines.textstats import _coded_tokens
+    from iresearch_ray.util import StatelessBatchFn
+
+    class DomainTok:
+        def __init__(self):
+            self.analyzer = get_analyzer(analyzer)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            _, _, _, doc_len = _coded_tokens(self.analyzer, b[text_column])
+            return pa.table({"domain": b["domain"],
+                             "_tok": pa.array(doc_len.astype(np.int64))})
+
+    rows = extract_domain(
+        ds, url_column=url_column, concurrency=concurrency
+    ).map_batches(
+        StatelessBatchFn(DomainTok), batch_format="pyarrow",
+        concurrency=pool_size(concurrency) if concurrency else None)
+    return _grouped_count_min(rows, "domain", None, count_alias="n_docs",
+                              sum_column="_tok", sum_alias="total_tokens")
+
+
+def cap_per_domain(ds, cap: int, url_column: str = "url",
+                   id_column: str = "doc_id",
+                   max_broadcast: int = 50_000_000,
+                   concurrency: int | None = None):
+    """Keep at most ``cap`` documents per domain (the ``cap`` SMALLEST
+    ids — deterministic, so re-runs and resumed jobs keep the same
+    survivors) -> the surviving rows of ``ds``, full schema, streaming.
+
+    The RefinedWeb-style anti-spam trim: without it one template farm
+    can be a double-digit fraction of a crawl.  (domain, id) rows —
+    never text — go through ONE range sort + the edge-piece rank repair
+    (:func:`~iresearch_ray.pipelines.dedup.grouped_rank_drop_ids`, exact
+    at any domain skew); the over-cap drop set is pulled sorted to the
+    driver under ``max_broadcast`` and applied as one shuffle-free
+    searchsorted filter pass (the dedup_corpus idiom — drop sets are
+    trim-sized, not corpus-sized, for any sane cap)."""
+    import ray
+
+    from iresearch_ray.pipelines.dedup import (
+        _sorted_member,
+        grouped_rank_drop_ids,
+    )
+
+    keyed = extract_domain(
+        ds, url_column=url_column, concurrency=concurrency
+    ).select_columns(["domain", id_column])
+    dropped = grouped_rank_drop_ids(keyed, "domain", id_column, cap)
+    chunks = []
+    for b in dropped.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            chunks.append(b[id_column].to_numpy(zero_copy_only=False))
+    drop = np.sort(np.concatenate(chunks)) if chunks else np.empty(0)
+    if len(drop) > max_broadcast:
+        raise ValueError(
+            f"per-domain drop set ({len(drop)} ids) exceeds "
+            f"max_broadcast={max_broadcast}; raise cap or partition the "
+            "corpus by domain hash first")
+    ref = ray.put(drop)
+
+    def keep_rows(b: pa.Table) -> pa.Table:
+        if not b.num_rows:
+            return b
+        ids = b[id_column].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(~_sorted_member(ray.get(ref), ids)))
+
+    return ds.map_batches(keep_rows, batch_format="pyarrow")

@@ -133,11 +133,17 @@ def _grouped_count_min(rows, key_column: str, id_column: str | None,
                        count_alias: str = "dup_count",
                        keep_alias: str = "keep_id",
                        min_count: int | None = None,
+                       sum_column: str | None = None,
+                       sum_alias: str = "total",
                        _presorted: bool = False):
     """(key -> row count[, min id]) for a Dataset of (key[, id]) rows via
     ONE range sort + a per-block reduceat combine — the aggregation shape
     shared by every hash-bucket dedup operator.  ``id_column=None`` emits
     counts only (the LSH hot-bucket shape).
+
+    ``sum_column`` adds a per-group int64 sum under ``sum_alias`` (sum
+    has a partial form, so the same boundary repair stays exact) — the
+    (domain -> docs, tokens) stats shape.
 
     4x faster than ``groupby().aggregate(Count, Min)`` at probe scale
     (the aggregate path pays per-group overhead materializing every
@@ -175,6 +181,8 @@ def _grouped_count_min(rows, key_column: str, id_column: str | None,
         if id_column is not None:
             cols[keep_alias] = pa.array(
                 [], t.schema.field(id_column).type)
+        if sum_column is not None:
+            cols[sum_alias] = pa.array([], pa.int64())
         return pa.table(cols)
 
     def edge_partials(t: pa.Table) -> pa.Table:
@@ -186,19 +194,25 @@ def _grouped_count_min(rows, key_column: str, id_column: str | None,
         bounds = [(0, int(starts[1]) if len(starts) > 1 else n)]
         if len(starts) > 1:
             bounds.append((int(starts[-1]), n))
-        take, cnts, mins = [], [], []
+        take, cnts, mins, sums = [], [], [], []
         ids = (t[id_column].to_numpy(zero_copy_only=False)
                if id_column is not None else None)
+        svals = (t[sum_column].to_numpy(zero_copy_only=False)
+                 if sum_column is not None else None)
         for s, e in bounds:
             take.append(s)
             cnts.append(e - s)
             if ids is not None:
                 mins.append(ids[s:e].min())
+            if svals is not None:
+                sums.append(int(svals[s:e].sum()))
         cols = {key_column: col.take(pa.array(take)),
                 count_alias: pa.array(cnts, type=pa.int64())}
         if ids is not None:
             cols[keep_alias] = pa.array(
                 mins, type=t.schema.field(id_column).type)
+        if svals is not None:
+            cols[sum_alias] = pa.array(sums, type=pa.int64())
         return pa.table(cols)
 
     def combine_interior(t: pa.Table) -> pa.Table:
@@ -218,15 +232,23 @@ def _grouped_count_min(rows, key_column: str, id_column: str | None,
             # object dtype (string ids) reduces via Python < — still one
             # sweep; numeric ids stay a C loop
             mins = np.minimum.reduceat(ids[lo:hi], starts_i - lo)
+        sums = None
+        if sum_column is not None:
+            svals = t[sum_column].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            sums = np.add.reduceat(svals[lo:hi], starts_i - lo)
         if min_count is not None:
             keep = cnt >= min_count
             starts_i, cnt = starts_i[keep], cnt[keep]
             mins = mins[keep] if mins is not None else None
+            sums = sums[keep] if sums is not None else None
         cols = {key_column: col.take(pa.array(starts_i)),
                 count_alias: pa.array(cnt)}
         if mins is not None:
             cols[keep_alias] = pa.array(
                 mins, type=t.schema.field(id_column).type)
+        if sums is not None:
+            cols[sum_alias] = pa.array(sums, type=pa.int64())
         return pa.table(cols)
 
     parts = _collect_small(sorted_rows.map_batches(
@@ -239,6 +261,8 @@ def _grouped_count_min(rows, key_column: str, id_column: str | None,
     agg = {count_alias: (count_alias, "sum")}
     if id_column is not None:
         agg[keep_alias] = (keep_alias, "min")
+    if sum_column is not None:
+        agg[sum_alias] = (sum_alias, "sum")
     merged = (pdf.groupby(key_column, sort=False, as_index=False)
               .agg(**agg))
     if min_count is not None:
@@ -249,6 +273,99 @@ def _grouped_count_min(rows, key_column: str, id_column: str | None,
         merged, preserve_index=False).select(parts.column_names).cast(
         parts.schema)
     return interior.union(ray.data.from_arrow(boundary))
+
+
+def grouped_rank_drop_ids(rows, key_column: str, id_column: str,
+                          cap: int, _presorted: bool = False):
+    """Ids whose 0-based rank within their ``key_column`` group, ordered
+    by ascending id, is ``>= cap`` -> Dataset(id_column) — the drop side
+    of a keep-at-most-``cap``-per-group policy (per-domain corpus caps).
+
+    One range sort by (key, id) + a per-block positional-rank sweep.
+    Exact at ANY key skew via the edge-piece OFFSET repair (the rank
+    sibling of the count repair in :func:`_grouped_count_min`): interior
+    runs never straddle globally ordered blocks, so their local ranks
+    are global; the first/last run of every block emits a
+    (key, piece_min_id, piece_count) partial (<= 2 rows per block), the
+    driver orders each straddling key's pieces by ``piece_min_id``
+    (well-defined: the blocks are globally (key, id)-ordered) and
+    broadcasts each piece's cumulative prior count, which the rank sweep
+    adds back.  A hot domain wider than a whole block ranks exactly.
+
+    Ids must be UNIQUE (doc ids) — duplicate ids across blocks would
+    make the piece order ambiguous; exact-dedup first."""
+    import ray
+    import ray.data
+
+    sorted_rows = (rows if _presorted
+                   else rows.sort([key_column, id_column])).materialize()
+
+    def _edge_empty(t: pa.Table) -> pa.Table:
+        return pa.table({
+            key_column: pa.array([], t.schema.field(key_column).type),
+            "_piece_min": pa.array([], t.schema.field(id_column).type),
+            "_piece_cnt": pa.array([], pa.int64())})
+
+    def edge_pieces(t: pa.Table) -> pa.Table:
+        n = len(t)
+        if n == 0:
+            return _edge_empty(t)
+        col = t[key_column].combine_chunks()
+        starts = _run_starts_arrow(col, n)
+        bounds = [(0, int(starts[1]) if len(starts) > 1 else n)]
+        if len(starts) > 1:
+            bounds.append((int(starts[-1]), n))
+        ids = t[id_column].combine_chunks()
+        take = [s for s, _ in bounds]
+        return pa.table({
+            key_column: col.take(pa.array(take)),
+            "_piece_min": ids.take(pa.array(take)),  # block is id-sorted
+            "_piece_cnt": pa.array([e - s for s, e in bounds],
+                                   type=pa.int64())})
+
+    parts = _collect_small(sorted_rows.map_batches(
+        edge_pieces, batch_format="pyarrow", batch_size=None))
+    offsets: dict = {}
+    if parts is not None and parts.num_rows:
+        pdf = parts.to_pandas()
+        # pieces of one key, ordered by their min id (disjoint id ranges
+        # under the global (key, id) sort) -> cumulative prior counts
+        pdf = pdf.sort_values([key_column, "_piece_min"])
+        grp = pdf.groupby(key_column, sort=False)
+        pdf["_off"] = grp["_piece_cnt"].cumsum() - pdf["_piece_cnt"]
+        # single-piece keys need no repair; a key can also appear once
+        # per block edge but twice in ONE block (first and last run of a
+        # single-run block emit one combined row, so no double count)
+        hot = pdf[grp[key_column].transform("size") > 1]
+        offsets = {(k, m): int(o) for k, m, o in zip(
+            hot[key_column], hot["_piece_min"], hot["_off"]) if o > 0}
+    oref = ray.put(offsets)
+
+    def drop_rows(t: pa.Table) -> pa.Table:
+        n = len(t)
+        id_type = t.schema.field(id_column).type
+        if n == 0:
+            return pa.table({id_column: pa.array([], id_type)})
+        col = t[key_column].combine_chunks()
+        starts = _run_starts_arrow(col, n)
+        ends = np.r_[starts[1:], n]
+        lens = ends - starts
+        rank = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+        off_map = ray.get(oref)
+        if off_map:
+            ids_arrow = t[id_column].combine_chunks()
+            run_off = np.zeros(len(starts), dtype=np.int64)
+            for ri in {0, len(starts) - 1}:
+                s = int(starts[ri])
+                key = (col[s].as_py(), ids_arrow[s].as_py())
+                run_off[ri] = off_map.get(key, 0)
+            rank += np.repeat(run_off, lens)
+        drop = rank >= cap
+        return pa.table(
+            {id_column: t[id_column].filter(pa.array(drop))})
+
+    return sorted_rows.map_batches(
+        drop_rows, batch_format="pyarrow", batch_size=None)
 
 
 def _sorted_member(sorted_arr: np.ndarray, values: np.ndarray) -> np.ndarray:

@@ -83,7 +83,7 @@ def test_distinctive_queries_fit_driver_window():
                  "ngram_jaccard", "embedding_neardup", "keyterms",
                  "dedup_clusters", "quality_filter", "token_quantiles",
                  "redact_pii", "dedup_corpus", "hash_split",
-                 "url_canonical"]:
+                 "url_canonical", "domain_stats", "cap_per_domain"]:
         assert name in window, f"{name} outside the driver's 50-row window"
     # the tail must stay redundant-only: each has an in-window twin
     # (r03-green rows demoted to make room count as their own evidence)
@@ -101,7 +101,11 @@ def test_distinctive_queries_fit_driver_window():
              # demoted in round 4 so hash_split/url_canonical (NEW ops)
              # get driver rows; both r03-green with in-window twins
              "token_count_by_source": "token_quantiles",
-             "lang_distribution": "langid"}
+             "lang_distribution": "langid",
+             # demoted for domain_stats/cap_per_domain; each shares its
+             # VERDICT operator row with the in-window twin
+             "facet_lang": "column_existence",
+             "keyword_search": "numeric_range"}
     for name in order[50:]:
         assert name in twins and twins[name] in window, (
             f"{name} in the truncation-risk tail without an in-window twin")

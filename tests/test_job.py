@@ -150,3 +150,33 @@ def test_job_dedup_and_stats_subcommands(ray_session, tmp_path, capsys):
     red = pq.read_table(red_dir).to_pandas()
     assert (red["n_email"] == 0).all()  # corpus has no PII
     assert set(red.columns) >= {"doc_id", "text_redacted"}
+
+
+def test_job_domain_subcommands(ray_session, tmp_path, capsys):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [{"doc_id": i, "url": f"http://hot.io/p{i}",
+             "text": "alpha beta gamma"} for i in range(5)]
+    rows.append({"doc_id": 5, "url": "https://www.Cold.org:443/x",
+                 "text": "delta epsilon"})
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), src)
+
+    st_dir = str(tmp_path / "domains_out")
+    assert main(["stats", "--input", src, "--output", st_dir,
+                 "--op", "domains"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["rows"] == 2
+    st = pq.read_table(st_dir).to_pandas().set_index("domain")
+    assert int(st.loc["hot.io", "n_docs"]) == 5
+    assert int(st.loc["hot.io", "total_tokens"]) == 15
+    assert int(st.loc["cold.org", "n_docs"]) == 1
+
+    cap_dir = str(tmp_path / "cap_out")
+    assert main(["dedup", "--input", src, "--output", cap_dir,
+                 "--method", "cap-domain", "--cap", "2"]) == 0
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep2["rows"] == 3
+    surv = pq.read_table(cap_dir).to_pandas()
+    assert sorted(surv["doc_id"]) == [0, 1, 5]

@@ -881,6 +881,74 @@ def test_grouped_count_min_boundary_repair(ray_session):
         want = exp if min_count is None else \
             exp[exp["n"] >= min_count].reset_index(drop=True)
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the optional sum aggregate rides the same boundary repair
+    exp_sum = (pd.DataFrame(flat, columns=["k", "i"]).groupby("k")
+               .agg(n=("i", "size"), s=("i", "sum")).reset_index())
+    got = dedup._grouped_count_min(
+        ds, "k", None, count_alias="n", sum_column="i", sum_alias="s",
+        _presorted=True).to_pandas().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp_sum, check_dtype=False)
+
+
+def test_grouped_rank_drop_ids_boundary_repair(ray_session):
+    """Per-group rank must stay exact when a hot key straddles blocks:
+    the edge-piece offset repair orders a straddling key's pieces by
+    their min id and adds each piece's cumulative prior count back."""
+    import pyarrow as pa
+
+    rows = [("a", 0), ("a", 1),
+            # hot key spans 3 blocks, incl. one all-h block
+            ("h", 2), ("h", 3), ("h", 4), ("h", 5), ("h", 6), ("h", 7),
+            ("h", 8), ("h", 9), ("h", 10), ("h", 11), ("h", 12),
+            ("h", 13), ("h", 14),
+            ("z", 15), ("z", 16), ("z", 17)]
+    splits = [rows[0:5], rows[5:9], rows[9:14], rows[14:18]]
+    blocks = [pa.table({"k": pa.array([k for k, _ in rs], pa.string()),
+                        "i": pa.array([i for _, i in rs], pa.int64())})
+              for rs in splits]
+    ds = ray.data.from_arrow(blocks)
+    got = dedup.grouped_rank_drop_ids(
+        ds, "k", "i", cap=4, _presorted=True).to_pandas()
+    # h has 13 rows with ids 2..14: keep the 4 smallest, drop 6..14
+    assert sorted(got["i"]) == list(range(6, 15))
+    # and the real sort path on a shuffled skewed input agrees with pandas
+    rng = np.random.default_rng(11)
+    k = np.where(rng.random(4000) < 0.6, "hot",
+                 rng.integers(0, 40, 4000).astype(str))
+    df = pd.DataFrame({"k": k, "i": rng.permutation(4000)})
+    want = df[df.groupby("k")["i"].rank(method="first") > 3]["i"]
+    got2 = dedup.grouped_rank_drop_ids(
+        ray.data.from_pandas(df).repartition(9), "k", "i", cap=3
+    ).to_pandas()
+    assert sorted(got2["i"]) == sorted(want)
+
+
+def test_domain_operators(ray_session):
+    from iresearch_ray.pipelines import curate
+
+    urls = ["https://WWW.Example.com:443/a", "http://example.com/b",
+            "https://sub.example.com/c", None, "no-scheme",
+            "http://www.Hot.io:8080/x"] + \
+           [f"http://hot.io/p{i}" for i in range(20)]
+    df = pd.DataFrame({"doc_id": range(len(urls)), "url": urls,
+                       "text": ["alpha beta gamma"] * len(urls)})
+    ds = ray.data.from_pandas(df)
+    out = curate.extract_domain(ds).to_pandas().set_index("doc_id")
+    assert out.loc[0, "domain"] == "example.com"      # www + port stripped
+    assert out.loc[2, "domain"] == "sub.example.com"  # subdomain kept
+    assert out.loc[3, "domain"] == ""                 # null url
+    assert out.loc[4, "domain"] == ""                 # no scheme
+    assert out.loc[5, "domain"] == "hot.io"           # non-default port too
+    st = curate.domain_stats(ds).to_pandas().set_index("domain")
+    assert int(st.loc["hot.io", "n_docs"]) == 21
+    assert int(st.loc["hot.io", "total_tokens"]) == 63
+    assert int(st.loc["example.com", "n_docs"]) == 2
+    capped = curate.cap_per_domain(ds, cap=3).to_pandas()
+    # smallest 3 ids of hot.io are 5, 6, 7; full schema survives
+    assert sorted(capped["doc_id"]) == [0, 1, 2, 3, 4, 5, 6, 7]
+    assert list(capped.columns) == ["doc_id", "url", "text"]
+    with pytest.raises(ValueError):
+        curate.cap_per_domain(ds, cap=1, max_broadcast=2).to_pandas()
 
 
 def test_grouped_count_min_result_is_reconsumable(ray_session):
