@@ -52,6 +52,7 @@ def ingest(ds, work_dir: str, *, analyzer: str = "ascii",
            analyzer_opts: dict | None = None, dedup: bool = True,
            near_dup: str | None = None, near_dup_threshold: float = 0.9,
            span_dup_max: float | None = None, span_k: int = 5,
+           domain_cap: int | None = None,
            key_column: str = "url", target_docs: int = 50_000,
            store_columns: tuple = (), **build_kw) -> dict:
     """Run the full pipeline; returns the index manifest plus counters.
@@ -70,7 +71,13 @@ def ingest(ds, work_dir: str, *, analyzer: str = "ascii",
     (`dedup.duplicated_span_stats`) — the substring-dedup filter a
     training-data pipeline applies to boilerplate-heavy pages.  The drop
     set (ids over threshold) is broadcast, bounded by the filtered
-    volume, not the corpus."""
+    volume, not the corpus.
+
+    ``domain_cap`` keeps at most that many documents per domain (the
+    RefinedWeb-style template-farm trim), applied AFTER exact dedup so
+    duplicate pages never consume a site's quota; survivors are the cap
+    lexicographically-smallest keys per domain (deterministic across
+    re-runs).  Exact at any domain skew (`grouped_rank_drop_ids`)."""
     import ray
     import ray.data
 
@@ -88,19 +95,23 @@ def ingest(ds, work_dir: str, *, analyzer: str = "ascii",
         raise ValueError(f"unknown near_dup method {near_dup!r}")
     if span_dup_max is not None and not (0.0 <= span_dup_max <= 1.0):
         raise ValueError(f"span_dup_max must be in [0, 1], got {span_dup_max}")
+    if domain_cap is not None and domain_cap < 1:
+        raise ValueError(f"domain_cap must be >= 1, got {domain_cap}")
     staged = os.path.join(work_dir, "staged")
     index_dir = os.path.join(work_dir, "index")
     counters_path = os.path.join(work_dir, "ingest.json")
     staging_params = {"dedup": bool(dedup), "near_dup": near_dup,
                       "near_dup_threshold": float(near_dup_threshold),
                       "span_dup_max": span_dup_max, "span_k": int(span_k),
+                      "domain_cap": domain_cap,
                       # the span filter's drop set depends on tokenization,
                       # so a changed analyzer (or its options) must restage
                       "analyzer": analyzer,
                       "analyzer_opts": analyzer_opts or {},
                       "key_column": key_column,
                       "input": input_fingerprint(ds)}
-    counters = {"n_dropped": 0, "n_near_dropped": 0, "n_span_dropped": 0}
+    counters = {"n_dropped": 0, "n_near_dropped": 0, "n_span_dropped": 0,
+                "n_domain_dropped": 0}
 
     def _extract_and_dedup():
         import pyarrow.compute as pc
@@ -156,6 +167,23 @@ def ingest(ds, work_dir: str, *, analyzer: str = "ascii",
                 # extra corpus passes just to count
                 counters["n_dropped"] = sum(
                     g["dup_count"] - 1 for g in dup_groups)
+        if domain_cap is not None:
+            # anti-spam trim after exact dedup: (domain, key)-only rows
+            # through the rank-repaired sort; drop set is trim-sized
+            from iresearch_ray.pipelines.curate import extract_domain
+            from iresearch_ray.pipelines.dedup import grouped_rank_drop_ids
+
+            keyed = extract_domain(
+                extracted, url_column=key_column).select_columns(
+                ["domain", key_column])
+            over = grouped_rank_drop_ids(
+                keyed, "domain", key_column, domain_cap).to_pandas()
+            counters["n_domain_dropped"] = int(len(over))
+            if len(over):
+                extracted = _drop_ids(
+                    extracted,
+                    np.sort(np.asarray(over[key_column].tolist())),
+                    key_column)
         if near_dup is not None:
             finder = (minhash_lsh_pairs if near_dup == "minhash"
                       else ngram_jaccard_pairs)
@@ -197,13 +225,16 @@ def ingest(ds, work_dir: str, *, analyzer: str = "ascii",
                        "near_duplicates_dropped":
                            int(counters["n_near_dropped"]),
                        "span_heavy_dropped":
-                           int(counters["n_span_dropped"])}, f)
+                           int(counters["n_span_dropped"]),
+                       "domain_capped_dropped":
+                           int(counters["n_domain_dropped"])}, f)
     elif os.path.exists(counters_path):
         with open(counters_path) as f:  # resumed run: report prior counters
             c = json.load(f)
         counters["n_dropped"] = c.get("duplicates_dropped", 0)
         counters["n_near_dropped"] = c.get("near_duplicates_dropped", 0)
         counters["n_span_dropped"] = c.get("span_heavy_dropped", 0)
+        counters["n_domain_dropped"] = c.get("domain_capped_dropped", 0)
 
     man = build_index(staged, index_dir, analyzer=analyzer,
                       analyzer_opts=analyzer_opts, key_column=key_column,
@@ -213,5 +244,6 @@ def ingest(ds, work_dir: str, *, analyzer: str = "ascii",
         "duplicates_dropped": int(counters["n_dropped"]),
         "near_duplicates_dropped": int(counters["n_near_dropped"]),
         "span_heavy_dropped": int(counters["n_span_dropped"]),
+        "domain_capped_dropped": int(counters["n_domain_dropped"]),
         "staged_dir": staged}
     return man

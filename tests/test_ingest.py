@@ -265,3 +265,52 @@ def test_classify_rejects_unknown_hash(ray_session):
 
     with _pytest.raises(ValueError, match="hash family"):
         ClassifyBatch(hash="MD5")
+
+
+def test_ingest_domain_cap(ray_session, tmp_path_factory):
+    """domain_cap keeps at most N docs per domain (smallest keys),
+    applied after exact dedup so duplicates never consume quota."""
+    import pyarrow as pa
+
+    base = tmp_path_factory.mktemp("ingest_cap")
+    rows = []
+    for i in range(12):  # template farm: one domain, 12 pages
+        rows.append({"url": f"http://farm.io/p{i:02d}",
+                     "html": f"<html><body>farm page {i} words "
+                             f"x{i} y{i}</body></html>",
+                     "warc_ts": 1700000000000000 + i, "lang": "en",
+                     "text": f"farm page {i} words x{i} y{i}"})
+    for i in range(3):   # small site, under the cap
+        rows.append({"url": f"http://tiny.org/q{i}",
+                     "html": f"<html><body>tiny doc {i} unique "
+                             f"a{i} b{i}</body></html>",
+                     "warc_ts": 1700000000100000 + i, "lang": "en",
+                     "text": f"tiny doc {i} unique a{i} b{i}"})
+    # an exact duplicate of farm p00 under a DIFFERENT key: dedup drops
+    # it first, so it must not consume farm.io quota
+    rows.append({"url": "http://farm.io/p99",
+                 "html": rows[0]["html"],
+                 "warc_ts": 1700000001000000, "lang": "en",
+                 "text": rows[0]["text"]})
+    pages = str(base / "pages.parquet")
+    pa.parquet.write_table(pa.Table.from_pylist(rows), pages)
+
+    work = str(base / "work")
+    man = ingest(ray.data.read_parquet(pages), work, analyzer="ascii",
+                 target_docs=100, domain_cap=5)
+    c = man["ingest_counters"]
+    assert c["duplicates_dropped"] == 1        # p99 (dup of p00)
+    assert c["domain_capped_dropped"] == 7     # farm.io 12 -> 5
+    assert man["num_docs"] == 16 - 1 - 7
+    reader = IndexReader(f"{work}/index")
+    keys = set()
+    for sv in reader.segments:
+        keys.update(sv.reader.keys.tolist())
+    # survivors: the 5 smallest farm keys + all of tiny.org
+    assert {f"http://farm.io/p{i:02d}" for i in range(5)} <= keys
+    assert "http://farm.io/p05" not in keys
+    assert {f"http://tiny.org/q{i}" for i in range(3)} <= keys
+
+    with pytest.raises(ValueError, match="domain_cap"):
+        ingest(ray.data.read_parquet(pages), str(base / "w2"),
+               domain_cap=0)
