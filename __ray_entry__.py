@@ -795,6 +795,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (out[["doc_id", "url"]]
                 .sort_values("doc_id").reset_index(drop=True))
 
+    def _with_synth_html(b):
+        # deterministic page markup derived from doc_id (the documents
+        # table has no html column; _SYNTH_HTML_SQL rebuilds it):
+        # 0-3 href occurrences per doc across an <a> tag, a <link> tag
+        # (sometimes a host-less relative target), and a stray attribute
+        # outside any tag — exercising the tag-agnostic scan
+        import pyarrow as pa
+
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        s = pd.Series(ids.astype(str))
+        l0 = "http://t" + pd.Series((ids % 7).astype(str)) + ".example.org/a"
+        l1 = pd.Series(np.where(
+            ids % 5 == 0, "/rel",
+            "https://T" + pd.Series((ids % 3).astype(str))
+            + ".Example.org:443/b"))
+        l2 = "http://u" + pd.Series((ids % 11).astype(str)) + ".net/c?x=" + s
+        n = ids % 4
+        h = ("<html><body>"
+             + pd.Series(np.where(n >= 1,
+                                  '<a href="' + l0 + '">x</a>', ""))
+             + pd.Series(np.where(n >= 2, '<link href="' + l1 + '">', ""))
+             + pd.Series(np.where(n >= 3, ' stray href="' + l2 + '"', ""))
+             + "<p>no more</p></body></html>")
+        return b.append_column("html", pa.array(h.tolist()))
+
+    def extract_links_q(sf_dir):
+        from iresearch_ray.pipelines import curate
+
+        docs = ray_docs(sf_dir, ["doc_id"]).map_batches(
+            _with_messy_urls, batch_format="pyarrow").map_batches(
+            _with_synth_html, batch_format="pyarrow")
+        out = curate.extract_links(docs).to_pandas()
+        return out.sort_values(["url", "href"]).reset_index(drop=True)
+
+    def domain_links_q(sf_dir):
+        from iresearch_ray.pipelines import curate
+
+        docs = ray_docs(sf_dir, ["doc_id"]).map_batches(
+            _with_messy_urls, batch_format="pyarrow").map_batches(
+            _with_synth_html, batch_format="pyarrow")
+        out = curate.domain_links(docs).to_pandas()
+        return (out.sort_values(["src_domain", "dst_domain"])
+                .reset_index(drop=True))
+
     def token_quantiles_q(sf_dir):
         return textstats.token_count_quantiles(
             ray_docs(sf_dir, ["doc_id", "text"]))
@@ -977,6 +1021,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canonical": url_canonical_q,
         "domain_stats": domain_stats_q,
         "cap_per_domain": cap_per_domain_q,
+        "extract_links": extract_links_q,
+        "domain_links": domain_links_q,
         # --- dedup pipelines ---
         "window_tumbling": window_tumbling,
         "embedding_neardup": embedding_neardup,
@@ -991,11 +1037,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "more_like_this": more_like_this_q,
         "keyterms": keyterms_q,
         "duplicated_spans": duplicated_spans_q,
-        "duplicated_span_stats": duplicated_span_stats_q,
         "redact_pii": redact_pii_q,                # RE2-exact oracle
-        "dedup_corpus": dedup_corpus_q,            # keep-one-per-cluster
         # --- tail: r03-green rows / engine variants (safe to truncate:
         # the driver records the first ~50 entries) ---
+        # demoted in round 4 for extract_links/domain_links: stat-view /
+        # composition of the in-window duplicated_spans / dedup_clusters
+        "duplicated_span_stats": duplicated_span_stats_q,
+        "dedup_corpus": dedup_corpus_q,            # keep-one-per-cluster
         "token_count_by_source": token_count_by_source,  # ~ token_quantiles
         "lang_distribution": lang_distribution,          # ~ langid + facet
         "top_bigrams": top_bigrams_q,
@@ -1255,13 +1303,13 @@ def _sql_quote(p: str) -> str:
     return p.replace("'", "''")
 
 
-def _domain_expr_sql() -> str:
+def _domain_expr_sql(col: str = "url") -> str:
     """The curate.extract_domain chain in SQL: RE2 host extract (DuckDB
     regexp_extract returns '' on no match, matching the engine's
     fill_null('')), lowercase, port and leading-www strips."""
     from iresearch_ray.pipelines.curate import _DOMAIN_PATTERN, _DOMAIN_STEPS
 
-    expr = (f"lower(regexp_extract(url, "
+    expr = (f"lower(regexp_extract({col}, "
             f"'{_sql_quote(_DOMAIN_PATTERN)}', 1))")
     for pat, repl in _DOMAIN_STEPS:
         expr = (f"regexp_replace({expr}, '{_sql_quote(pat)}', "
@@ -1277,6 +1325,51 @@ tok AS (SELECT domain, {_TOK} AS ts FROM d)
 SELECT domain, count(*)::BIGINT AS n_docs,
        sum(len(ts))::BIGINT AS total_tokens
 FROM tok GROUP BY domain ORDER BY domain"""
+
+
+# SQL twin of queries()._with_synth_html — the deterministic page
+# markup derived from doc_id (0-3 href occurrences per doc)
+_SYNTH_HTML_SQL = """
+  '<html><body>'
+  || (CASE WHEN doc_id % 4 >= 1 THEN '<a href="http://t' || (doc_id % 7)
+        || '.example.org/a">x</a>' ELSE '' END)
+  || (CASE WHEN doc_id % 4 >= 2 THEN '<link href="'
+        || (CASE WHEN doc_id % 5 = 0 THEN '/rel'
+            ELSE 'https://T' || (doc_id % 3) || '.Example.org:443/b' END)
+        || '">' ELSE '' END)
+  || (CASE WHEN doc_id % 4 >= 3 THEN ' stray href="http://u'
+        || (doc_id % 11) || '.net/c?x=' || doc_id || '"' ELSE '' END)
+  || '<p>no more</p></body></html>'"""
+
+_HREF_SQL_PATTERN = 'href="([^"]*)"'
+
+
+def _extract_links_oracle_sql() -> str:
+    """SQL twin of extract_links: one row per ``href="..."`` occurrence
+    (regexp_extract_all + UNNEST — both sides scan the raw attribute,
+    tag-agnostic), over the deterministic messy-url + synth-html docs."""
+    return f"""
+WITH derived AS ({_DERIVED_URLS_SQL}),
+h AS (SELECT doc_id, url, {_SYNTH_HTML_SQL} AS html FROM derived),
+l AS (SELECT url, UNNEST(regexp_extract_all(html,
+        '{_sql_quote(_HREF_SQL_PATTERN)}', 1)) AS href FROM h)
+SELECT url, href FROM l ORDER BY url, href"""
+
+
+def _domain_links_oracle_sql() -> str:
+    """SQL twin of domain_links: href extraction, source/target host
+    resolution via the shared domain chain, host-less targets dropped,
+    (src, dst) edge counts."""
+    return f"""
+WITH derived AS ({_DERIVED_URLS_SQL}),
+h AS (SELECT doc_id, url, {_SYNTH_HTML_SQL} AS html FROM derived),
+l AS (SELECT url, UNNEST(regexp_extract_all(html,
+        '{_sql_quote(_HREF_SQL_PATTERN)}', 1)) AS href FROM h),
+e AS (SELECT {_domain_expr_sql("url")} AS src_domain,
+             {_domain_expr_sql("href")} AS dst_domain FROM l)
+SELECT src_domain, dst_domain, count(*)::BIGINT AS n
+FROM e WHERE src_domain <> '' AND dst_domain <> ''
+GROUP BY src_domain, dst_domain ORDER BY src_domain, dst_domain"""
 
 
 def _cap_per_domain_oracle_sql(cap: int = 40) -> str:
@@ -1800,6 +1893,8 @@ ORDER BY doc_id
         "url_canonical": _url_canonical_oracle_sql(),
         "domain_stats": _domain_stats_oracle_sql(),
         "cap_per_domain": _cap_per_domain_oracle_sql(),
+        "extract_links": _extract_links_oracle_sql(),
+        "domain_links": _domain_links_oracle_sql(),
         "ngram_jaccard": f"""
 {_TOK_CTE},
 sh AS (SELECT doc_id, ts, least(len(ts), 3) AS kk, len(ts) AS nt

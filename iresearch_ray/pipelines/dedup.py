@@ -257,22 +257,40 @@ def _grouped_count_min(rows, key_column: str, id_column: str | None,
         combine_interior, batch_format="pyarrow", batch_size=None)
     if parts is None:
         return interior
-    pdf = parts.to_pandas()
-    agg = {count_alias: (count_alias, "sum")}
+    # NUL-safe driver merge: pandas groupby hashes object strings like C
+    # strings and WRONGLY COLLAPSES keys that differ only past an embedded
+    # '\x00' (the packed-pair key idiom — domain_links — produces exactly
+    # those); numpy argsort + reduceat compares full values
+    keys = parts[key_column].to_numpy(zero_copy_only=False)
+    order = np.argsort(keys, kind="stable")
+    k_s = keys[order]
+    g_starts = np.r_[0, np.flatnonzero(k_s[1:] != k_s[:-1]) + 1]
+    cnt_m = np.add.reduceat(
+        parts[count_alias].to_numpy(zero_copy_only=False)[order], g_starts)
+    cols_m = {key_column: pa.array(
+        k_s[g_starts].tolist(), type=parts.schema.field(key_column).type),
+        count_alias: pa.array(cnt_m, type=pa.int64())}
     if id_column is not None:
-        agg[keep_alias] = (keep_alias, "min")
+        cols_m[keep_alias] = pa.array(
+            np.minimum.reduceat(
+                parts[keep_alias].to_numpy(zero_copy_only=False)[order],
+                g_starts).tolist(),
+            type=parts.schema.field(keep_alias).type)
     if sum_column is not None:
-        agg[sum_alias] = (sum_alias, "sum")
-    merged = (pdf.groupby(key_column, sort=False, as_index=False)
-              .agg(**agg))
+        cols_m[sum_alias] = pa.array(np.add.reduceat(
+            parts[sum_alias].to_numpy(zero_copy_only=False)[order],
+            g_starts), type=pa.int64())
+    boundary = pa.table(cols_m)
     if min_count is not None:
-        merged = merged[merged[count_alias] >= min_count]
-    if not len(merged):
+        import pyarrow.compute as pc
+
+        boundary = boundary.filter(
+            pc.greater_equal(boundary[count_alias], min_count))
+    if not boundary.num_rows:
         return interior
-    boundary = pa.Table.from_pandas(
-        merged, preserve_index=False).select(parts.column_names).cast(
-        parts.schema)
-    return interior.union(ray.data.from_arrow(boundary))
+    return interior.union(
+        ray.data.from_arrow(boundary.select(parts.column_names)
+                            .cast(parts.schema)))
 
 
 def grouped_rank_drop_ids(rows, key_column: str, id_column: str,
@@ -327,18 +345,28 @@ def grouped_rank_drop_ids(rows, key_column: str, id_column: str,
         edge_pieces, batch_format="pyarrow", batch_size=None))
     offsets: dict = {}
     if parts is not None and parts.num_rows:
-        pdf = parts.to_pandas()
         # pieces of one key, ordered by their min id (disjoint id ranges
-        # under the global (key, id) sort) -> cumulative prior counts
-        pdf = pdf.sort_values([key_column, "_piece_min"])
-        grp = pdf.groupby(key_column, sort=False)
-        pdf["_off"] = grp["_piece_cnt"].cumsum() - pdf["_piece_cnt"]
-        # single-piece keys need no repair; a key can also appear once
-        # per block edge but twice in ONE block (first and last run of a
-        # single-run block emit one combined row, so no double count)
-        hot = pdf[grp[key_column].transform("size") > 1]
+        # under the global (key, id) sort) -> cumulative prior counts.
+        # numpy two-pass stable sort, NOT pandas groupby (which compares
+        # object strings like C strings and collapses keys differing only
+        # past an embedded '\x00').  Single-piece keys need no repair; a
+        # key appearing as both first and last run of a single-run block
+        # emitted one combined row, so no double count.
+        keys = parts[key_column].to_numpy(zero_copy_only=False)
+        pmin = parts["_piece_min"].to_numpy(zero_copy_only=False)
+        pcnt = parts["_piece_cnt"].to_numpy(zero_copy_only=False)
+        o1 = np.argsort(pmin, kind="stable")
+        order = o1[np.argsort(keys[o1], kind="stable")]
+        k_s, m_s, c_s = keys[order], pmin[order], pcnt[order]
+        g_starts = np.r_[0, np.flatnonzero(k_s[1:] != k_s[:-1]) + 1]
+        g_lens = np.diff(np.r_[g_starts, len(k_s)])
+        cs = np.cumsum(c_s)
+        run_base = np.repeat(cs[g_starts] - c_s[g_starts], g_lens)
+        off = cs - c_s - run_base
+        multi = np.repeat(g_lens > 1, g_lens)
+        take = multi & (off > 0)
         offsets = {(k, m): int(o) for k, m, o in zip(
-            hot[key_column], hot["_piece_min"], hot["_off"]) if o > 0}
+            k_s[take], m_s[take], off[take])}
     oref = ray.put(offsets)
 
     def drop_rows(t: pa.Table) -> pa.Table:

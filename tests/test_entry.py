@@ -82,8 +82,9 @@ def test_distinctive_queries_fit_driver_window():
                  "multimodal_frames", "duplicated_spans", "minhash_pairs",
                  "ngram_jaccard", "embedding_neardup", "keyterms",
                  "dedup_clusters", "quality_filter", "token_quantiles",
-                 "redact_pii", "dedup_corpus", "hash_split",
-                 "url_canonical", "domain_stats", "cap_per_domain"]:
+                 "redact_pii", "hash_split", "url_canonical",
+                 "domain_stats", "cap_per_domain", "extract_links",
+                 "domain_links"]:
         assert name in window, f"{name} outside the driver's 50-row window"
     # the tail must stay redundant-only: each has an in-window twin
     # (r03-green rows demoted to make room count as their own evidence)
@@ -105,7 +106,11 @@ def test_distinctive_queries_fit_driver_window():
              # demoted for domain_stats/cap_per_domain; each shares its
              # VERDICT operator row with the in-window twin
              "facet_lang": "column_existence",
-             "keyword_search": "numeric_range"}
+             "keyword_search": "numeric_range",
+             # demoted for extract_links/domain_links: the stat view of
+             # duplicated_spans / the composition of dedup_clusters
+             "duplicated_span_stats": "duplicated_spans",
+             "dedup_corpus": "dedup_clusters"}
     for name in order[50:]:
         assert name in twins and twins[name] in window, (
             f"{name} in the truncation-risk tail without an in-window twin")

@@ -951,6 +951,83 @@ def test_domain_operators(ray_session):
         curate.cap_per_domain(ds, cap=1, max_broadcast=2).to_pandas()
 
 
+def test_grouped_count_min_nul_keys(ray_session):
+    """pandas groupby hashes object strings like C strings and collapses
+    keys that differ only past an embedded NUL — exactly the packed-pair
+    key idiom (``domain_links``).  The driver merge is numpy-based; pin
+    it with NUL keys whose runs straddle block boundaries so every
+    boundary partial routes through it."""
+    import pyarrow as pa
+
+    splits = [["a\x00b", "a\x00b", "a\x00c"],
+              ["a\x00c", "a\x00c"],
+              ["a\x00d", "x"]]
+    blocks = [pa.table({"k": pa.array(rs, pa.string())}) for rs in splits]
+    got = dedup._grouped_count_min(
+        ray.data.from_arrow(blocks), "k", None, count_alias="n",
+        _presorted=True).to_pandas()
+    assert {r.k: r.n for r in got.itertuples()} == {
+        "a\x00b": 2, "a\x00c": 3, "a\x00d": 1, "x": 1}
+    # and through the real sort path
+    rows = ray.data.from_items(
+        [{"k": k} for k in ["a\x00b", "a\x00c", "a\x00b", "x",
+                            "x", "a\x00c", "a\x00b"]]).repartition(4)
+    got2 = dedup._grouped_count_min(
+        rows, "k", None, count_alias="n").to_pandas()
+    assert {r.k: r.n for r in got2.itertuples()} == {
+        "a\x00b": 3, "a\x00c": 2, "x": 2}
+
+
+def test_grouped_rank_drop_ids_nul_keys(ray_session):
+    """Same NUL hazard in the rank repair's offset merge: two NUL-keyed
+    groups each straddling a block boundary must not share offsets."""
+    import pyarrow as pa
+
+    rows = [("p\x00q", 0), ("p\x00q", 1), ("p\x00q", 2),
+            ("p\x00r", 3), ("p\x00r", 4), ("p\x00r", 5), ("p\x00r", 6)]
+    splits = [rows[0:2], rows[2:5], rows[5:7]]
+    blocks = [pa.table({"k": pa.array([k for k, _ in rs], pa.string()),
+                        "i": pa.array([i for _, i in rs], pa.int64())})
+              for rs in splits]
+    got = dedup.grouped_rank_drop_ids(
+        ray.data.from_arrow(blocks), "k", "i", cap=2,
+        _presorted=True).to_pandas()
+    # p\x00q (ids 0,1,2) drops 2; p\x00r (ids 3..6) drops 5,6
+    assert sorted(got["i"]) == [2, 5, 6]
+
+
+def test_extract_links_and_domain_links(ray_session):
+    from iresearch_ray.pipelines import curate
+
+    docs = [
+        {"url": "http://src1.com/a",
+         "html": '<a href="http://dst1.org/x">1</a> '
+                 '<a href="http://dst2.org/y">2</a>'},
+        {"url": "http://src1.com/b",
+         "html": '<link href="http://dst1.org/z"> '
+                 'text href="http://dst1.org/w"'},
+        {"url": "http://src2.com/a",
+         "html": '<a href="/relative">r</a> '
+                 '<a href="http://dst2.org/q">q</a>'},
+        {"url": "http://src3.com/a", "html": "no links here"},
+        {"url": "http://src4.com/a", "html": None},
+    ]
+    ds = ray.data.from_items(docs)
+    links = curate.extract_links(ds).to_pandas()
+    # one row per href occurrence, in page order
+    per_page = links.groupby("url")["href"].apply(list).to_dict()
+    assert per_page == {
+        "http://src1.com/a": ["http://dst1.org/x", "http://dst2.org/y"],
+        "http://src1.com/b": ["http://dst1.org/z", "http://dst1.org/w"],
+        "http://src2.com/a": ["/relative", "http://dst2.org/q"]}
+    dl = curate.domain_links(ds).to_pandas()
+    edges = {(r.src_domain, r.dst_domain): r.n for r in dl.itertuples()}
+    # relative href has no host -> dropped; counts aggregate per pair
+    assert edges == {("src1.com", "dst1.org"): 3,
+                     ("src1.com", "dst2.org"): 1,
+                     ("src2.com", "dst2.org"): 1}
+
+
 def test_grouped_count_min_result_is_reconsumable(ray_session):
     """Consuming the lazy result twice (count then to_pandas) must not
     change it: the sorted input is materialized, so a second execution
