@@ -820,6 +820,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
              + "<p>no more</p></body></html>")
         return b.append_column("html", pa.array(h.tolist()))
 
+    def extract_text_q(sf_dir):
+        from iresearch_ray.pipelines import curate
+
+        docs = ray_docs(sf_dir, ["doc_id"]).map_batches(
+            _with_synth_html, batch_format="pyarrow")
+        out = curate.extract_text(docs).to_pandas()
+        return (out[["doc_id", "text_extracted"]]
+                .sort_values("doc_id").reset_index(drop=True))
+
+    def domain_rank_q(sf_dir):
+        from iresearch_ray.pipelines import graph
+
+        docs = ray_docs(sf_dir, ["doc_id"]).map_batches(
+            _with_messy_urls, batch_format="pyarrow").map_batches(
+            _with_synth_html, batch_format="pyarrow")
+        out = graph.domain_rank(docs, iterations=10).to_pandas()
+        return out.sort_values("node").reset_index(drop=True)
+
     def extract_links_q(sf_dir):
         from iresearch_ray.pipelines import curate
 
@@ -1009,7 +1027,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": ann_ivf,                        # k-means-in-SQL oracle
         # --- multimodal plumbing ---
         "multimodal_features": multimodal_q,       # deterministic stub -> oracle
-        "multimodal_frames": multimodal_frames_q,
         # --- text-analysis pipelines ---
         "quality_stats": quality,
         "quality_filter": quality_filter_q,
@@ -1021,8 +1038,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canonical": url_canonical_q,
         "domain_stats": domain_stats_q,
         "cap_per_domain": cap_per_domain_q,
-        "extract_links": extract_links_q,
+        "extract_text": extract_text_q,
         "domain_links": domain_links_q,
+        "domain_rank": domain_rank_q,
         # --- dedup pipelines ---
         "window_tumbling": window_tumbling,
         "embedding_neardup": embedding_neardup,
@@ -1040,10 +1058,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii": redact_pii_q,                # RE2-exact oracle
         # --- tail: r03-green rows / engine variants (safe to truncate:
         # the driver records the first ~50 entries) ---
-        # demoted in round 4 for extract_links/domain_links: stat-view /
-        # composition of the in-window duplicated_spans / dedup_clusters
+        # demoted in round 4 for the webgraph/extraction family: stat
+        # view / composition / simpler sibling of an in-window operator
         "duplicated_span_stats": duplicated_span_stats_q,
         "dedup_corpus": dedup_corpus_q,            # keep-one-per-cluster
+        "extract_links": extract_links_q,          # ~ domain_links
+        "multimodal_frames": multimodal_frames_q,  # ~ multimodal_features
         "token_count_by_source": token_count_by_source,  # ~ token_quantiles
         "lang_distribution": lang_distribution,          # ~ langid + facet
         "top_bigrams": top_bigrams_q,
@@ -1370,6 +1390,93 @@ e AS (SELECT {_domain_expr_sql("url")} AS src_domain,
 SELECT src_domain, dst_domain, count(*)::BIGINT AS n
 FROM e WHERE src_domain <> '' AND dst_domain <> ''
 GROUP BY src_domain, dst_domain ORDER BY src_domain, dst_domain"""
+
+
+def _extract_text_oracle_sql() -> str:
+    """SQL twin of extract_text: the identical RE2 strip chain +
+    literal entity replaces + whitespace collapse (Arrow
+    replace_substring_regex and DuckDB regexp_replace both link RE2,
+    so the extracted text is byte-exact)."""
+    from iresearch_ray.pipelines.curate import (
+        _WS_COLLAPSE,
+        _WS_TRIM,
+        HTML_ENTITIES,
+        TEXT_STRIP_STEPS,
+    )
+
+    expr = "html"
+    for pat, repl in TEXT_STRIP_STEPS:
+        expr = (f"regexp_replace({expr}, '{_sql_quote(pat)}', "
+                f"'{_sql_quote(repl)}', 'g')")
+    for ent, ch in HTML_ENTITIES:
+        expr = (f"replace({expr}, '{_sql_quote(ent)}', "
+                f"'{_sql_quote(ch)}')")
+    for pat, repl in (_WS_COLLAPSE, _WS_TRIM):
+        expr = (f"regexp_replace({expr}, '{_sql_quote(pat)}', "
+                f"'{_sql_quote(repl)}', 'g')")
+    return f"""
+WITH h AS (SELECT doc_id, {_SYNTH_HTML_SQL} AS html FROM documents)
+SELECT doc_id, {expr} AS text_extracted FROM h ORDER BY doc_id"""
+
+
+def _domain_rank_oracle_sql(damping: float = 0.85, iterations: int = 10,
+                            scale: int = 10 ** 12) -> str:
+    """SQL twin of domain_rank (domain_links -> pagerank): the ENTIRE
+    weighted PageRank runs in chained MATERIALIZED CTEs — uniform
+    fixed-point init, per-iteration dangling-mass redistribution and
+    per-edge contributions, ten iterations.
+
+    Exactness: ranks are int64 micro-units; every scalar expression
+    (init, base, dangling share, per-edge contribution) is the same
+    IEEE float64 association as the engine's numpy code —
+    ``floor(((d * r) * n) / W + 0.5)`` etc. with every operand CAST AS
+    DOUBLE — so each rounds to the same integer, integer sums are
+    order-free, and all iterations are bit-identical end-to-end (the
+    same discipline as the ann_ivf k-means oracle)."""
+    D = f"CAST({damping!r} AS DOUBLE)"
+    half = "CAST(0.5 AS DOUBLE)"
+    sc = f"CAST({scale} AS DOUBLE)"
+    nn = "CAST((SELECT nn FROM prm) AS DOUBLE)"
+    parts = [f"""
+WITH derived AS ({_DERIVED_URLS_SQL}),
+h AS (SELECT doc_id, url, {_SYNTH_HTML_SQL} AS html FROM derived),
+l AS (SELECT url, UNNEST(regexp_extract_all(html,
+        '{_sql_quote(_HREF_SQL_PATTERN)}', 1)) AS href FROM h),
+e0 AS (SELECT {_domain_expr_sql("url")} AS s,
+              {_domain_expr_sql("href")} AS t FROM l),
+ed AS MATERIALIZED (SELECT s, t, count(*)::BIGINT AS n FROM e0
+      WHERE s <> '' AND t <> '' GROUP BY s, t),
+nodes AS MATERIALIZED (SELECT DISTINCT v FROM
+      (SELECT s AS v FROM ed UNION ALL SELECT t FROM ed)),
+outw AS MATERIALIZED (SELECT s, CAST(sum(n) AS BIGINT) AS w
+      FROM ed GROUP BY s),
+prm AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS nn,
+      CAST(floor({sc} / CAST(count(*) AS DOUBLE) + {half}) AS BIGINT)
+        AS r0,
+      CAST(floor(((CAST(1.0 AS DOUBLE) - {D}) * {sc})
+        / CAST(count(*) AS DOUBLE) + {half}) AS BIGINT) AS b
+      FROM nodes),
+it0 AS MATERIALIZED (SELECT v, (SELECT r0 FROM prm) AS r FROM nodes)"""]
+    for k in range(1, iterations + 1):
+        p = k - 1
+        parts.append(f"""
+dg{k} AS MATERIALIZED (SELECT CAST(floor(({D} *
+      CAST(COALESCE((SELECT CAST(sum(p.r) AS BIGINT) FROM it{p} p
+        WHERE p.v NOT IN (SELECT s FROM outw)), 0) AS DOUBLE))
+      / {nn} + {half}) AS BIGINT) AS dg),
+ct{k} AS MATERIALIZED (SELECT ed.t AS v,
+      CAST(sum(CAST(floor((({D} * CAST(p.r AS DOUBLE))
+        * CAST(ed.n AS DOUBLE)) / CAST(o.w AS DOUBLE) + {half})
+        AS BIGINT)) AS BIGINT) AS cs
+      FROM ed JOIN it{p} p ON p.v = ed.s JOIN outw o ON o.s = ed.s
+      GROUP BY ed.t),
+it{k} AS MATERIALIZED (SELECT nd.v,
+      (SELECT b FROM prm) + (SELECT dg FROM dg{k})
+        + COALESCE(c.cs, CAST(0 AS BIGINT)) AS r
+      FROM nodes nd LEFT JOIN ct{k} c ON c.v = nd.v)""")
+    return (",".join(parts) + f"""
+SELECT v AS node, r AS rank_units, CAST(r AS DOUBLE) / {sc} AS rank
+FROM it{iterations} ORDER BY node""")
 
 
 def _cap_per_domain_oracle_sql(cap: int = 40) -> str:
@@ -1895,6 +2002,8 @@ ORDER BY doc_id
         "cap_per_domain": _cap_per_domain_oracle_sql(),
         "extract_links": _extract_links_oracle_sql(),
         "domain_links": _domain_links_oracle_sql(),
+        "extract_text": _extract_text_oracle_sql(),
+        "domain_rank": _domain_rank_oracle_sql(),
         "ngram_jaccard": f"""
 {_TOK_CTE},
 sh AS (SELECT doc_id, ts, least(len(ts), 3) AS kk, len(ts) AS nt

@@ -249,6 +249,63 @@ def cap_per_domain(ds, cap: int, url_column: str = "url",
     return ds.map_batches(keep_rows, batch_format="pyarrow")
 
 
+# HTML -> text: script/style/comment blocks drop whole, remaining tags
+# become spaces, the six ubiquitous entities decode (&amp; LAST so
+# double-encoded text never double-decodes), whitespace collapses.
+# Every step is RE2 or literal replace on both engine and oracle sides
+# (Arrow replace_substring_regex / DuckDB regexp_replace both link RE2)
+# so the extracted text is byte-exact.  Deliberately not a full parser:
+# the reference point is WET-style extraction, not DOM fidelity.
+TEXT_STRIP_STEPS = (
+    (r"(?is)<script[^>]*>.*?</script>", " "),
+    (r"(?is)<style[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"<[^>]*>", " "),
+)
+HTML_ENTITIES = (
+    ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&"),
+)
+_WS_COLLAPSE = (r"[ \t\r\n]+", " ")
+_WS_TRIM = (r"^ | $", "")
+
+
+def extract_text(ds, html_column: str = "html",
+                 out_column: str = "text_extracted",
+                 concurrency: int | None = None):
+    """WET-style page-text extraction -> the input columns plus
+    ``out_column``: strip script/style/comment blocks, replace tags
+    with spaces, decode the common entities, collapse whitespace.
+
+    One compiled-RE2 pass per pattern over the Arrow string buffers —
+    no Python per row; feeds the quality / dedup / indexing stages the
+    same way a WARC->WET conversion feeds a crawl pipeline."""
+    import pyarrow.compute as pc
+
+    def ext(b: pa.Table) -> pa.Table:
+        h = b[html_column]
+        if (pa.types.is_binary(h.type) or pa.types.is_large_binary(h.type)
+                or pa.types.is_null(h.type)):
+            h = h.cast(pa.string())
+        u = pc.fill_null(h, "")
+        if isinstance(u, pa.ChunkedArray):
+            u = u.combine_chunks()
+        for pat, repl in TEXT_STRIP_STEPS:
+            u = pc.replace_substring_regex(u, pattern=pat,
+                                           replacement=repl)
+        for ent, ch in HTML_ENTITIES:
+            u = pc.replace_substring(u, pattern=ent, replacement=ch)
+        u = pc.replace_substring_regex(u, pattern=_WS_COLLAPSE[0],
+                                       replacement=_WS_COLLAPSE[1])
+        u = pc.replace_substring_regex(u, pattern=_WS_TRIM[0],
+                                       replacement=_WS_TRIM[1])
+        return b.append_column(out_column, u)
+
+    return ds.map_batches(
+        ext, batch_format="pyarrow",
+        concurrency=pool_size(concurrency) if concurrency else None)
+
+
 # raw href attribute scan — tag-agnostic by design (matches DuckDB's
 # regexp_extract_all('href="([^"]*)"') exactly); real crawls carry href
 # on <a>/<link>/<area> and the link-graph use cares about the targets,

@@ -79,12 +79,12 @@ def test_distinctive_queries_fit_driver_window():
     order = list(QUERIES)
     window = set(order[:50])
     for name in ["ann_cosine", "ann_lsh", "ann_ivf", "multimodal_features",
-                 "multimodal_frames", "duplicated_spans", "minhash_pairs",
+                 "duplicated_spans", "minhash_pairs",
                  "ngram_jaccard", "embedding_neardup", "keyterms",
                  "dedup_clusters", "quality_filter", "token_quantiles",
                  "redact_pii", "hash_split", "url_canonical",
-                 "domain_stats", "cap_per_domain", "extract_links",
-                 "domain_links"]:
+                 "domain_stats", "cap_per_domain", "extract_text",
+                 "domain_links", "domain_rank"]:
         assert name in window, f"{name} outside the driver's 50-row window"
     # the tail must stay redundant-only: each has an in-window twin
     # (r03-green rows demoted to make room count as their own evidence)
@@ -107,10 +107,12 @@ def test_distinctive_queries_fit_driver_window():
              # VERDICT operator row with the in-window twin
              "facet_lang": "column_existence",
              "keyword_search": "numeric_range",
-             # demoted for extract_links/domain_links: the stat view of
-             # duplicated_spans / the composition of dedup_clusters
+             # demoted for the webgraph/extraction family: stat view /
+             # composition / simpler sibling of an in-window operator
              "duplicated_span_stats": "duplicated_spans",
-             "dedup_corpus": "dedup_clusters"}
+             "dedup_corpus": "dedup_clusters",
+             "extract_links": "domain_links",
+             "multimodal_frames": "multimodal_features"}
     for name in order[50:]:
         assert name in twins and twins[name] in window, (
             f"{name} in the truncation-risk tail without an in-window twin")

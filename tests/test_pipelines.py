@@ -1028,6 +1028,86 @@ def test_extract_links_and_domain_links(ray_session):
                      ("src2.com", "dst2.org"): 1}
 
 
+def test_extract_text_matches_duckdb_chain(ray_session):
+    """HTML->text must be byte-exact against the SQL twin's RE2 chain;
+    also pins single-decode of double-encoded entities (&amp;amp; ->
+    &amp;, never &)."""
+    import duckdb
+
+    from iresearch_ray.pipelines import curate
+
+    docs = [
+        {"i": 0, "html":
+         "<html><head><SCRIPT src='x'>var a=1;\n</script><style>.a{}"
+         "</style></head><body><h1>Title</h1><p>Hello &amp;amp; "
+         "<b>world</b>&nbsp;&#39;q&#39;</p><!-- note\nmore -->"
+         "</body></html>"},
+        {"i": 1, "html": "plain text no tags"},
+        {"i": 2, "html": None},
+        {"i": 3, "html": "  spaces\t\tand\nnewlines  "},
+    ]
+    out = (curate.extract_text(ray.data.from_items(docs))
+           .to_pandas().sort_values("i"))
+    assert out["text_extracted"].tolist() == [
+        "Title Hello &amp; world 'q'", "plain text no tags", "",
+        "spaces and newlines"]
+    q = lambda s: s.replace("'", "''")
+    expr = "coalesce(html,'')"
+    for pat, _ in curate.TEXT_STRIP_STEPS:
+        expr = f"regexp_replace({expr}, '{q(pat)}', ' ', 'g')"
+    for ent, ch in curate.HTML_ENTITIES:
+        expr = f"replace({expr}, '{q(ent)}', '{q(ch)}')"
+    expr = f"regexp_replace({expr}, '[ \\t\\r\\n]+', ' ', 'g')"
+    expr = f"regexp_replace({expr}, '^ | $', '', 'g')"
+    con = duckdb.connect()
+    con.register("d", pd.DataFrame(docs))
+    sql = con.execute(
+        f"SELECT {expr} AS t FROM d ORDER BY i").df()["t"]
+    assert out["text_extracted"].tolist() == sql.tolist()
+
+
+def test_pagerank_fixed_point_exact(ray_session):
+    """Engine PageRank must bit-match an independent per-edge float
+    reference (same IEEE expression, different code path), conserve
+    mass, handle dangling nodes, and guard the node broadcast."""
+    from iresearch_ray.pipelines import graph
+
+    edges = [("a", "b", 2), ("a", "c", 1), ("b", "c", 1),
+             ("c", "a", 1), ("d", "a", 3), ("d", "e", 1)]
+    ed = ray.data.from_items(
+        [{"src_domain": s, "dst_domain": t, "n": n} for s, t, n in edges])
+    pr = (graph.pagerank(ed, iterations=10).to_pandas()
+          .sort_values("node").reset_index(drop=True))
+    nodes = sorted({x for e in edges for x in e[:2]})
+    N, idx = len(nodes), {v: i for i, v in enumerate(nodes)}
+    W = {}
+    for s, _, n in edges:
+        W[s] = W.get(s, 0) + n
+    r = np.full(N, np.floor(1e12 / N + 0.5))
+    base = np.floor(((1.0 - 0.85) * 1e12) / N + 0.5)
+    for _ in range(10):
+        nxt = np.full(N, base)
+        dang = sum(r[idx[v]] for v in nodes if v not in W)
+        nxt += np.floor((0.85 * dang) / N + 0.5)
+        for s, t, n in edges:
+            nxt[idx[t]] += np.floor(((0.85 * r[idx[s]]) * n) / W[s] + 0.5)
+        r = nxt
+    assert pr["node"].tolist() == nodes
+    assert (pr["rank_units"].to_numpy() == r.astype(np.int64)).all()
+    # fixed-point mass is conserved to within rounding (±1 unit/node/iter)
+    assert abs(int(pr["rank_units"].sum()) - 10 ** 12) <= 10 * N
+    # rank is the single exact division
+    assert (pr["rank"].to_numpy()
+            == pr["rank_units"].to_numpy() / 1e12).all()
+    # empty edge list -> empty result, no division by zero
+    empty = graph.pagerank(ray.data.from_items(
+        [{"src_domain": "x", "dst_domain": "y", "n": 1}]).filter(
+        lambda row: False)).to_pandas()
+    assert len(empty) == 0
+    with pytest.raises(ValueError):
+        graph.pagerank(ed, max_broadcast=10).to_pandas()
+
+
 def test_grouped_count_min_result_is_reconsumable(ray_session):
     """Consuming the lazy result twice (count then to_pandas) must not
     change it: the sorted input is materialized, so a second execution
