@@ -235,12 +235,31 @@ def cmd_stats(a) -> dict:
             return curate.domain_stats(ds, url_column=a.url_column,
                                        text_column=a.text_column,
                                        analyzer=a.analyzer)
+        if a.op == "links":
+            from iresearch_ray.pipelines import curate
+
+            return curate.domain_links(ds, html_column=a.html_column,
+                                       url_column=a.url_column)
+        if a.op == "domain-rank":
+            from iresearch_ray.pipelines import graph
+
+            return graph.domain_rank(ds, html_column=a.html_column,
+                                     url_column=a.url_column)
+        if a.op == "extract-text":
+            from iresearch_ray.pipelines import curate
+
+            return curate.extract_text(
+                ds, html_column=a.html_column).select_columns(
+                [a.id_column, "text_extracted"])
         return T.term_frequencies(ds, text_column=a.text_column,
                                   analyzer=a.analyzer)  # termfreq
 
     # corpus-global ops never touch the id column — prune it at the read
     cols = ([a.text_column] if a.op in ("bigrams", "termfreq", "quantiles")
             else [a.url_column, a.text_column] if a.op == "domains"
+            else [a.url_column, a.html_column] if a.op in ("links",
+                                                           "domain-rank")
+            else [a.id_column, a.html_column] if a.op == "extract-text"
             else [a.id_column, a.text_column])
     return _run_staged_op(a, "op", build_op, {"k_top": a.k_top},
                           columns=cols)
@@ -306,12 +325,14 @@ def main(argv=None) -> int:
     s.add_argument("--op", required=True,
                    choices=("quality", "langid", "repetition", "bigrams",
                             "keyterms", "termfreq", "quality-filter",
-                            "quantiles", "redact-pii", "domains"))
+                            "quantiles", "redact-pii", "domains", "links",
+                            "domain-rank", "extract-text"))
     s.add_argument("--k-top", type=int, default=20)
     s.add_argument("--id-column", default="doc_id")
     s.add_argument("--text-column", default="text")
     s.add_argument("--analyzer", default="ascii")
     s.add_argument("--url-column", default="url")
+    s.add_argument("--html-column", default="html")
 
     a = ap.parse_args(argv)
     owns = _ray_init()

@@ -180,3 +180,42 @@ def test_job_domain_subcommands(ray_session, tmp_path, capsys):
     assert rep2["rows"] == 3
     surv = pq.read_table(cap_dir).to_pandas()
     assert sorted(surv["doc_id"]) == [0, 1, 5]
+
+
+def test_job_webgraph_subcommands(ray_session, tmp_path, capsys):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [{"doc_id": 0, "url": "http://a.com/p",
+             "html": '<a href="http://b.org/x">l</a>'
+                     '<a href="http://b.org/y">m</a><p>hi &amp; bye</p>'},
+            {"doc_id": 1, "url": "http://b.org/q",
+             "html": '<a href="http://a.com/z">n</a>'}]
+    src = str(tmp_path / "pages.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), src)
+
+    ln_dir = str(tmp_path / "links_out")
+    assert main(["stats", "--input", src, "--output", ln_dir,
+                 "--op", "links"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["rows"] == 2
+    ed = pq.read_table(ln_dir).to_pandas()
+    edges = {(r.src_domain, r.dst_domain): r.n for r in ed.itertuples()}
+    assert edges == {("a.com", "b.org"): 2, ("b.org", "a.com"): 1}
+
+    pr_dir = str(tmp_path / "rank_out")
+    assert main(["stats", "--input", src, "--output", pr_dir,
+                 "--op", "domain-rank"]) == 0
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep2["rows"] == 2
+    pr = pq.read_table(pr_dir).to_pandas().set_index("node")
+    assert abs(pr["rank"].sum() - 1.0) < 1e-6  # mass conserved
+
+    tx_dir = str(tmp_path / "text_out")
+    assert main(["stats", "--input", src, "--output", tx_dir,
+                 "--op", "extract-text"]) == 0
+    rep3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep3["rows"] == 2
+    tx = pq.read_table(tx_dir).to_pandas().set_index("doc_id")
+    assert tx.loc[0, "text_extracted"] == "l m hi & bye"
+    assert list(tx.columns) == ["text_extracted"]
