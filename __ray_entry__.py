@@ -847,6 +847,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = curate.extract_links(docs).to_pandas()
         return out.sort_values(["url", "href"]).reset_index(drop=True)
 
+    def extract_anchors_q(sf_dir):
+        from iresearch_ray.pipelines import curate
+
+        docs = ray_docs(sf_dir, ["doc_id"]).map_batches(
+            _with_messy_urls, batch_format="pyarrow").map_batches(
+            _with_synth_html, batch_format="pyarrow")
+        out = curate.extract_anchors(docs).to_pandas()
+        return (out.sort_values(["url", "href", "anchor"])
+                .reset_index(drop=True))
+
     def domain_links_q(sf_dir):
         from iresearch_ray.pipelines import curate
 
@@ -1063,6 +1073,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicated_span_stats": duplicated_span_stats_q,
         "dedup_corpus": dedup_corpus_q,            # keep-one-per-cluster
         "extract_links": extract_links_q,          # ~ domain_links
+        "extract_anchors": extract_anchors_q,      # ~ domain_links
         "multimodal_frames": multimodal_frames_q,  # ~ multimodal_features
         "token_count_by_source": token_count_by_source,  # ~ token_quantiles
         "lang_distribution": lang_distribution,          # ~ langid + facet
@@ -1392,11 +1403,9 @@ FROM e WHERE src_domain <> '' AND dst_domain <> ''
 GROUP BY src_domain, dst_domain ORDER BY src_domain, dst_domain"""
 
 
-def _extract_text_oracle_sql() -> str:
-    """SQL twin of extract_text: the identical RE2 strip chain +
-    literal entity replaces + whitespace collapse (Arrow
-    replace_substring_regex and DuckDB regexp_replace both link RE2,
-    so the extracted text is byte-exact)."""
+def _textclean_expr_sql(col: str) -> str:
+    """extract_text's strip/entity/whitespace chain in SQL over ``col``
+    — identical RE2 patterns, byte-exact on both sides."""
     from iresearch_ray.pipelines.curate import (
         _WS_COLLAPSE,
         _WS_TRIM,
@@ -1404,7 +1413,7 @@ def _extract_text_oracle_sql() -> str:
         TEXT_STRIP_STEPS,
     )
 
-    expr = "html"
+    expr = col
     for pat, repl in TEXT_STRIP_STEPS:
         expr = (f"regexp_replace({expr}, '{_sql_quote(pat)}', "
                 f"'{_sql_quote(repl)}', 'g')")
@@ -1414,9 +1423,38 @@ def _extract_text_oracle_sql() -> str:
     for pat, repl in (_WS_COLLAPSE, _WS_TRIM):
         expr = (f"regexp_replace({expr}, '{_sql_quote(pat)}', "
                 f"'{_sql_quote(repl)}', 'g')")
+    return expr
+
+
+def _extract_text_oracle_sql() -> str:
+    """SQL twin of extract_text: the identical RE2 strip chain +
+    literal entity replaces + whitespace collapse (Arrow
+    replace_substring_regex and DuckDB regexp_replace both link RE2,
+    so the extracted text is byte-exact)."""
     return f"""
 WITH h AS (SELECT doc_id, {_SYNTH_HTML_SQL} AS html FROM documents)
-SELECT doc_id, {expr} AS text_extracted FROM h ORDER BY doc_id"""
+SELECT doc_id, {_textclean_expr_sql('html')} AS text_extracted FROM h
+ORDER BY doc_id"""
+
+
+def _extract_anchors_oracle_sql() -> str:
+    """SQL twin of extract_anchors: the SAME split-scan semantics
+    (string_split on '<a ', drop fragment 0, anchored first-match
+    regex per fragment) so both sides agree by construction, then the
+    shared text-clean chain over the anchor body."""
+    from iresearch_ray.pipelines.curate import _ANCHOR_PAT, _ANCHOR_SPLIT
+
+    p = _sql_quote(_ANCHOR_PAT)
+    return f"""
+WITH derived AS ({_DERIVED_URLS_SQL}),
+h AS (SELECT doc_id, url, {_SYNTH_HTML_SQL} AS html FROM derived),
+f AS (SELECT url, UNNEST(string_split(html,
+        '{_sql_quote(_ANCHOR_SPLIT)}')[2:]) AS frag FROM h),
+m AS (SELECT url, regexp_extract(frag, '{p}', 1) AS href,
+             regexp_extract(frag, '{p}', 2) AS t
+      FROM f WHERE regexp_matches(frag, '{p}'))
+SELECT url, href, {_textclean_expr_sql('t')} AS anchor FROM m
+ORDER BY url, href, anchor"""
 
 
 def _domain_rank_oracle_sql(damping: float = 0.85, iterations: int = 10,
@@ -2003,6 +2041,7 @@ ORDER BY doc_id
         "extract_links": _extract_links_oracle_sql(),
         "domain_links": _domain_links_oracle_sql(),
         "extract_text": _extract_text_oracle_sql(),
+        "extract_anchors": _extract_anchors_oracle_sql(),
         "domain_rank": _domain_rank_oracle_sql(),
         "ngram_jaccard": f"""
 {_TOK_CTE},

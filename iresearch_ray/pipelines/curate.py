@@ -356,6 +356,67 @@ def extract_links(ds, html_column: str = "html",
         concurrency=pool_size(concurrency) if concurrency else None)
 
 
+# attribute-bearing <a> tags, case-sensitive, split-scan semantics (a
+# fragment starts right after each '<a '; the anchored regex takes the
+# first href before the tag close and the non-greedy body up to the
+# first '</a>').  The SQL twin replicates the SAME split + regex, so
+# the two sides agree by construction even on pathological nesting.
+_ANCHOR_SPLIT = "<a "
+_ANCHOR_PAT = r'^[^>]*?href="(?P<h>[^"]*)"[^>]*>(?P<t>(?s:.*?))</a>'
+
+
+def extract_anchors(ds, html_column: str = "html",
+                    key_column: str = "url",
+                    concurrency: int | None = None):
+    """Anchor-text extraction -> Dataset(key_column, href, anchor): one
+    row per attribute-bearing ``<a href="...">text</a>`` occurrence, in
+    page order; ``anchor`` is the inner text run through the same
+    strip/entity/whitespace chain as :func:`extract_text`.
+
+    (target, anchor) pairs are the classic off-page relevance signal —
+    an anchor-text index over them is how web search ranks pages by
+    what OTHER sites call them."""
+    import pyarrow.compute as pc
+
+    def anchors(b: pa.Table) -> pa.Table:
+        h = b[html_column]
+        if (pa.types.is_binary(h.type) or pa.types.is_large_binary(h.type)
+                or pa.types.is_null(h.type)):
+            h = h.cast(pa.string())
+        u = pc.fill_null(h, "")
+        if isinstance(u, pa.ChunkedArray):
+            u = u.combine_chunks()
+        parts = pc.split_pattern(u, pattern=_ANCHOR_SPLIT)
+        flat = pc.list_flatten(parts)
+        offs = parts.offsets.to_numpy()
+        counts = np.diff(offs)
+        parent = np.repeat(np.arange(len(parts)), counts)
+        elem = np.arange(len(flat)) - np.repeat(offs[:-1], counts)
+        ex = pc.extract_regex(flat, pattern=_ANCHOR_PAT)
+        href = pc.struct_field(ex, "h")
+        text = pc.struct_field(ex, "t")
+        keep = (elem > 0) & pc.is_valid(href).to_numpy(
+            zero_copy_only=False)
+        kt = text.filter(pa.array(keep))
+        for pat, repl in TEXT_STRIP_STEPS:
+            kt = pc.replace_substring_regex(kt, pattern=pat,
+                                            replacement=repl)
+        for ent, ch in HTML_ENTITIES:
+            kt = pc.replace_substring(kt, pattern=ent, replacement=ch)
+        kt = pc.replace_substring_regex(kt, pattern=_WS_COLLAPSE[0],
+                                        replacement=_WS_COLLAPSE[1])
+        kt = pc.replace_substring_regex(kt, pattern=_WS_TRIM[0],
+                                        replacement=_WS_TRIM[1])
+        return pa.table({
+            key_column: b[key_column].take(pa.array(parent[keep])),
+            "href": href.filter(pa.array(keep)),
+            "anchor": kt})
+
+    return ds.map_batches(
+        anchors, batch_format="pyarrow",
+        concurrency=pool_size(concurrency) if concurrency else None)
+
+
 def domain_links(ds, html_column: str = "html",
                  url_column: str = "url",
                  concurrency: int | None = None):

@@ -112,6 +112,7 @@ def test_distinctive_queries_fit_driver_window():
              "duplicated_span_stats": "duplicated_spans",
              "dedup_corpus": "dedup_clusters",
              "extract_links": "domain_links",
+             "extract_anchors": "domain_links",
              "multimodal_frames": "multimodal_features"}
     for name in order[50:]:
         assert name in twins and twins[name] in window, (

@@ -1028,6 +1028,36 @@ def test_extract_links_and_domain_links(ray_session):
                      ("src2.com", "dst2.org"): 1}
 
 
+def test_extract_anchors_split_scan(ray_session):
+    """(href, anchor) pairs under the documented split-scan spec: the
+    anchor body is cleaned with the extract_text chain; a fragment
+    without its own '</a>' (interrupted by a nested '<a ') emits
+    nothing; non-anchor href carriers (<link>) never match."""
+    from iresearch_ray.pipelines import curate
+
+    docs = [
+        {"url": "u0",
+         "html": '<a href="http://x.org/1">First <b>Link</b> &amp; '
+                 'more</a> <a class="c" href="http://x.org/2">second</a>'},
+        {"url": "u1",
+         "html": '<link href="http://not-anchor.org"> '
+                 '<a href="/rel">rel ok</a>'},
+        {"url": "u2",
+         "html": '<a href="http://a.org">outer '
+                 '<a href="http://b.org">inner</a>'},
+        {"url": "u3", "html": "no anchors"},
+        {"url": "u4", "html": None},
+    ]
+    out = (curate.extract_anchors(ray.data.from_items(docs))
+           .to_pandas().sort_values(["url", "href"]))
+    got = list(map(tuple, out.to_numpy()))
+    assert got == [
+        ("u0", "http://x.org/1", "First Link & more"),
+        ("u0", "http://x.org/2", "second"),
+        ("u1", "/rel", "rel ok"),
+        ("u2", "http://b.org", "inner")]
+
+
 def test_extract_text_matches_duckdb_chain(ray_session):
     """HTML->text must be byte-exact against the SQL twin's RE2 chain;
     also pins single-decode of double-encoded entities (&amp;amp; ->
