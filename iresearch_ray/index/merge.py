@@ -33,6 +33,7 @@ import pyarrow.parquet as pq
 
 from iresearch_ray.index import codec
 from iresearch_ray.index import manifest as manifest_mod
+from iresearch_ray.util import nul_safe_factorize
 from iresearch_ray.index.segment import (
     META_FILE,
     SegmentReader,
@@ -129,7 +130,7 @@ def merge_segment_tables(readers: list[SegmentReader],
     np.cumsum(kept_counts[:-1], out=bases[1:])
 
     all_terms = np.concatenate([d["terms"] for d in decoded])
-    codes_flat, uniques = pd.factorize(all_terms, sort=True)
+    codes_flat, uniques = nul_safe_factorize(all_terms, sort=True)
     # per-posting term code and remapped doc, in segment order
     code_parts, doc_parts, freq_parts = [], [], []
     run_start_parts, run_len_parts = [], []

@@ -33,6 +33,7 @@ import pyarrow.parquet as pq
 
 from iresearch_ray import FORMAT_VERSION
 from iresearch_ray.index import codec
+from iresearch_ray.util import nul_safe_factorize
 
 TERMS_FILE = "terms.parquet"
 DOCMAP_FILE = "docmap.parquet"
@@ -163,7 +164,7 @@ class SegmentWriter:
             # merge per-batch dictionaries (small) -> global sorted ranks,
             # then remap each batch's codes through its slice of the mapping
             all_dicts = np.concatenate(self._dict_chunks)
-            g_codes, uniques = pd.factorize(all_dicts, sort=True)
+            g_codes, uniques = nul_safe_factorize(all_dicts, sort=True)
             remapped = []
             off = 0
             for codes, d in zip(self._code_chunks, self._dict_chunks):
@@ -244,7 +245,7 @@ def invert_to_table(terms: np.ndarray, docs: np.ndarray, poss: np.ndarray,
     (formats_10.cpp:823-828).  ``offs``: optional (start, end) char-offset
     arrays aligned with occurrences (the OFFS index feature).
     """
-    codes, uniques = pd.factorize(terms, sort=True)
+    codes, uniques = nul_safe_factorize(terms, sort=True)
     return invert_coded(codes, np.asarray(uniques, dtype=object), docs, poss,
                         offs=offs, pays=pays)
 

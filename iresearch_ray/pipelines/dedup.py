@@ -20,7 +20,7 @@ import pandas as pd
 import pyarrow as pa
 
 from iresearch_ray.analysis import get_analyzer
-from iresearch_ray.util import StatelessBatchFn, pool_size
+from iresearch_ray.util import StatelessBatchFn, nul_safe_factorize, pool_size
 from iresearch_ray.analysis.minhash import (
     band_hashes,
     minhash_signatures,
@@ -1778,12 +1778,17 @@ def dedup_clusters(pairs, id_a: str = "id_a", id_b: str = "id_b",
             piece_stats, batch_format="pyarrow", batch_size=None))
         if parts is None:
             return None
-        pdf = parts.to_pandas()
-        merged = (pdf.groupby("node", sort=True, as_index=False)
-                  .agg(gmin=("pmin", "min"), gmax=("pmax", "max")))
-        return (merged["node"].to_numpy(), merged["gmin"].to_numpy(),
-                merged["gmax"].to_numpy(),
-                parts.schema.field("node").type)
+        # NUL-safe merge (pandas groupby collapses NUL-bearing string
+        # ids): numpy argsort + reduceat over the tiny partial table
+        keys = parts["node"].to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        k_s = keys[order]
+        g = np.r_[0, np.flatnonzero(k_s[1:] != k_s[:-1]) + 1]
+        gmin = np.minimum.reduceat(
+            parts["pmin"].to_numpy(zero_copy_only=False)[order], g)
+        gmax = np.maximum.reduceat(
+            parts["pmax"].to_numpy(zero_copy_only=False)[order], g)
+        return (k_s[g], gmin, gmax, parts.schema.field("node").type)
 
     def count_viol_interior(t: pa.Table) -> pa.Table:
         """Star-forest violations over INTERIOR runs: node u violates iff
@@ -1891,7 +1896,7 @@ def dedup_clusters(pairs, id_a: str = "id_a", id_b: str = "id_b",
         df = edges.to_pandas()
         child = df["child"].to_numpy()
         parent_in = df["parent"].to_numpy()
-        codes, uniq = pd.factorize(np.concatenate([child, parent_in]))
+        codes, uniq = nul_safe_factorize(np.concatenate([child, parent_in]))
         uniq = np.asarray(uniq)
         uniq_sorted = np.sort(uniq)
         # remap codes so code order == id order (min code = min id)

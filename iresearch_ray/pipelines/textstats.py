@@ -14,7 +14,7 @@ import pyarrow as pa
 
 from iresearch_ray.analysis import get_analyzer
 from iresearch_ray.analysis.tokenizers import flatten_batch, flatten_batch_arrow
-from iresearch_ray.util import StatelessBatchFn, pool_size
+from iresearch_ray.util import StatelessBatchFn, nul_safe_factorize, pool_size
 
 
 def _coded_tokens(analyzer, col):
@@ -29,7 +29,7 @@ def _coded_tokens(analyzer, col):
         return out["codes"], out["dict"], out["doc_idx"], out["doc_len"]
     out = flatten_batch(analyzer, col.to_pylist())
     if len(out["terms"]):
-        codes, uniques = pd.factorize(out["terms"])
+        codes, uniques = nul_safe_factorize(out["terms"])
         codes = codes.astype(np.int64, copy=False)
         dict_np = np.asarray(uniques, dtype=object)
     else:
@@ -151,10 +151,15 @@ def token_count_by(ds, group_column: str, text_column="text", analyzer="ascii",
 
         def __call__(self, b: pa.Table) -> pa.Table:
             _, _, _, doc_len = _coded_tokens(self.analyzer, b[text_column])
-            df = pd.DataFrame({group_column: b[group_column].to_pylist(),
-                               "n": doc_len})
-            g = df.groupby(group_column, as_index=False)["n"].sum()
-            return pa.Table.from_pandas(g, preserve_index=False)
+            # NUL-safe partial (pandas groupby collapses NUL-bearing
+            # group keys): factorize through Arrow + one bincount
+            codes, uniques = nul_safe_factorize(b[group_column])
+            sums = np.bincount(codes, weights=doc_len,
+                               minlength=len(uniques)).astype(np.int64)
+            return pa.table({
+                group_column: pa.array(uniques.tolist(),
+                                       b[group_column].type),
+                "n": pa.array(sums, pa.int64())})
 
     partial = ds.map_batches(
         StatelessBatchFn(CountBatch), batch_format="pyarrow",

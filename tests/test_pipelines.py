@@ -261,6 +261,34 @@ def test_langid(ray_session):
     assert list(out.sort_values("doc_id")["lang_pred"]) == ["en", "de", "fr", "es"]
 
 
+def test_dedup_clusters_nul_string_ids(ray_session):
+    """Doc ids differing only past an embedded NUL are distinct nodes on
+    BOTH clustering paths (the pandas factorize/groupby hashtables
+    collapse them; the driver fast path and the distributed boundary
+    merge both route through NUL-safe reductions now)."""
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"id_a": ["n\x001", "n\x003"], "id_b": ["n\x002", "n\x004"]}))
+    for dm in (0, 2_000_000):
+        out = (dedup.dedup_clusters(ds, driver_max=dm).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        assert out.to_dict("list") == {
+            "doc_id": ["n\x001", "n\x002", "n\x003", "n\x004"],
+            "cluster_id": ["n\x001", "n\x001", "n\x003", "n\x003"]}
+
+
+def test_token_count_by_nul_group_keys(ray_session):
+    """Partial counts must not merge group keys that differ only past an
+    embedded NUL."""
+    df = pd.DataFrame({
+        "source": ["s\x00a", "s\x00b", "s\x00a", "t"],
+        "text": ["one two", "three", "four five six", "seven eight"]})
+    out = (textstats.token_count_by(ray.data.from_pandas(df), "source")
+           .to_pandas().set_index("source"))
+    assert int(out.loc["s\x00a", "total_tokens"]) == 5
+    assert int(out.loc["s\x00b", "total_tokens"]) == 1
+    assert int(out.loc["t", "total_tokens"]) == 2
+
+
 def test_token_count_by(docs, docs_pdf):
     out = textstats.token_count_by(docs, "source").to_pandas().set_index("source")
     ana = get_analyzer("ascii")

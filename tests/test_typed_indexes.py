@@ -50,3 +50,23 @@ def test_collation_index_accent_insensitive_range(ray_session, tmp_path_factory)
     # prefix over collation keys: 'u' catches Über (uber)
     res_u = s.search(PrefixFilter("u"), k=10)
     assert {names[int(k)] for k in res_u["key"]} == {"Über"}
+
+
+def test_keyword_index_nul_distinct_terms(ray_session, tmp_path_factory):
+    """Keyword fields index raw string values; two values differing only
+    past an embedded NUL must stay distinct dictionary terms (the
+    pandas-factorize hashtable collapses them — inversion now routes
+    through the NUL-safe Arrow factorize)."""
+    base = tmp_path_factory.mktemp("nulidx")
+    vals = ["a\x00b", "a\x00c", "a\x00b", "plain"]
+    t = pa.table({"id": [str(i) for i in range(len(vals))],
+                  "tag": vals})
+    path = str(base / "p.parquet")
+    pq.write_table(t, path)
+    idx = str(base / "idx")
+    build_index(path, idx, analyzer="keyword", text_column="tag",
+                key_column="id", target_docs=50)
+    s = IndexSearcher(IndexReader(idx), BoostScore())
+    assert sorted(s.search(TermFilter("a\x00b"), k=10)["key"]) == ["0", "2"]
+    assert sorted(s.search(TermFilter("a\x00c"), k=10)["key"]) == ["1"]
+    assert sorted(s.search(TermFilter("plain"), k=10)["key"]) == ["3"]
