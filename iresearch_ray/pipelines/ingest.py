@@ -52,7 +52,7 @@ def ingest(ds, work_dir: str, *, analyzer: str = "ascii",
            analyzer_opts: dict | None = None, dedup: bool = True,
            near_dup: str | None = None, near_dup_threshold: float = 0.9,
            span_dup_max: float | None = None, span_k: int = 5,
-           domain_cap: int | None = None,
+           domain_cap: int | None = None, extractor: str = "body",
            key_column: str = "url", target_docs: int = 50_000,
            store_columns: tuple = (), **build_kw) -> dict:
     """Run the full pipeline; returns the index manifest plus counters.
@@ -77,7 +77,13 @@ def ingest(ds, work_dir: str, *, analyzer: str = "ascii",
     RefinedWeb-style template-farm trim), applied AFTER exact dedup so
     duplicate pages never consume a site's quota; survivors are the cap
     lexicographically-smallest keys per domain (deterministic across
-    re-runs).  Exact at any domain skew (`grouped_rank_drop_ids`)."""
+    re-runs).  Exact at any domain skew (`grouped_rank_drop_ids`).
+
+    ``extractor`` picks the html->text stage: ``'body'`` (the
+    synthetic-corpus body strip, `sources.pages.extract_text_batch`) or
+    ``'wet'`` — the real WET-style chain (`curate.extract_text`:
+    script/style/comment strip, tags->spaces, entity decode, whitespace
+    collapse) for arbitrary crawled markup."""
     import ray
     import ray.data
 
@@ -93,6 +99,8 @@ def ingest(ds, work_dir: str, *, analyzer: str = "ascii",
 
     if near_dup not in (None, "minhash", "jaccard"):
         raise ValueError(f"unknown near_dup method {near_dup!r}")
+    if extractor not in ("body", "wet"):
+        raise ValueError(f"unknown extractor {extractor!r}")
     if span_dup_max is not None and not (0.0 <= span_dup_max <= 1.0):
         raise ValueError(f"span_dup_max must be in [0, 1], got {span_dup_max}")
     if domain_cap is not None and domain_cap < 1:
@@ -101,6 +109,7 @@ def ingest(ds, work_dir: str, *, analyzer: str = "ascii",
     index_dir = os.path.join(work_dir, "index")
     counters_path = os.path.join(work_dir, "ingest.json")
     staging_params = {"dedup": bool(dedup), "near_dup": near_dup,
+                      "extractor": extractor,
                       "near_dup_threshold": float(near_dup_threshold),
                       "span_dup_max": span_dup_max, "span_k": int(span_k),
                       "domain_cap": domain_cap,
@@ -116,7 +125,21 @@ def ingest(ds, work_dir: str, *, analyzer: str = "ascii",
     def _extract_and_dedup():
         import pyarrow.compute as pc
 
-        extracted = ds.map_batches(extract_text_batch, batch_format="pyarrow")
+        if extractor == "wet":
+            from iresearch_ray.pipelines.curate import extract_text
+
+            def to_text(b: pa.Table) -> pa.Table:
+                i = b.schema.get_field_index("text")
+                col, b = b["text_extracted"], b.remove_column(
+                    b.schema.get_field_index("text_extracted"))
+                return (b.set_column(i, "text", col) if i >= 0
+                        else b.append_column("text", col))
+
+            extracted = extract_text(ds).map_batches(
+                to_text, batch_format="pyarrow")
+        else:
+            extracted = ds.map_batches(extract_text_batch,
+                                       batch_format="pyarrow")
         if dedup:
             groups = exact_dedup_groups(extracted, id_column=key_column)
             # Arrow kernel filter (one row per DISTINCT hash flows through

@@ -1,0 +1,121 @@
+"""Anchor-text indexing: a fulltext index over what OTHER pages' links
+call each domain — the classic off-page web-search relevance signal
+(reference parity: composition of this repo's webgraph + index families;
+the reference engine itself has no crawl-side surface).
+
+Shape: href/anchor extraction is the vectorized `curate.extract_anchors`
+fan-out; target hosts resolve through the shared domain chain; an
+optional per-domain anchor cap reuses the exact rank-repair machinery
+(`dedup.grouped_rank_drop_ids` — one (domain, anchor-id) keys-only sort,
+exact at any in-link skew, so a hub domain cannot flood its document);
+each domain's surviving anchors concatenate deterministically (sorted by
+their (page, position) id) into ONE document, staged atomically to
+Parquet and indexed by the normal segment builder.  Searching the result
+ranks domains by anchor text: BM25 over incoming-link language.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+
+def build_anchor_index(ds, work_dir: str, *, html_column: str = "html",
+                       url_column: str = "url",
+                       anchors_per_domain: int | None = None,
+                       analyzer: str = "ascii",
+                       analyzer_opts: dict | None = None,
+                       target_docs: int = 50_000,
+                       max_broadcast: int = 50_000_000,
+                       **build_kw) -> dict:
+    """Pages(url, html) -> anchor-text index keyed by target domain.
+
+    Returns the index manifest.  ``anchors_per_domain`` keeps the cap
+    deterministically-first anchors per domain ((page url, in-page
+    position) order); the over-cap drop set is trim-sized and broadcast
+    under ``max_broadcast``."""
+    import pyarrow.compute as pc
+
+    from iresearch_ray.index.build import build_index
+    from iresearch_ray.pipelines.curate import extract_anchors, extract_domain
+    from iresearch_ray.pipelines.dedup import (
+        _collect_small,
+        _sorted_member,
+        grouped_rank_drop_ids,
+    )
+    from iresearch_ray.util import stage_parquet_atomic
+
+    if anchors_per_domain is not None and anchors_per_domain < 1:
+        raise ValueError(
+            f"anchors_per_domain must be >= 1, got {anchors_per_domain}")
+
+    anchors = extract_anchors(ds, html_column=html_column,
+                              key_column=url_column)
+    tagged = extract_domain(anchors, url_column="href",
+                            out_column="domain")
+
+    def keep_and_id(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.not_equal(b["domain"], ""),
+                       pc.not_equal(b["anchor"], ""))
+        t = b.filter(keep)
+        # per-page ordinal: a page's anchors are contiguous and in page
+        # order inside one output batch (they fan out from one html row),
+        # so (url, ordinal) is a globally deterministic anchor id
+        urls = t[url_column].to_numpy(zero_copy_only=False)
+        starts = np.r_[0, np.flatnonzero(urls[1:] != urls[:-1]) + 1]
+        ordinal = np.arange(len(urls)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(urls)]))
+        aid = pc.binary_join_element_wise(
+            t[url_column],
+            pa.array([f"{o:08d}" for o in ordinal], pa.string()), "\x00")
+        return pa.table({"domain": t["domain"], "anchor": t["anchor"],
+                         "_aid": aid})
+
+    rows = tagged.map_batches(keep_and_id,
+                              batch_format="pyarrow").materialize()
+
+    if anchors_per_domain is not None:
+        drops = _collect_small(grouped_rank_drop_ids(
+            rows.select_columns(["domain", "_aid"]), "domain", "_aid",
+            cap=anchors_per_domain))
+        if drops is not None and drops.num_rows:
+            drop_ids = np.sort(drops["_aid"].to_numpy(
+                zero_copy_only=False))
+            if drop_ids.nbytes > max_broadcast:
+                raise ValueError(
+                    f"anchor drop set {drop_ids.nbytes} B exceeds "
+                    f"max_broadcast={max_broadcast}")
+            ref = ray.put(drop_ids)
+
+            def drop(b: pa.Table, _ref=ref) -> pa.Table:
+                ids = b["_aid"].to_numpy(zero_copy_only=False)
+                return b.filter(pa.array(~_sorted_member(
+                    ray.get(_ref), ids)))
+
+            rows = rows.map_batches(drop, batch_format="pyarrow")
+
+    def concat_domain(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("_aid")
+        return pd.DataFrame({
+            "domain": [df["domain"].iloc[0]],
+            "n_anchors": [len(df)],
+            "text": [" ".join(df["anchor"])]})
+
+    staged = os.path.join(work_dir, "anchors_staged")
+    stage_parquet_atomic(
+        lambda: rows.groupby("domain").map_groups(
+            concat_domain, batch_format="pandas"),
+        staged,
+        params={"anchors_per_domain": anchors_per_domain,
+                "html_column": html_column, "url_column": url_column})
+
+    return build_index(
+        staged, os.path.join(work_dir, "index"), analyzer=analyzer,
+        analyzer_opts=analyzer_opts, text_column="text",
+        key_column="domain", target_docs=target_docs,
+        store_columns=("n_anchors",), **build_kw)

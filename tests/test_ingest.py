@@ -314,3 +314,81 @@ def test_ingest_domain_cap(ray_session, tmp_path_factory):
     with pytest.raises(ValueError, match="domain_cap"):
         ingest(ray.data.read_parquet(pages), str(base / "w2"),
                domain_cap=0)
+
+
+def test_ingest_wet_extractor(ray_session, tmp_path_factory):
+    """extractor='wet' routes real markup through curate.extract_text:
+    script/style junk never reaches the index, entities decode, and the
+    indexed text matches the WET chain byte-for-byte."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = tmp_path_factory.mktemp("ingest_wet")
+    rows = [{"url": f"http://s.io/{i}",
+             "html": f"<html><head><script>var x={i};</script></head>"
+                     f"<body><h1>Doc {i}</h1><p>alpha&nbsp;beta "
+                     f"uniq{i}</p></body></html>",
+             "text": ""} for i in range(40)]
+    pages = str(base / "pages.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), pages)
+    work = str(base / "work")
+
+    man = ingest(ray.data.read_parquet(pages), work, analyzer="ascii",
+                 extractor="wet", dedup=False, target_docs=20,
+                 store_columns=("text",))
+    assert man["num_docs"] == 40
+    reader = IndexReader(f"{work}/index")
+    s = IndexSearcher(reader, BM25())
+    assert len(s.search(TermFilter("alpha"), k=50)) == 40
+    assert len(s.search(TermFilter("uniq7"), k=50)) == 1
+    assert len(s.search(TermFilter("script"), k=50)) == 0  # stripped
+    res = s.search(TermFilter("uniq3"), k=5)
+    st = reader.stored(res["doc"].to_numpy(), ["text"])
+    assert st["text"][0] == "Doc 3 alpha beta uniq3"
+    with pytest.raises(ValueError):
+        ingest(ray.data.read_parquet(pages), str(base / "w2"),
+               extractor="nope")
+
+
+def test_anchor_text_index(ray_session, tmp_path_factory):
+    """build_anchor_index: domains are ranked by what OTHER pages' links
+    call them; the per-domain anchor cap keeps the deterministic-first
+    (page, position) anchors."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iresearch_ray.pipelines.websearch import build_anchor_index
+
+    rows = [{"url": f"http://srcs{i}.io/p",
+             "html": '<a href="http://shop.example/x">cheap widgets</a>'
+                     '<a href="http://news.example/y">breaking news</a>'}
+            for i in range(6)]
+    rows.append({"url": "http://one.io/p",
+                 "html": '<a href="http://news.example/z">widgets</a>'})
+    base = tmp_path_factory.mktemp("anchoridx")
+    work = str(base / "work")
+    man = build_anchor_index(ray.data.from_items(rows), work,
+                             analyzer="ascii", target_docs=10)
+    assert man["num_docs"] == 2  # shop.example, news.example
+
+    from iresearch_ray.search import BM25, IndexReader, IndexSearcher, TermFilter
+
+    reader = IndexReader(f"{work}/index")
+    s = IndexSearcher(reader, BM25())
+    res = s.search(TermFilter("widgets"), k=10)
+    # both domains carry "widgets", but shop.example says it 6/6 anchors
+    assert list(res["key"]) [0] == "shop.example"
+    assert len(res) == 2
+    assert list(s.search(TermFilter("breaking"), k=10)["key"]) == [
+        "news.example"]
+    st = reader.stored(res["doc"].to_numpy(), ["n_anchors"])
+    assert sorted(st["n_anchors"].tolist()) == [6, 7]
+
+    # capped rebuild: at most 2 anchors per domain survive
+    work2 = str(base / "work2")
+    man2 = build_anchor_index(ray.data.from_items(rows), work2,
+                              analyzer="ascii", target_docs=10,
+                              anchors_per_domain=2)
+    reader2 = IndexReader(f"{work2}/index")
+    st2 = reader2.stored(np.arange(1, man2["num_docs"] + 1), ["n_anchors"])
+    assert sorted(st2["n_anchors"].tolist()) == [2, 2]
