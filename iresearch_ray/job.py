@@ -261,7 +261,11 @@ def cmd_stats(a) -> dict:
                                                            "domain-rank")
             else [a.id_column, a.html_column] if a.op == "extract-text"
             else [a.id_column, a.text_column])
-    return _run_staged_op(a, "op", build_op, {"k_top": a.k_top},
+    # url/html columns are staging-relevant knobs for the webgraph ops:
+    # a re-run with a different --html-column must restage, not resume
+    return _run_staged_op(a, "op", build_op,
+                          {"k_top": a.k_top, "url_column": a.url_column,
+                           "html_column": a.html_column},
                           columns=cols)
 
 

@@ -270,6 +270,39 @@ _WS_COLLAPSE = (r"[ \t\r\n]+", " ")
 _WS_TRIM = (r"^ | $", "")
 
 
+def _as_string_filled(col):
+    """Arrow column -> combined, null-free string array (binary and
+    all-null blocks cast first) — the shared preamble of every markup
+    operator."""
+    import pyarrow.compute as pc
+
+    if (pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type)
+            or pa.types.is_null(col.type)):
+        col = col.cast(pa.string())
+    u = pc.fill_null(col, "")
+    if isinstance(u, pa.ChunkedArray):
+        u = u.combine_chunks()
+    return u
+
+
+def _clean_text_array(u):
+    """The extract_text strip/entity/whitespace chain over an Arrow
+    string array — ONE shared implementation so every operator that
+    cleans markup (extract_text, extract_anchors) stays byte-exact
+    against the single SQL twin chain."""
+    import pyarrow.compute as pc
+
+    for pat, repl in TEXT_STRIP_STEPS:
+        u = pc.replace_substring_regex(u, pattern=pat, replacement=repl)
+    for ent, ch in HTML_ENTITIES:
+        u = pc.replace_substring(u, pattern=ent, replacement=ch)
+    u = pc.replace_substring_regex(u, pattern=_WS_COLLAPSE[0],
+                                   replacement=_WS_COLLAPSE[1])
+    u = pc.replace_substring_regex(u, pattern=_WS_TRIM[0],
+                                   replacement=_WS_TRIM[1])
+    return u
+
+
 def extract_text(ds, html_column: str = "html",
                  out_column: str = "text_extracted",
                  concurrency: int | None = None):
@@ -280,25 +313,8 @@ def extract_text(ds, html_column: str = "html",
     One compiled-RE2 pass per pattern over the Arrow string buffers —
     no Python per row; feeds the quality / dedup / indexing stages the
     same way a WARC->WET conversion feeds a crawl pipeline."""
-    import pyarrow.compute as pc
-
     def ext(b: pa.Table) -> pa.Table:
-        h = b[html_column]
-        if (pa.types.is_binary(h.type) or pa.types.is_large_binary(h.type)
-                or pa.types.is_null(h.type)):
-            h = h.cast(pa.string())
-        u = pc.fill_null(h, "")
-        if isinstance(u, pa.ChunkedArray):
-            u = u.combine_chunks()
-        for pat, repl in TEXT_STRIP_STEPS:
-            u = pc.replace_substring_regex(u, pattern=pat,
-                                           replacement=repl)
-        for ent, ch in HTML_ENTITIES:
-            u = pc.replace_substring(u, pattern=ent, replacement=ch)
-        u = pc.replace_substring_regex(u, pattern=_WS_COLLAPSE[0],
-                                       replacement=_WS_COLLAPSE[1])
-        u = pc.replace_substring_regex(u, pattern=_WS_TRIM[0],
-                                       replacement=_WS_TRIM[1])
+        u = _clean_text_array(_as_string_filled(b[html_column]))
         return b.append_column(out_column, u)
 
     return ds.map_batches(
@@ -330,13 +346,7 @@ def extract_links(ds, html_column: str = "html",
     import pyarrow.compute as pc
 
     def links(b: pa.Table) -> pa.Table:
-        h = b[html_column]
-        if (pa.types.is_binary(h.type) or pa.types.is_large_binary(h.type)
-                or pa.types.is_null(h.type)):  # all-null block -> null type
-            h = h.cast(pa.string())
-        u = pc.fill_null(h, "")
-        if isinstance(u, pa.ChunkedArray):
-            u = u.combine_chunks()
+        u = _as_string_filled(b[html_column])
         parts = pc.split_pattern(u, pattern=_HREF_SPLIT)
         flat = pc.list_flatten(parts)
         offs = parts.offsets.to_numpy()
@@ -367,11 +377,17 @@ _ANCHOR_PAT = r'^[^>]*?href="(?P<h>[^"]*)"[^>]*>(?P<t>(?s:.*?))</a>'
 
 def extract_anchors(ds, html_column: str = "html",
                     key_column: str = "url",
+                    ordinal_column: str | None = None,
                     concurrency: int | None = None):
-    """Anchor-text extraction -> Dataset(key_column, href, anchor): one
-    row per attribute-bearing ``<a href="...">text</a>`` occurrence, in
-    page order; ``anchor`` is the inner text run through the same
-    strip/entity/whitespace chain as :func:`extract_text`.
+    """Anchor-text extraction -> Dataset(key_column, href, anchor[,
+    ordinal]): one row per attribute-bearing ``<a href="...">text</a>``
+    occurrence, in page order; ``anchor`` is the inner text run through
+    the same strip/entity/whitespace chain as :func:`extract_text`.
+
+    ``ordinal_column`` (optional) adds the anchor's in-page fragment
+    index — computed HERE, in the same batch the page fans out from, so
+    (page key, ordinal) stays a stable per-anchor identity no matter
+    how downstream stages re-block the rows.
 
     (target, anchor) pairs are the classic off-page relevance signal —
     an anchor-text index over them is how web search ranks pages by
@@ -379,13 +395,7 @@ def extract_anchors(ds, html_column: str = "html",
     import pyarrow.compute as pc
 
     def anchors(b: pa.Table) -> pa.Table:
-        h = b[html_column]
-        if (pa.types.is_binary(h.type) or pa.types.is_large_binary(h.type)
-                or pa.types.is_null(h.type)):
-            h = h.cast(pa.string())
-        u = pc.fill_null(h, "")
-        if isinstance(u, pa.ChunkedArray):
-            u = u.combine_chunks()
+        u = _as_string_filled(b[html_column])
         parts = pc.split_pattern(u, pattern=_ANCHOR_SPLIT)
         flat = pc.list_flatten(parts)
         offs = parts.offsets.to_numpy()
@@ -397,20 +407,14 @@ def extract_anchors(ds, html_column: str = "html",
         text = pc.struct_field(ex, "t")
         keep = (elem > 0) & pc.is_valid(href).to_numpy(
             zero_copy_only=False)
-        kt = text.filter(pa.array(keep))
-        for pat, repl in TEXT_STRIP_STEPS:
-            kt = pc.replace_substring_regex(kt, pattern=pat,
-                                            replacement=repl)
-        for ent, ch in HTML_ENTITIES:
-            kt = pc.replace_substring(kt, pattern=ent, replacement=ch)
-        kt = pc.replace_substring_regex(kt, pattern=_WS_COLLAPSE[0],
-                                        replacement=_WS_COLLAPSE[1])
-        kt = pc.replace_substring_regex(kt, pattern=_WS_TRIM[0],
-                                        replacement=_WS_TRIM[1])
-        return pa.table({
+        kt = _clean_text_array(text.filter(pa.array(keep)))
+        cols = {
             key_column: b[key_column].take(pa.array(parent[keep])),
             "href": href.filter(pa.array(keep)),
-            "anchor": kt})
+            "anchor": kt}
+        if ordinal_column is not None:
+            cols[ordinal_column] = pa.array(elem[keep], pa.int64())
+        return pa.table(cols)
 
     return ds.map_batches(
         anchors, batch_format="pyarrow",

@@ -95,21 +95,24 @@ def pagerank(edges, src_column: str = "src_domain",
     # numeric arrays stay zero-copy in the object store).  The
     # per-iteration string lookups of the first version cost ~45 s/iter
     # at 2M edges; this shape runs the same iteration in ~2 s.
-    node_ref = ray.put((pd.Index(nodes), pd.Index(src_sorted),
-                        w_units.astype(np.float64)))
+    # per-node out-weight vector indexed by NODE id, so intify does one
+    # string-hash lookup per endpoint (not a second per-source probe)
+    w_by_node = np.zeros(n_nodes, np.float64)
+    w_by_node[pd.Index(nodes).get_indexer(src_sorted)] = \
+        w_units.astype(np.float64)
+    node_ref = ray.put((pd.Index(nodes), w_by_node))
     sc, dc, wc = src_column, dst_column, weight_column
 
     def intify(b: pa.Table, _ref=node_ref) -> pa.Table:
-        nd, ss, ww = ray.get(_ref)
+        nd, wbn = ray.get(_ref)
         si = nd.get_indexer(b[sc].to_numpy(zero_copy_only=False))
         ti = nd.get_indexer(b[dc].to_numpy(zero_copy_only=False))
-        wf = ww[ss.get_indexer(b[sc].to_numpy(zero_copy_only=False))]
         return pa.table({
             "si": pa.array(si, pa.int64()),
             "ti": pa.array(ti, pa.int64()),
             "nf": pa.array(b[wc].to_numpy(
                 zero_copy_only=False).astype(np.float64), pa.float64()),
-            "wf": pa.array(wf, pa.float64())})
+            "wf": pa.array(wbn[si], pa.float64())})
 
     iedges = edges.map_batches(
         intify, batch_format="pyarrow").materialize()

@@ -128,14 +128,18 @@ def ingest(ds, work_dir: str, *, analyzer: str = "ascii",
         if extractor == "wet":
             from iresearch_ray.pipelines.curate import extract_text
 
+            # private out column: an input corpus that already carries
+            # 'text_extracted' (a re-ingested dump) must not collide
+            out_col = "__ingest_wet_text"
+
             def to_text(b: pa.Table) -> pa.Table:
                 i = b.schema.get_field_index("text")
-                col, b = b["text_extracted"], b.remove_column(
-                    b.schema.get_field_index("text_extracted"))
+                col, b = b[out_col], b.remove_column(
+                    b.schema.get_field_index(out_col))
                 return (b.set_column(i, "text", col) if i >= 0
                         else b.append_column("text", col))
 
-            extracted = extract_text(ds).map_batches(
+            extracted = extract_text(ds, out_column=out_col).map_batches(
                 to_text, batch_format="pyarrow")
         else:
             extracted = ds.map_batches(extract_text_batch,

@@ -150,6 +150,13 @@ def token_count_by(ds, group_column: str, text_column="text", analyzer="ascii",
             self.analyzer = get_analyzer(analyzer)
 
         def __call__(self, b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            # null group keys drop, matching the pandas-groupby history
+            # (and nul_safe_factorize's null-free input contract)
+            valid = pc.is_valid(b[group_column])
+            if not pc.all(valid).as_py():
+                b = b.filter(valid)
             _, _, _, doc_len = _coded_tokens(self.analyzer, b[text_column])
             # NUL-safe partial (pandas groupby collapses NUL-bearing
             # group keys): factorize through Arrow + one bincount

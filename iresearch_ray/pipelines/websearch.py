@@ -38,7 +38,13 @@ def build_anchor_index(ds, work_dir: str, *, html_column: str = "html",
     Returns the index manifest.  ``anchors_per_domain`` keeps the cap
     deterministically-first anchors per domain ((page url, in-page
     position) order); the over-cap drop set is trim-sized and broadcast
-    under ``max_broadcast``."""
+    under ``max_broadcast``.
+
+    Contract: ``url_column`` values are unique per page (the same
+    convention as ingest's key column and duplicated_span_stats's id) —
+    anchor identity is (url, in-page ordinal), so a recrawl-duplicated
+    url must be exact-deduped first or its anchors share ids and the
+    per-domain cap turns approximate."""
     import pyarrow.compute as pc
 
     from iresearch_ray.index.build import build_index
@@ -54,8 +60,12 @@ def build_anchor_index(ds, work_dir: str, *, html_column: str = "html",
         raise ValueError(
             f"anchors_per_domain must be >= 1, got {anchors_per_domain}")
 
+    # the in-page ordinal is emitted by extract_anchors ITSELF (same
+    # batch the page fans out from), so (url, ordinal) anchor ids stay
+    # stable however Ray re-blocks the rows downstream
     anchors = extract_anchors(ds, html_column=html_column,
-                              key_column=url_column)
+                              key_column=url_column,
+                              ordinal_column="_ord")
     tagged = extract_domain(anchors, url_column="href",
                             out_column="domain")
 
@@ -63,13 +73,7 @@ def build_anchor_index(ds, work_dir: str, *, html_column: str = "html",
         keep = pc.and_(pc.not_equal(b["domain"], ""),
                        pc.not_equal(b["anchor"], ""))
         t = b.filter(keep)
-        # per-page ordinal: a page's anchors are contiguous and in page
-        # order inside one output batch (they fan out from one html row),
-        # so (url, ordinal) is a globally deterministic anchor id
-        urls = t[url_column].to_numpy(zero_copy_only=False)
-        starts = np.r_[0, np.flatnonzero(urls[1:] != urls[:-1]) + 1]
-        ordinal = np.arange(len(urls)) - np.repeat(
-            starts, np.diff(np.r_[starts, len(urls)]))
+        ordinal = t["_ord"].to_numpy(zero_copy_only=False)
         aid = pc.binary_join_element_wise(
             t[url_column],
             pa.array([f"{o:08d}" for o in ordinal], pa.string()), "\x00")
@@ -84,12 +88,15 @@ def build_anchor_index(ds, work_dir: str, *, html_column: str = "html",
             rows.select_columns(["domain", "_aid"]), "domain", "_aid",
             cap=anchors_per_domain))
         if drops is not None and drops.num_rows:
+            # Arrow buffer size = true string payload (an object-array
+            # .nbytes would count 8 B/pointer and under-guard 5-25x)
+            payload = drops["_aid"].nbytes
+            if payload > max_broadcast:
+                raise ValueError(
+                    f"anchor drop set {payload} B exceeds "
+                    f"max_broadcast={max_broadcast}")
             drop_ids = np.sort(drops["_aid"].to_numpy(
                 zero_copy_only=False))
-            if drop_ids.nbytes > max_broadcast:
-                raise ValueError(
-                    f"anchor drop set {drop_ids.nbytes} B exceeds "
-                    f"max_broadcast={max_broadcast}")
             ref = ray.put(drop_ids)
 
             def drop(b: pa.Table, _ref=ref) -> pa.Table:

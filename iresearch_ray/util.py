@@ -71,6 +71,11 @@ def nul_safe_factorize(values, sort: bool = False):
         arr = pa.array(npv)
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if pa.types.is_dictionary(arr.type):
+        # decode FIRST: a dictionary-typed string column must not fall
+        # through to the pd.factorize branch (that reintroduces the
+        # NUL collapse this helper exists to prevent)
+        arr = arr.cast(arr.type.value_type)
     if not (pa.types.is_string(arr.type) or pa.types.is_large_string(
             arr.type) or pa.types.is_binary(arr.type)
             or pa.types.is_large_binary(arr.type)):

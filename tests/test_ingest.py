@@ -349,6 +349,16 @@ def test_ingest_wet_extractor(ray_session, tmp_path_factory):
         ingest(ray.data.read_parquet(pages), str(base / "w2"),
                extractor="nope")
 
+    # re-ingesting a dump that already carries 'text_extracted' must not
+    # collide with the wet chain's working column
+    rows2 = [dict(r, text_extracted="stale") for r in rows[:10]]
+    pages2 = str(base / "pages2.parquet")
+    pq.write_table(pa.Table.from_pylist(rows2), pages2)
+    man2 = ingest(ray.data.read_parquet(pages2), str(base / "w3"),
+                  analyzer="ascii", extractor="wet", dedup=False,
+                  target_docs=20, store_columns=("text",))
+    assert man2["num_docs"] == 10
+
 
 def test_anchor_text_index(ray_session, tmp_path_factory):
     """build_anchor_index: domains are ranked by what OTHER pages' links

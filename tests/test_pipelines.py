@@ -289,6 +289,29 @@ def test_token_count_by_nul_group_keys(ray_session):
     assert int(out.loc["t", "total_tokens"]) == 2
 
 
+def test_token_count_by_null_group_keys_drop(ray_session):
+    """Null group keys drop silently (the pandas-groupby history) —
+    they must not crash the bincount partial with negative codes."""
+    df = pd.DataFrame({"source": ["a", None, "a"],
+                       "text": ["one two", "three four five", "six"]})
+    out = (textstats.token_count_by(ray.data.from_pandas(df), "source")
+           .to_pandas())
+    assert out.to_dict("list") == {"source": ["a"], "total_tokens": [3]}
+
+
+def test_nul_safe_factorize_dictionary_input():
+    """A dictionary-encoded string column must decode, not fall through
+    to the NUL-collapsing pd.factorize branch."""
+    import pyarrow as pa
+
+    from iresearch_ray.util import nul_safe_factorize
+
+    enc = pa.array(["a\x00b", "a\x00c", "a\x00b"]).dictionary_encode()
+    codes, uniques = nul_safe_factorize(enc, sort=True)
+    assert codes.tolist() == [0, 1, 0]
+    assert uniques.tolist() == ["a\x00b", "a\x00c"]
+
+
 def test_token_count_by(docs, docs_pdf):
     out = textstats.token_count_by(docs, "source").to_pandas().set_index("source")
     ana = get_analyzer("ascii")
