@@ -1372,18 +1372,31 @@ _SYNTH_HTML_SQL = """
         || (doc_id % 11) || '.net/c?x=' || doc_id || '"' ELSE '' END)
   || '<p>no more</p></body></html>'"""
 
-_HREF_SQL_PATTERN = 'href="([^"]*)"'
+def _href_links_cte_sql() -> str:
+    """The extract_links split-scan spec in SQL (string_split on
+    'href="', drop the head fragment, anchored first-match regex per
+    fragment) — the SAME semantics as the engine by construction, so
+    the twins agree even on pathological values containing 'href="'
+    (where a findall would differ; pinned by the differential fuzz).
+    Emits CTE ``l(url, href)``; expects ``h(doc_id, url, html)``."""
+    from iresearch_ray.pipelines.curate import _HREF_SPLIT, _HREF_TAIL
+
+    p = _sql_quote(_HREF_TAIL)
+    return f"""
+lf AS (SELECT url, UNNEST(string_split(html,
+        '{_sql_quote(_HREF_SPLIT)}')[2:]) AS frag FROM h),
+l AS (SELECT url, regexp_extract(frag, '{p}', 1) AS href FROM lf
+      WHERE regexp_matches(frag, '{p}'))"""
 
 
 def _extract_links_oracle_sql() -> str:
     """SQL twin of extract_links: one row per ``href="..."`` occurrence
-    (regexp_extract_all + UNNEST — both sides scan the raw attribute,
-    tag-agnostic), over the deterministic messy-url + synth-html docs."""
+    under the shared split-scan spec, over the deterministic messy-url
+    + synth-html docs."""
     return f"""
 WITH derived AS ({_DERIVED_URLS_SQL}),
 h AS (SELECT doc_id, url, {_SYNTH_HTML_SQL} AS html FROM derived),
-l AS (SELECT url, UNNEST(regexp_extract_all(html,
-        '{_sql_quote(_HREF_SQL_PATTERN)}', 1)) AS href FROM h)
+{_href_links_cte_sql()}
 SELECT url, href FROM l ORDER BY url, href"""
 
 
@@ -1394,8 +1407,7 @@ def _domain_links_oracle_sql() -> str:
     return f"""
 WITH derived AS ({_DERIVED_URLS_SQL}),
 h AS (SELECT doc_id, url, {_SYNTH_HTML_SQL} AS html FROM derived),
-l AS (SELECT url, UNNEST(regexp_extract_all(html,
-        '{_sql_quote(_HREF_SQL_PATTERN)}', 1)) AS href FROM h),
+{_href_links_cte_sql()},
 e AS (SELECT {_domain_expr_sql("url")} AS src_domain,
              {_domain_expr_sql("href")} AS dst_domain FROM l)
 SELECT src_domain, dst_domain, count(*)::BIGINT AS n
@@ -1478,8 +1490,7 @@ def _domain_rank_oracle_sql(damping: float = 0.85, iterations: int = 10,
     parts = [f"""
 WITH derived AS ({_DERIVED_URLS_SQL}),
 h AS (SELECT doc_id, url, {_SYNTH_HTML_SQL} AS html FROM derived),
-l AS (SELECT url, UNNEST(regexp_extract_all(html,
-        '{_sql_quote(_HREF_SQL_PATTERN)}', 1)) AS href FROM h),
+{_href_links_cte_sql()},
 e0 AS (SELECT {_domain_expr_sql("url")} AS s,
               {_domain_expr_sql("href")} AS t FROM l),
 ed AS MATERIALIZED (SELECT s, t, count(*)::BIGINT AS n FROM e0

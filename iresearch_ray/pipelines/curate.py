@@ -322,10 +322,14 @@ def extract_text(ds, html_column: str = "html",
         concurrency=pool_size(concurrency) if concurrency else None)
 
 
-# raw href attribute scan — tag-agnostic by design (matches DuckDB's
-# regexp_extract_all('href="([^"]*)"') exactly); real crawls carry href
-# on <a>/<link>/<area> and the link-graph use cares about the targets,
-# not the carrying tag
+# raw href attribute scan — tag-agnostic by design (real crawls carry
+# href on <a>/<link>/<area> and the link-graph use cares about the
+# targets, not the carrying tag).  SPLIT-SCAN SPEC, replicated verbatim
+# in the SQL twins (string_split + the same anchored regex): a findall
+# of 'href="([^"]*)"' differs on pathological values that themselves
+# contain 'href="' (findall consumes through the inner occurrence, the
+# split emits the inner one) — the differential fuzz pins the split
+# behavior on both sides
 _HREF_SPLIT = 'href="'
 _HREF_TAIL = r'^(?P<h>[^"]*)"'
 

@@ -1470,3 +1470,73 @@ def test_grouped_count_min_presorted_random_splits(ray_session, rows,
         assert not len(got)
     else:
         pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_markup_twins_differential_fuzz(ray_session):
+    """The three markup operators must agree with their DuckDB twins on
+    RANDOM markup soup — not just the contract's synthetic fixture:
+    random tag fragments, quotes, entities, NULs, newlines, nesting."""
+    import duckdb
+
+    from iresearch_ray.pipelines import curate
+
+    rng = np.random.default_rng(29)
+    pieces = ["<a href=\"", "\">", "</a>", "<A HREF=\"", "<a>", "href=\"",
+              "\"", "<link href=\"", "<script>", "</script>", "<style>",
+              "</style>", "<!--", "-->", "<b>", "</b>", "<p ", ">",
+              "http://h", ".org/", "/rel", "&amp;", "&nbsp;", "&#39;",
+              "&lt;", "txt ", "x\x00y", "\n", "\t", " ", "q", "7", "<",
+              '"', "'"]
+    docs = []
+    for i in range(300):
+        n = rng.integers(0, 25)
+        docs.append({"i": i, "url": f"http://s{i % 9}.io/p{i}",
+                     "html": "".join(rng.choice(pieces, n))})
+    pdf = pd.DataFrame(docs)
+    ds = ray.data.from_pandas(pdf).repartition(7)
+    con = duckdb.connect()
+    con.register("d", pdf)
+    q = lambda s: s.replace("'", "''")
+
+    # extract_text
+    expr = "coalesce(html,'')"
+    for pat, _ in curate.TEXT_STRIP_STEPS:
+        expr = f"regexp_replace({expr}, '{q(pat)}', ' ', 'g')"
+    for ent, ch in curate.HTML_ENTITIES:
+        expr = f"replace({expr}, '{q(ent)}', '{q(ch)}')"
+    expr = f"regexp_replace({expr}, '{q(curate._WS_COLLAPSE[0])}', ' ', 'g')"
+    expr = f"regexp_replace({expr}, '{q(curate._WS_TRIM[0])}', '', 'g')"
+    want = con.execute(f"SELECT {expr} AS t FROM d ORDER BY i").df()["t"]
+    got = (curate.extract_text(ds).to_pandas().sort_values("i")
+           ["text_extracted"])
+    assert got.tolist() == want.tolist()
+
+    # extract_links — split-scan twin (a findall of 'href="([^"]*)"'
+    # legitimately differs on values that contain 'href="' themselves;
+    # the split spec is what both engine and oracle implement)
+    hp = q(curate._HREF_TAIL)
+    want_l = con.execute(f"""
+        WITH f AS (SELECT url, UNNEST(string_split(coalesce(html,''),
+                   '{q(curate._HREF_SPLIT)}')[2:]) AS frag FROM d),
+        l AS (SELECT url, regexp_extract(frag, '{hp}', 1) AS href FROM f
+              WHERE regexp_matches(frag, '{hp}'))
+        SELECT url, href FROM l ORDER BY url, href""").df()
+    got_l = (curate.extract_links(ds).to_pandas()
+             .sort_values(["url", "href"]).reset_index(drop=True))
+    assert got_l["href"].tolist() == want_l["href"].tolist()
+    assert got_l["url"].tolist() == want_l["url"].tolist()
+
+    # extract_anchors (split-scan twin incl. the clean chain)
+    p = q(curate._ANCHOR_PAT)
+    want_a = con.execute(f"""
+        WITH f AS (SELECT url, UNNEST(string_split(coalesce(html,''),
+                   '{q(curate._ANCHOR_SPLIT)}')[2:]) AS frag FROM d),
+        m AS (SELECT url, regexp_extract(frag, '{p}', 1) AS href,
+                     regexp_extract(frag, '{p}', 2) AS t
+              FROM f WHERE regexp_matches(frag, '{p}'))
+        SELECT url, href, {expr.replace("coalesce(html,'')", 't')} AS anchor
+        FROM m ORDER BY url, href, anchor""").df()
+    got_a = (curate.extract_anchors(ds).to_pandas()
+             .sort_values(["url", "href", "anchor"]).reset_index(drop=True))
+    assert got_a["href"].tolist() == want_a["href"].tolist()
+    assert got_a["anchor"].tolist() == want_a["anchor"].tolist()
