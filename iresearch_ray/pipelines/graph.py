@@ -154,6 +154,44 @@ def pagerank(edges, src_column: str = "src_domain",
                          pa.float64())}))
 
 
+def filter_by_domain_rank(ds, ranks, min_rank_units: int,
+                          url_column: str = "url",
+                          max_broadcast: int = 200_000_000):
+    """Rank-aware curation: keep rows whose url's domain has
+    ``rank_units >= min_rank_units`` in ``ranks`` (a :func:`pagerank` /
+    :func:`domain_rank` result) — "docs from reputable hosts", the
+    quality-weighting step a crawl pipeline runs after ranking.
+
+    The threshold compares int64 fixed-point units, so the decision is
+    exact.  The kept-domain set is node-sized, broadcast sorted under
+    ``max_broadcast``; rows whose domain is absent from the graph (or
+    has no extractable host) drop."""
+    import pyarrow.compute as pc
+
+    from iresearch_ray.pipelines.curate import extract_domain
+    from iresearch_ray.pipelines.dedup import _sorted_member
+
+    kept_tbl = ranks.filter(
+        expr=f"rank_units >= {int(min_rank_units)}").select_columns(
+        ["node"]).to_pandas()
+    kept = np.sort(kept_tbl["node"].to_numpy())
+    payload = int(sum(len(x) for x in kept)) + 8 * len(kept)
+    if payload > max_broadcast:
+        raise ValueError(
+            f"kept-domain set {payload} B exceeds max_broadcast="
+            f"{max_broadcast}; invert to a drop set or partition")
+    ref = ray.put(kept)
+
+    def keep_rows(b: pa.Table) -> pa.Table:
+        doms = b["_rank_domain"].to_numpy(zero_copy_only=False)
+        mask = _sorted_member(ray.get(ref), doms)
+        return b.filter(pa.array(mask)).drop_columns(["_rank_domain"])
+
+    tagged = extract_domain(ds, url_column=url_column,
+                            out_column="_rank_domain")
+    return tagged.map_batches(keep_rows, batch_format="pyarrow")
+
+
 def domain_rank(ds, html_column: str = "html", url_column: str = "url",
                 damping: float = 0.85, iterations: int = 10,
                 concurrency: int | None = None, **kw):

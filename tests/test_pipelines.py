@@ -1189,6 +1189,37 @@ def test_pagerank_fixed_point_exact(ray_session):
         graph.pagerank(ed, max_broadcast=10).to_pandas()
 
 
+def test_filter_by_domain_rank(ray_session):
+    """Rank-aware curation keeps exactly the docs whose host clears the
+    int64 fixed-point threshold; unknown/extractionless hosts drop."""
+    from iresearch_ray.pipelines import graph
+
+    edges = [("a.com", "b.org", 5), ("c.net", "b.org", 5),
+             ("b.org", "a.com", 1)]
+    ranks = graph.pagerank(ray.data.from_items(
+        [{"src_domain": s, "dst_domain": t, "n": n}
+         for s, t, n in edges]), iterations=5)
+    rp = ranks.to_pandas().set_index("node")
+    # b.org receives two strong in-links -> ranks above the others
+    thr = int(rp.loc["b.org", "rank_units"])
+    docs = [{"doc_id": 0, "url": "http://b.org/x"},
+            {"doc_id": 1, "url": "http://a.com/y"},
+            {"doc_id": 2, "url": "http://unknown.io/z"},
+            {"doc_id": 3, "url": "no-scheme"}]
+    out = graph.filter_by_domain_rank(
+        ray.data.from_items(docs), ranks, min_rank_units=thr).to_pandas()
+    assert out["doc_id"].tolist() == [0]
+    assert list(out.columns) == ["doc_id", "url"]
+    # low threshold keeps every ranked domain, still drops unknowns
+    out2 = graph.filter_by_domain_rank(
+        ray.data.from_items(docs), ranks, min_rank_units=0).to_pandas()
+    assert sorted(out2["doc_id"]) == [0, 1]
+    with pytest.raises(ValueError):
+        graph.filter_by_domain_rank(ray.data.from_items(docs), ranks,
+                                    min_rank_units=0,
+                                    max_broadcast=4).to_pandas()
+
+
 def test_grouped_count_min_result_is_reconsumable(ray_session):
     """Consuming the lazy result twice (count then to_pandas) must not
     change it: the sorted input is materialized, so a second execution
