@@ -135,6 +135,13 @@ _DOMAIN_PATTERN = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)"
 _DOMAIN_STEPS = (
     (r":[0-9]+$", ""),   # port
     (r"^www\.", ""),     # canonical www-less host
+    # a host with an embedded NUL is not a hostname — map it to ''
+    # (dropped everywhere '' drops).  This keeps domain_links' packed
+    # (src \x00 dst) edge key unambiguous: no surviving domain can
+    # contain the separator, so the unpack split is exact.  Shared
+    # verbatim with the SQL twins ((?s) so hosts with newlines still
+    # match; RE2 interprets the \x00 escape on both sides).
+    (r"(?s)^.*\x00.*$", ""),
 )
 
 

@@ -76,6 +76,15 @@ def pagerank(edges, src_column: str = "src_domain",
     src_sorted = np.sort(outw["s"].to_numpy())
     w_units = outw.set_index("s").loc[src_sorted, "w"].to_numpy(
         np.int64)
+    # a source whose weights sum to <= 0 (zero/negative weight_column
+    # values on the public API; domain_links can't produce them) would
+    # make contrib() divide by w=0 -> inf/nan silently cast to garbage
+    # int64 rank units.  Fail loudly instead.
+    if (w_units <= 0).any():
+        bad = src_sorted[(w_units <= 0).argmax()]
+        raise ValueError(
+            f"pagerank: source {bad!r} has non-positive out-weight sum; "
+            f"every edge needs {weight_column} >= 1")
     nodes = np.unique(np.concatenate(
         [src_sorted, dsts["t"].to_numpy()]))
     n_nodes = len(nodes)

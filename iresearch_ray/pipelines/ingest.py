@@ -132,6 +132,18 @@ def ingest(ds, work_dir: str, *, analyzer: str = "ascii",
             # 'text_extracted' (a re-ingested dump) must not collide
             out_col = "__ingest_wet_text"
 
+            # an input that ALREADY carries the private column (e.g. a
+            # staged dump re-ingested) would otherwise end with two
+            # fields of that name (append_column doesn't replace) and
+            # b[out_col] below would raise pyarrow's ambiguous-field
+            # error mid-pipeline — shed it up front
+            src = ds
+            if out_col in src.schema().names:
+                src = src.map_batches(
+                    lambda b, _c=out_col: b.remove_column(
+                        b.schema.get_field_index(_c)),
+                    batch_format="pyarrow")
+
             def to_text(b: pa.Table) -> pa.Table:
                 i = b.schema.get_field_index("text")
                 col, b = b[out_col], b.remove_column(
@@ -139,7 +151,7 @@ def ingest(ds, work_dir: str, *, analyzer: str = "ascii",
                 return (b.set_column(i, "text", col) if i >= 0
                         else b.append_column("text", col))
 
-            extracted = extract_text(ds, out_column=out_col).map_batches(
+            extracted = extract_text(src, out_column=out_col).map_batches(
                 to_text, batch_format="pyarrow")
         else:
             extracted = ds.map_batches(extract_text_batch,

@@ -27,7 +27,7 @@ import ray
 
 def build_anchor_index(ds, work_dir: str, *, html_column: str = "html",
                        url_column: str = "url",
-                       anchors_per_domain: int | None = None,
+                       anchors_per_domain: int | None = 10_000,
                        analyzer: str = "ascii",
                        analyzer_opts: dict | None = None,
                        target_docs: int = 50_000,
@@ -38,7 +38,12 @@ def build_anchor_index(ds, work_dir: str, *, html_column: str = "html",
     Returns the index manifest.  ``anchors_per_domain`` keeps the cap
     deterministically-first anchors per domain ((page url, in-page
     position) order); the over-cap drop set is trim-sized and broadcast
-    under ``max_broadcast``.
+    under ``max_broadcast``.  The DEFAULT cap (10k, the hub-probe value:
+    500k pages / 1.5M anchors onto one domain in 5.9 s) bounds the
+    per-domain ``map_groups`` group below — a crawl-scale hub like
+    wikipedia.org has billions of in-links, and an uncapped group is one
+    task holding all of them.  Pass ``anchors_per_domain=None`` ONLY for
+    corpora known to have no hub domains; it re-opens that skew cliff.
 
     Contract: ``url_column`` values are unique per page (the same
     convention as ingest's key column and duplicated_span_stats's id) —
@@ -70,13 +75,20 @@ def build_anchor_index(ds, work_dir: str, *, html_column: str = "html",
                             out_column="domain")
 
     def keep_and_id(b: pa.Table) -> pa.Table:
-        keep = pc.and_(pc.not_equal(b["domain"], ""),
-                       pc.not_equal(b["anchor"], ""))
+        # a source url with an embedded NUL would make the packed
+        # (url \x00 ordinal) anchor id ambiguous (two (url, ordinal)
+        # pairs could collide, breaking the cap's unique-id invariant);
+        # a NUL is invalid in a URL, so such pages drop here
+        keep = pc.and_(
+            pc.and_(pc.not_equal(b["domain"], ""),
+                    pc.not_equal(b["anchor"], "")),
+            pc.invert(pc.match_substring(b[url_column], "\x00")))
         t = b.filter(keep)
-        ordinal = t["_ord"].to_numpy(zero_copy_only=False)
-        aid = pc.binary_join_element_wise(
-            t[url_column],
-            pa.array([f"{o:08d}" for o in ordinal], pa.string()), "\x00")
+        # zero-padded to 20 digits (covers all of int64), so the id's
+        # lexicographic order == (url, ordinal) numeric order; Arrow
+        # lpad kernel — no Python per row
+        ordpad = pc.utf8_lpad(pc.cast(t["_ord"], pa.string()), 20, "0")
+        aid = pc.binary_join_element_wise(t[url_column], ordpad, "\x00")
         return pa.table({"domain": t["domain"], "anchor": t["anchor"],
                          "_aid": aid})
 
@@ -114,6 +126,10 @@ def build_anchor_index(ds, work_dir: str, *, html_column: str = "html",
             "text": [" ".join(df["anchor"])]})
 
     staged = os.path.join(work_dir, "anchors_staged")
+    # group size invariant: every group here holds <= anchors_per_domain
+    # rows (the rank-repair cap ran above), so one task per domain is
+    # bounded no matter how skewed the in-link graph is.  Only an
+    # explicit anchors_per_domain=None re-opens the unbounded path.
     stage_parquet_atomic(
         lambda: rows.groupby("domain").map_groups(
             concat_domain, batch_format="pandas"),

@@ -73,50 +73,55 @@ def test_every_query_has_an_oracle():
 
 def test_distinctive_queries_fit_driver_window():
     """The external correctness driver records at most ~50 rows in dict
-    order (CORRECTNESS_r03 truncated at #50 of 54, dropping the whole ANN
-    family). Pin that every distinctive operator family sits inside the
-    first 50 slots and only near-duplicate engine variants risk truncation."""
+    order (50 of 54 in r03, 50 of 68 in r04). ROTATION POLICY: every
+    contract entry gets a driver row at least every two rounds. Round 5
+    rotation: the head holds the 3 ops that never had a driver row
+    (dedup_corpus, extract_links, extract_anchors) plus the 15 r03-green
+    entries displaced by round 4's window; the tail holds 18 r04-green
+    rows (see CORRECTNESS_r04.json), each with an in-window twin."""
     order = list(QUERIES)
     window = set(order[:50])
-    for name in ["ann_cosine", "ann_lsh", "ann_ivf", "multimodal_features",
-                 "duplicated_spans", "minhash_pairs",
-                 "ngram_jaccard", "embedding_neardup", "keyterms",
-                 "dedup_clusters", "quality_filter", "token_quantiles",
-                 "redact_pii", "hash_split", "url_canonical",
-                 "domain_stats", "cap_per_domain", "extract_text",
-                 "domain_links", "domain_rank"]:
+    # never-driver-verified before round 5: MUST be in the window now
+    for name in ["dedup_corpus", "extract_links", "extract_anchors"]:
+        assert order.index(name) < 3, f"{name} must head the driver window"
+    # r03-green entries displaced by round 4 rotate back in
+    for name in ["duplicated_span_stats", "multimodal_frames",
+                 "token_count_by_source", "lang_distribution", "top_bigrams",
+                 "repetition_stats", "doc_stats", "term_search_tfidf",
+                 "same_position_search", "term_topk_distributed",
+                 "phrase_variadic", "dedup_fingerprint", "window_hopping",
+                 "facet_lang", "keyword_search"]:
         assert name in window, f"{name} outside the driver's 50-row window"
-    # the tail must stay redundant-only: each has an in-window twin
-    # (r03-green rows demoted to make room count as their own evidence)
-    twins = {"doc_stats": "quality_stats",
-             "term_search_tfidf": "term_search",
-             "same_position_search": "term_search",
-             "term_topk_distributed": "term_topk",
-             "phrase_variadic": "phrase_search",
-             "dedup_fingerprint": "dedup_exact",
-             "window_hopping": "window_tumbling",
-             # demoted in round 4 for redact_pii/dedup_corpus; both have
-             # green CORRECTNESS_r03 rows and per-doc-stat twins
-             "top_bigrams": "top_terms",
-             "repetition_stats": "quality_stats",
-             # demoted in round 4 so hash_split/url_canonical (NEW ops)
-             # get driver rows; both r03-green with in-window twins
-             "token_count_by_source": "token_quantiles",
-             "lang_distribution": "langid",
-             # demoted for domain_stats/cap_per_domain; each shares its
-             # VERDICT operator row with the in-window twin
-             "facet_lang": "column_existence",
-             "keyword_search": "numeric_range",
-             # demoted for the webgraph/extraction family: stat view /
-             # composition / simpler sibling of an in-window operator
-             "duplicated_span_stats": "duplicated_spans",
-             "dedup_corpus": "dedup_clusters",
-             "extract_links": "domain_links",
-             "extract_anchors": "domain_links",
-             "multimodal_frames": "multimodal_features"}
+    # the tail must stay redundant-only: each is an r04-green row
+    # (its own driver evidence) AND has an in-window twin
+    twins = {"term_postings": "term_search",
+             "term_topk_wand": "term_topk",
+             "filtered_agg": "term_search",
+             "prefix_search": "wildcard_search",
+             "range_search": "numeric_range",
+             "ann_lsh": "ann_cosine",
+             "ann_ivf": "ann_cosine",
+             "quality_stats": "quality_filter",
+             "langid": "lang_distribution",
+             "domain_stats": "cap_per_domain",
+             "window_sessions": "window_tumbling",
+             "dedup_exact": "dedup_fingerprint",
+             "minhash_pairs": "dedup_corpus",
+             "dedup_clusters": "dedup_corpus",
+             "simhash_groups": "dedup_fingerprint",
+             "doc_fingerprints": "dedup_fingerprint",
+             "contamination": "ngram_jaccard",
+             "more_like_this": "keyterms"}
+    import json
+    import pathlib
+    r04 = json.loads((pathlib.Path(__file__).parent.parent
+                      / "CORRECTNESS_r04.json").read_text())
     for name in order[50:]:
         assert name in twins and twins[name] in window, (
             f"{name} in the truncation-risk tail without an in-window twin")
+        row = r04.get(name)
+        assert row and row["rows_match"] and row["hash_match"], (
+            f"{name} demoted to the tail without an r04-green driver row")
 
 
 def test_entry_smoke(ray_session):

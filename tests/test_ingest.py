@@ -359,6 +359,18 @@ def test_ingest_wet_extractor(ray_session, tmp_path_factory):
                   target_docs=20, store_columns=("text",))
     assert man2["num_docs"] == 10
 
+    # ... nor may an input that carries the PRIVATE working column
+    # itself ('__ingest_wet_text'): append_column would create a
+    # duplicate field name and the rename raises an ambiguous-field
+    # error (round-5 ADVICE) — the column is shed up front
+    rows3 = [dict(r, __ingest_wet_text="stale") for r in rows[:7]]
+    pages3 = str(base / "pages3.parquet")
+    pq.write_table(pa.Table.from_pylist(rows3), pages3)
+    man3 = ingest(ray.data.read_parquet(pages3), str(base / "w4"),
+                  analyzer="ascii", extractor="wet", dedup=False,
+                  target_docs=20, store_columns=("text",))
+    assert man3["num_docs"] == 7
+
 
 def test_anchor_text_index(ray_session, tmp_path_factory):
     """build_anchor_index: domains are ranked by what OTHER pages' links
@@ -402,3 +414,16 @@ def test_anchor_text_index(ray_session, tmp_path_factory):
     reader2 = IndexReader(f"{work2}/index")
     st2 = reader2.stored(np.arange(1, man2["num_docs"] + 1), ["n_anchors"])
     assert sorted(st2["n_anchors"].tolist()) == [2, 2]
+
+    # a NUL-bearing source url would make the packed (url \x00 ordinal)
+    # anchor id ambiguous — such pages drop (round-5 ADVICE); ordinals
+    # pad to 20 digits so id order == numeric order past 10^8
+    rows3 = rows + [{"url": "http://nul.io/p\x00q",
+                     "html": '<a href="http://shop.example/n">nulpage</a>'}]
+    work3 = str(base / "work3")
+    build_anchor_index(ray.data.from_items(rows3), work3,
+                       analyzer="ascii", target_docs=10)
+    reader3 = IndexReader(f"{work3}/index")
+    s3 = IndexSearcher(reader3, BM25())
+    assert len(s3.search(TermFilter("nulpage"), k=10)) == 0
+    assert len(s3.search(TermFilter("widgets"), k=10)) == 2

@@ -1187,6 +1187,13 @@ def test_pagerank_fixed_point_exact(ray_session):
     assert len(empty) == 0
     with pytest.raises(ValueError):
         graph.pagerank(ed, max_broadcast=10).to_pandas()
+    # a zero out-weight sum would divide by zero in contrib() and cast
+    # inf to garbage int64 units — it must fail loudly instead
+    zed = ray.data.from_items(
+        [{"src_domain": "a", "dst_domain": "b", "n": 0},
+         {"src_domain": "b", "dst_domain": "a", "n": 1}])
+    with pytest.raises(ValueError, match="non-positive out-weight"):
+        graph.pagerank(zed).to_pandas()
 
 
 def test_filter_by_domain_rank(ray_session):
@@ -1571,3 +1578,59 @@ def test_markup_twins_differential_fuzz(ray_session):
              .sort_values(["url", "href", "anchor"]).reset_index(drop=True))
     assert got_a["href"].tolist() == want_a["href"].tolist()
     assert got_a["anchor"].tolist() == want_a["anchor"].tolist()
+
+
+def test_domain_links_nul_domains(ray_session):
+    """Round-5 ADVICE: domain_links packs edges as src + '\\x00' + dst,
+    so a NUL-bearing host would mis-split the key (src truncated at its
+    first NUL, the remainder prepended to dst) and diverge from the SQL
+    twin, which groups by the two columns directly.  The shared
+    _DOMAIN_STEPS rewrite now maps any NUL-bearing host to '' on BOTH
+    sides, keeping the packed separator unambiguous; this fuzz drives
+    NUL hosts through source urls and href targets."""
+    import duckdb
+
+    from iresearch_ray.pipelines import curate
+
+    rng = np.random.default_rng(31)
+    hosts = ["a.com", "b\x00c.com", "ok.org", "x\x00", "\x00", "d.net",
+             "www.e.io:8080", "f\x00.com:99"]
+    docs = []
+    for i in range(200):
+        src = hosts[int(rng.integers(0, len(hosts)))]
+        tgt = hosts[int(rng.integers(0, len(hosts)))]
+        extra = ("" if rng.integers(0, 2) == 0 else
+                 f'<a href="http://{hosts[int(rng.integers(0, len(hosts)))]}/z">y</a>')
+        docs.append({"i": i, "url": f"http://{src}/p{i}",
+                     "html": f'<p><a href="http://{tgt}/q">x</a>{extra}</p>'})
+    pdf = pd.DataFrame(docs)
+    assert pdf["url"].str.contains("\x00").any()  # the hazard is exercised
+    ds = ray.data.from_pandas(pdf).repartition(5)
+    con = duckdb.connect()
+    con.register("d", pdf)
+    q = lambda s: s.replace("'", "''")
+
+    def dom(col):
+        e = f"lower(regexp_extract({col}, '{q(curate._DOMAIN_PATTERN)}', 1))"
+        for pat, repl in curate._DOMAIN_STEPS:
+            e = f"regexp_replace({e}, '{q(pat)}', '{q(repl)}', 'g')"
+        return e
+
+    hp = q(curate._HREF_TAIL)
+    want = con.execute(f"""
+        WITH f AS (SELECT url, UNNEST(string_split(coalesce(html,''),
+                   '{q(curate._HREF_SPLIT)}')[2:]) AS frag FROM d),
+        l AS (SELECT url, regexp_extract(frag, '{hp}', 1) AS href FROM f
+              WHERE regexp_matches(frag, '{hp}')),
+        e AS (SELECT {dom('url')} AS src_domain,
+                     {dom('href')} AS dst_domain FROM l)
+        SELECT src_domain, dst_domain, count(*)::BIGINT AS n FROM e
+        WHERE src_domain <> '' AND dst_domain <> ''
+        GROUP BY 1, 2 ORDER BY 1, 2""").df()
+    got = (curate.domain_links(ds).to_pandas()
+           .sort_values(["src_domain", "dst_domain"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # no surviving domain carries the packed-key separator
+    assert not got["src_domain"].str.contains("\x00").any()
+    assert not got["dst_domain"].str.contains("\x00").any()
