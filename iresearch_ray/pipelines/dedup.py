@@ -448,18 +448,33 @@ def _sketch_checkpoint(sk, ckpt: str, params: dict):
     return ray.data.read_parquet(ckpt)
 
 
-def exact_dedup_groups(ds, text_column: str = "text", id_column: str = "doc_id"):
+def exact_dedup_groups(ds, text_column: str = "text",
+                       id_column: str = "doc_id", hash: str = "md5"):
     """Group exact duplicates: -> (text_hash, dup_count, keep_id=min id).
 
     Hash inside map_batches (only hash+id leave the node), then one
     sort+combine aggregation on the 128-bit content hash
     (:func:`_grouped_count_min`).
-    """
+
+    ``hash='md5'`` emits the 32-char hex digest — the SQL-oracle twin
+    (DuckDB ``md5(text)``), a per-row C md5 over the full document.
+    ``hash='stable'`` is the at-scale fast path: a vectorized 128-bit
+    siphash pair as fixed_size_binary[16] (half the shuffle payload of
+    the hex string).  Both are exact — identical texts always collide,
+    and 128 bits keeps accidental collisions negligible at 10^12 docs;
+    they just aren't the SAME key space."""
+    from iresearch_ray.analysis.minhash import stable_hash_strings128
+
+    if hash not in ("md5", "stable"):
+        raise ValueError(f"hash must be 'md5' or 'stable', got {hash!r}")
+
     def hash_batch(b: pa.Table) -> pa.Table:
-        return pa.table({
-            "text_hash": pa.array(_md5_hex(b[text_column].to_pylist())),
-            id_column: b[id_column],
-        })
+        if hash == "stable":
+            # the Arrow column goes straight to the vectorized hasher
+            key = stable_hash_strings128(b[text_column])
+        else:
+            key = pa.array(_md5_hex(b[text_column].to_pylist()))
+        return pa.table({"text_hash": key, id_column: b[id_column]})
 
     hashed = ds.map_batches(hash_batch, batch_format="pyarrow")
     return _grouped_count_min(hashed, "text_hash", id_column)

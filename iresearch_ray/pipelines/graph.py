@@ -14,13 +14,16 @@ same int64, integer sums are order-free, and ten iterations stay
 bit-identical end-to-end (same discipline as the ann_ivf k-means-in-SQL
 oracle).
 
-Distribution shape (SCALE.md §4): the edge table is materialized once
-and never re-shuffled; each iteration is one shuffle-free map_batches
-over the edges (rank + out-weight vectors broadcast via ``ray.put`` as
-sorted arrays — NODE-set-sized, the documented small-side assumption,
-guarded by ``max_broadcast``) followed by ONE keys-only sort+combine
-summing per-target contributions.  Driver state is node-sized vectors
-only; markup/docs never enter the loop.
+Distribution shape (SCALE.md §4): below ``max_broadcast`` the edge
+table is materialized once and never re-shuffled; each iteration is one
+shuffle-free map_batches over the edges (rank + out-weight vectors
+broadcast via ``ray.put``) followed by ONE keys-only sort+combine
+summing per-target contributions.  Above the guard (or with
+``partitions=`` forced) the rank vector is hash-range-partitioned into
+P object-store refs and edges are co-range-sorted once, so no
+node-sized vector ever lives on the driver or ships whole to a task —
+the ~90M-host Common-Crawl design point runs (10M-node probe in
+SCALE.md).  Both shapes are bit-identical by construction.
 """
 
 from __future__ import annotations
@@ -36,43 +39,76 @@ def pagerank(edges, src_column: str = "src_domain",
              dst_column: str = "dst_domain", weight_column: str = "n",
              damping: float = 0.85, iterations: int = 10,
              scale: int = 10 ** 12,
-             max_broadcast: int = 200_000_000):
+             max_broadcast: int = 200_000_000,
+             partitions: int | None = None):
     """Weighted PageRank -> Dataset(node, rank_units, rank).
 
     ``rank_units`` is the exact int64 fixed-point mass (``scale`` units
     = 1.0); ``rank`` is the single float64 division units/scale.
     Dangling mass (nodes with no out-edges) redistributes uniformly
-    each iteration.  ``max_broadcast`` bounds the driver/broadcast node
-    vectors in bytes; exceeding it raises (the corpus-scale remedy is
-    partitioning the rank vector by node hash and co-shuffling edges
-    once per iteration — not needed below ~1e8 domains).
+    each iteration.
+
+    Two execution shapes, bit-identical by construction (same sorted
+    node-id assignment, same IEEE scalar expressions, order-free int64
+    sums):
+
+    - **broadcast** (node vectors fit ``max_broadcast``): rank +
+      out-weight vectors ship via ``ray.put``; each iteration is one
+      shuffle-free map over the integer-ified edges + one int-key
+      sort+combine.
+    - **partitioned** (above the guard, or ``partitions=`` forced): the
+      rank vector lives as P object-store refs of contiguous node-id
+      ranges; edges are integer-ified ONCE by two range sorts (by dst,
+      then by src) so each edge block joins against the 1-2 node/rank
+      partitions it overlaps; per iteration each contrib task fetches
+      only its overlapping rank partitions, the per-target sum is the
+      same sort+combine, and P small tasks rebuild the next rank
+      partitions.  Driver state is O(P) metadata — a ~90M-host
+      Common-Crawl graph runs without any node-sized driver vector.
     """
     damping = float(damping)
     edges = edges.materialize()
 
     from iresearch_ray.pipelines.dedup import _grouped_count_min
 
-    # static per-source out-weight W = sum(n), and the node universe
-    def src_rows(b: pa.Table) -> pa.Table:
-        return pa.table({"s": b[src_column], "n": b[weight_column]})
+    # node universe: distinct union of both endpoints, distributed
+    # (sorted output -> contiguous global ids fall out of block order)
+    def node_rows(b: pa.Table) -> pa.Table:
+        s = b[src_column].combine_chunks() if isinstance(
+            b[src_column], pa.ChunkedArray) else b[src_column]
+        d = b[dst_column].combine_chunks() if isinstance(
+            b[dst_column], pa.ChunkedArray) else b[dst_column]
+        return pa.table({"v": pa.concat_arrays(
+            [s.cast(pa.string()), d.cast(pa.string())])})
 
-    outw = _grouped_count_min(
-        edges.map_batches(src_rows, batch_format="pyarrow"),
-        "s", None, count_alias="_c", sum_column="n",
-        sum_alias="w").to_pandas()
-
-    def dst_rows(b: pa.Table) -> pa.Table:
-        return pa.table({"t": b[dst_column]})
-
-    dsts = _grouped_count_min(
-        edges.map_batches(dst_rows, batch_format="pyarrow"),
-        "t", None, count_alias="_c").to_pandas()
-
-    if not len(outw):
+    nodes_ds = _grouped_count_min(
+        edges.map_batches(node_rows, batch_format="pyarrow"),
+        "v", None, count_alias="_c").materialize()
+    n_nodes = nodes_ds.count()
+    if n_nodes == 0:
         return ray.data.from_arrow(pa.table({
             "node": pa.array([], pa.string()),
             "rank_units": pa.array([], pa.int64()),
             "rank": pa.array([], pa.float64())}))
+
+    # static per-source out-weight W = sum(n)
+    def src_rows(b: pa.Table) -> pa.Table:
+        return pa.table({"s": b[src_column], "n": b[weight_column]})
+
+    outw_ds = _grouped_count_min(
+        edges.map_batches(src_rows, batch_format="pyarrow"),
+        "s", None, count_alias="_c", sum_column="n",
+        sum_alias="w").materialize()
+
+    if partitions is not None or n_nodes * 48 > max_broadcast:
+        return _pagerank_partitioned(
+            edges, nodes_ds, outw_ds, n_nodes,
+            src_column=src_column, dst_column=dst_column,
+            weight_column=weight_column, damping=damping,
+            iterations=iterations, scale=scale,
+            max_broadcast=max_broadcast, partitions=partitions)
+
+    outw = outw_ds.to_pandas()
     src_sorted = np.sort(outw["s"].to_numpy())
     w_units = outw.set_index("s").loc[src_sorted, "w"].to_numpy(
         np.int64)
@@ -85,13 +121,10 @@ def pagerank(edges, src_column: str = "src_domain",
         raise ValueError(
             f"pagerank: source {bad!r} has non-positive out-weight sum; "
             f"every edge needs {weight_column} >= 1")
-    nodes = np.unique(np.concatenate(
-        [src_sorted, dsts["t"].to_numpy()]))
-    n_nodes = len(nodes)
-    if n_nodes * 48 > max_broadcast:
-        raise ValueError(
-            f"pagerank: {n_nodes} nodes exceeds max_broadcast="
-            f"{max_broadcast} bytes; partition the rank vector")
+    # distinct union of both endpoint sets == np.unique (the
+    # sort+combine output is NOT globally sorted — boundary-repaired
+    # edge runs ride in an appended union block — so sort here)
+    nodes = np.sort(nodes_ds.select_columns(["v"]).to_pandas()["v"].to_numpy())
     # hash-based membership: np.isin on object arrays degrades to an
     # O(nodes x srcs) broadcast compare (487 s at 200k nodes, measured)
     is_dangling = pd.Index(src_sorted).get_indexer(nodes) < 0
@@ -161,6 +194,252 @@ def pagerank(edges, src_column: str = "src_domain",
         "rank_units": pa.array(units, pa.int64()),
         "rank": pa.array(units.astype(np.float64) / float(scale),
                          pa.float64())}))
+
+
+@ray.remote
+def _pr_scan_str(t, key):
+    """(first, last, rows) of a sorted string block (None, None, 0 if empty)."""
+    if t.num_rows == 0:
+        return None, None, 0
+    col = t[key]
+    return col[0].as_py(), col[len(col) - 1].as_py(), t.num_rows
+
+
+@ray.remote
+def _pr_scan_outw(t):
+    """(min_s, max_s, rows, min_w, argmin source) of an out-weight
+    block.  min/max, NOT first/last: _grouped_count_min output blocks
+    are not individually sorted (the boundary-repair union block)."""
+    if t.num_rows == 0:
+        return None, None, 0, None, None
+    w = t["w"].to_numpy()
+    i = int(w.argmin())
+    s = t["s"].to_numpy(zero_copy_only=False)
+    return (s.min(), s.max(), t.num_rows, int(w[i]), str(t["s"][i].as_py()))
+
+
+@ray.remote
+def _pr_scan_int(t):
+    """(min_ti, max_ti, rows) of a summed block (min/max — the
+    sort+combine union block is not positionally sorted)."""
+    if t.num_rows == 0:
+        return 0, -1, 0
+    ti = t["ti"].to_numpy()
+    return int(ti.min()), int(ti.max()), t.num_rows
+
+
+@ray.remote
+def _pr_dang_mask(node_block, *ow_blocks):
+    """Per-partition dangling mask: node has NO out-edges (absent from
+    every overlapping out-weight block)."""
+    nodes = node_block["v"].to_numpy(zero_copy_only=False)
+    if not ow_blocks:
+        return np.ones(len(nodes), bool)
+    srcs = np.concatenate([b["s"].to_numpy(zero_copy_only=False)
+                           for b in ow_blocks])
+    return pd.Index(srcs).get_indexer(nodes) < 0
+
+
+@ray.remote
+def _pr_mass(units, mask):
+    return int(units[mask].sum())
+
+
+@ray.remote
+def _pr_rebuild(lo, cnt, fill, *blocks):
+    """Next rank partition: base+dangling fill, then scatter-add the
+    per-target sums whose ids fall in [lo, lo+cnt).  Each target id
+    appears in exactly one summed row globally (the sort+combine dedups
+    keys), so += is exact."""
+    u = np.full(cnt, fill, np.int64)
+    for t in blocks:
+        ti = t["ti"].to_numpy()
+        m = (ti >= lo) & (ti < lo + cnt)
+        if m.any():
+            u[ti[m] - lo] += t["csum"].to_numpy()[m]
+    return u
+
+
+@ray.remote
+def _pr_emit(node_block, units, scale):
+    return pa.table({
+        "node": node_block["v"].combine_chunks().cast(pa.string())
+        if isinstance(node_block["v"], pa.ChunkedArray)
+        else node_block["v"].cast(pa.string()),
+        "rank_units": pa.array(units, pa.int64()),
+        "rank": pa.array(units.astype(np.float64) / float(scale),
+                         pa.float64())})
+
+
+def _pagerank_partitioned(edges, nodes_ds, outw_ds, n_nodes, *,
+                          src_column, dst_column, weight_column,
+                          damping, iterations, scale,
+                          max_broadcast, partitions):
+    """PageRank past the broadcast ceiling (SCALE.md §4): the rank
+    vector is P object-store refs over contiguous ranges of the sorted
+    node-id space; edges integer-ify ONCE via two range sorts (by dst
+    for target ids, then by src for source ids + out-weights) so every
+    edge block joins against only the 1-2 node partitions it overlaps;
+    each iteration is one contrib map fetching only overlapping rank
+    partitions, the shared int-key sort+combine, and P small rebuild
+    tasks.  Driver state is O(P) boundary metadata.  Bit-identical to
+    the broadcast path: same sorted-id assignment, same IEEE scalar
+    expressions, order-free int64 sums."""
+    import bisect
+
+    from iresearch_ray.pipelines.dedup import _grouped_count_min
+
+    # partition size targets broadcastable per-task payloads: a rank
+    # slice (8 B/node) plus a node-string block at ~48 B/node stays
+    # well under max_broadcast even with a couple of partitions fetched
+    target = max(1, max_broadcast // 192)
+    n_parts = partitions or -(-n_nodes // target)
+    n_parts = max(1, min(int(n_parts), n_nodes))
+
+    # the distinct-union output is NOT globally sorted (the repair
+    # union block) — one explicit node-table range sort makes block
+    # order == id order, which the contiguous-offset scheme needs
+    node_refs_all = (nodes_ds.select_columns(["v"]).sort("v")
+                     .repartition(n_parts).materialize().to_arrow_refs())
+    scans = ray.get([_pr_scan_str.remote(r, "v") for r in node_refs_all])
+    node_refs, firsts, lasts, counts = [], [], [], []
+    for ref, (f, l, n) in zip(node_refs_all, scans):
+        if n:
+            node_refs.append(ref)
+            firsts.append(f)
+            lasts.append(l)
+            counts.append(n)
+    P = len(node_refs)
+    counts = np.asarray(counts, np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    assert offsets[-1] == n_nodes
+
+    ow_refs_all = outw_ds.to_arrow_refs()
+    ow_scans = ray.get([_pr_scan_outw.remote(r) for r in ow_refs_all])
+    ow_refs, ow_firsts, ow_lasts = [], [], []
+    for ref, (f, l, n, mw, ms) in zip(ow_refs_all, ow_scans):
+        if not n:
+            continue
+        if mw <= 0:
+            raise ValueError(
+                f"pagerank: source {ms!r} has non-positive out-weight "
+                f"sum; every edge needs {weight_column} >= 1")
+        ow_refs.append(ref)
+        ow_firsts.append(f)
+        ow_lasts.append(l)
+
+    def part_of(key):
+        return max(0, bisect.bisect_right(firsts, key) - 1)
+
+    sc, dc, wc = src_column, dst_column, weight_column
+    nrefs_t = tuple(node_refs)
+
+    # pass 1: range-sort by target, attach global target ids
+    def attach_ti(b: pa.Table) -> pa.Table:
+        d = b[dc].to_numpy(zero_copy_only=False)
+        if len(d) == 0:
+            return pa.table({sc: pa.array([], pa.string()),
+                             "ti": pa.array([], pa.int64()),
+                             wc: pa.array([], pa.int64())})
+        p_lo, p_hi = part_of(d[0]), part_of(d[-1])
+        cat = np.concatenate([
+            ray.get(nrefs_t[p])["v"].to_numpy(zero_copy_only=False)
+            for p in range(p_lo, p_hi + 1)])
+        ti = pd.Index(cat).get_indexer(d) + offsets[p_lo]
+        return pa.table({sc: b[sc], "ti": pa.array(ti, pa.int64()),
+                         wc: b[wc]})
+
+    e1 = (edges.sort(dc).map_batches(attach_ti, batch_format="pyarrow",
+                                     batch_size=None))
+
+    # pass 2: range-sort by source, attach source ids + out-weights;
+    # strings leave the pipeline here
+    orefs_t = tuple(ow_refs)
+
+    def ow_overlap(lo_s, hi_s):
+        return [orefs_t[q] for q in range(len(orefs_t))
+                if not (ow_lasts[q] < lo_s or ow_firsts[q] > hi_s)]
+
+    def attach_si(b: pa.Table) -> pa.Table:
+        s = b[sc].to_numpy(zero_copy_only=False)
+        if len(s) == 0:
+            return pa.table({"si": pa.array([], pa.int64()),
+                             "ti": pa.array([], pa.int64()),
+                             "nf": pa.array([], pa.float64()),
+                             "wf": pa.array([], pa.float64())})
+        p_lo, p_hi = part_of(s[0]), part_of(s[-1])
+        cat = np.concatenate([
+            ray.get(nrefs_t[p])["v"].to_numpy(zero_copy_only=False)
+            for p in range(p_lo, p_hi + 1)])
+        si = pd.Index(cat).get_indexer(s) + offsets[p_lo]
+        ow = [ray.get(r) for r in ow_overlap(s[0], s[-1])]
+        osrc = np.concatenate([t["s"].to_numpy(zero_copy_only=False)
+                               for t in ow])
+        ow_w = np.concatenate([t["w"].to_numpy() for t in ow])
+        pos = pd.Index(osrc).get_indexer(s)
+        return pa.table({
+            "si": pa.array(si, pa.int64()),
+            "ti": b["ti"],
+            "nf": pa.array(b[wc].to_numpy(
+                zero_copy_only=False).astype(np.float64), pa.float64()),
+            "wf": pa.array(ow_w[pos].astype(np.float64), pa.float64())})
+
+    iedges = (e1.sort(sc).map_batches(attach_si, batch_format="pyarrow",
+                                      batch_size=None).materialize())
+
+    dang_refs = []
+    for p in range(P):
+        over = [ow_refs[q] for q in range(len(ow_refs))
+                if not (ow_lasts[q] < firsts[p] or ow_firsts[q] > lasts[p])]
+        dang_refs.append(_pr_dang_mask.remote(node_refs[p], *over))
+
+    # identical scalar expressions to the broadcast path / SQL oracle
+    fill0 = np.int64(np.floor(float(scale) / float(n_nodes) + 0.5))
+    base = np.int64(np.floor(
+        ((1.0 - damping) * float(scale)) / float(n_nodes) + 0.5))
+    unit_refs = [ray.put(np.full(c, fill0, np.int64)) for c in counts]
+
+    for _ in range(iterations):
+        urefs = tuple(unit_refs)
+
+        def contrib(b: pa.Table, _u=urefs) -> pa.Table:
+            si = b["si"].to_numpy()
+            if len(si) == 0:
+                return pa.table({"ti": pa.array([], pa.int64()),
+                                 "c": pa.array([], pa.int64())})
+            p_lo = int(np.searchsorted(offsets, si[0], "right")) - 1
+            p_hi = int(np.searchsorted(offsets, si[-1], "right")) - 1
+            u = np.concatenate([ray.get(_u[p])
+                                for p in range(p_lo, p_hi + 1)])
+            r = u[si - offsets[p_lo]].astype(np.float64)
+            c = np.floor(((damping * r) * b["nf"].to_numpy())
+                         / b["wf"].to_numpy() + 0.5).astype(np.int64)
+            return pa.table({"ti": b["ti"], "c": pa.array(c, pa.int64())})
+
+        summed = _grouped_count_min(
+            iedges.map_batches(contrib, batch_format="pyarrow",
+                               batch_size=None),
+            "ti", None, count_alias="_c", sum_column="c",
+            sum_alias="csum").materialize()
+        srefs = summed.to_arrow_refs()
+        sinfo = ray.get([_pr_scan_int.remote(r) for r in srefs])
+        dang_mass = int(sum(ray.get(
+            [_pr_mass.remote(u, m)
+             for u, m in zip(unit_refs, dang_refs)])))
+        dang = np.int64(np.floor(
+            (damping * float(dang_mass)) / float(n_nodes) + 0.5))
+        fill = base + dang
+        unit_refs = [
+            _pr_rebuild.remote(
+                int(offsets[p]), int(counts[p]), fill,
+                *[r for r, (slo, shi, sn) in zip(srefs, sinfo)
+                  if sn and not (shi < offsets[p]
+                                 or slo >= offsets[p + 1])])
+            for p in range(P)]
+
+    return ray.data.from_arrow_refs(
+        [_pr_emit.remote(node_refs[p], unit_refs[p], scale)
+         for p in range(P)])
 
 
 def filter_by_domain_rank(ds, ranks, min_rank_units: int,

@@ -53,6 +53,7 @@ def ingest(ds, work_dir: str, *, analyzer: str = "ascii",
            near_dup: str | None = None, near_dup_threshold: float = 0.9,
            span_dup_max: float | None = None, span_k: int = 5,
            domain_cap: int | None = None, extractor: str = "body",
+           dedup_hash: str = "stable",
            key_column: str = "url", target_docs: int = 50_000,
            store_columns: tuple = (), **build_kw) -> dict:
     """Run the full pipeline; returns the index manifest plus counters.
@@ -83,7 +84,13 @@ def ingest(ds, work_dir: str, *, analyzer: str = "ascii",
     synthetic-corpus body strip, `sources.pages.extract_text_batch`) or
     ``'wet'`` — the real WET-style chain (`curate.extract_text`:
     script/style/comment strip, tags->spaces, entity decode, whitespace
-    collapse) for arbitrary crawled markup."""
+    collapse) for arbitrary crawled markup.
+
+    ``dedup_hash`` picks the exact-dedup content hash: ``'stable'``
+    (default — vectorized 128-bit siphash pair, the at-scale fast path)
+    or ``'md5'`` (per-row C md5, the SQL-reproducible key space).  Both
+    are exact; survivors only differ if two DIFFERENT texts collide
+    (negligible at 128 bits)."""
     import ray
     import ray.data
 
@@ -105,6 +112,9 @@ def ingest(ds, work_dir: str, *, analyzer: str = "ascii",
         raise ValueError(f"span_dup_max must be in [0, 1], got {span_dup_max}")
     if domain_cap is not None and domain_cap < 1:
         raise ValueError(f"domain_cap must be >= 1, got {domain_cap}")
+    if dedup_hash not in ("stable", "md5"):
+        raise ValueError(f"dedup_hash must be 'stable' or 'md5', "
+                         f"got {dedup_hash!r}")
     staged = os.path.join(work_dir, "staged")
     index_dir = os.path.join(work_dir, "index")
     counters_path = os.path.join(work_dir, "ingest.json")
@@ -112,7 +122,7 @@ def ingest(ds, work_dir: str, *, analyzer: str = "ascii",
                       "extractor": extractor,
                       "near_dup_threshold": float(near_dup_threshold),
                       "span_dup_max": span_dup_max, "span_k": int(span_k),
-                      "domain_cap": domain_cap,
+                      "domain_cap": domain_cap, "dedup_hash": dedup_hash,
                       # the span filter's drop set depends on tokenization,
                       # so a changed analyzer (or its options) must restage
                       "analyzer": analyzer,
@@ -157,7 +167,8 @@ def ingest(ds, work_dir: str, *, analyzer: str = "ascii",
             extracted = ds.map_batches(extract_text_batch,
                                        batch_format="pyarrow")
         if dedup:
-            groups = exact_dedup_groups(extracted, id_column=key_column)
+            groups = exact_dedup_groups(extracted, id_column=key_column,
+                                        hash=dedup_hash)
             # Arrow kernel filter (one row per DISTINCT hash flows through
             # here — corpus-cardinality when most docs are unique, so a
             # per-row lambda would be a hot Python loop)
@@ -169,12 +180,30 @@ def ingest(ds, work_dir: str, *, analyzer: str = "ascii",
             # them from a second hash pass filtered to duplicated hashes
             # (both passes ship only (hash, id) pairs)
             if dup_groups:
+                import binascii
+
+                from iresearch_ray.analysis.minhash import (
+                    stable_hash_strings128_hex,
+                )
                 from iresearch_ray.pipelines.dedup import _md5_hex
 
+                # both key spaces flow through 32-hex-char S32 arrays
+                # (hex has no NUL bytes, so numpy 'S' storage is safe)
+                if dedup_hash == "stable":
+                    def _hash_np(col):
+                        return stable_hash_strings128_hex(col)
+
+                    raw = [binascii.hexlify(g["text_hash"])
+                           for g in dup_groups]
+                else:
+                    def _hash_np(col):
+                        return np.array(_md5_hex(col.to_pylist()),
+                                        dtype="S32")
+
+                    raw = [g["text_hash"] for g in dup_groups]
                 # sorted fixed-width arrays -> searchsorted membership (no
                 # per-row Python set lookups), same shape as dedup.keep_hot
-                dup_hash_arr = np.sort(np.array(
-                    [g["text_hash"] for g in dup_groups], dtype="S32"))
+                dup_hash_arr = np.sort(np.array(raw, dtype="S32"))
                 keep_arr = np.sort(np.array(
                     [g["keep_id"] for g in dup_groups]))
                 hashes_ref = ray.put(dup_hash_arr)
@@ -190,7 +219,7 @@ def ingest(ds, work_dir: str, *, analyzer: str = "ascii",
                         return b
                     hs = ray.get(hashes_ref)
                     kp = ray.get(keep_ref)
-                    h = np.array(_md5_hex(b["text"].to_pylist()), dtype="S32")
+                    h = _hash_np(b["text"])
                     is_dup = _member_mask(hs, h)
                     mask = ~is_dup
                     if is_dup.any():  # survivors: each group's keep_id

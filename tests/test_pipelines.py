@@ -43,6 +43,46 @@ def test_exact_dedup(docs, docs_pdf):
         assert m.loc[h, "dup_count"] == row["dup_count"]
 
 
+def test_exact_dedup_stable_hash(docs, docs_pdf):
+    """hash='stable' (vectorized 128-bit siphash pair, fixed_size_binary
+    keys) must produce the SAME grouping as the md5 oracle mode: same
+    group count, same (keep_id, dup_count) multiset — only the key
+    space differs."""
+    out = dedup.exact_dedup_groups(docs, hash="stable").to_pandas()
+    exp = (docs_pdf.groupby("text")
+           .agg(dup_count=("doc_id", "size"), keep_id=("doc_id", "min"))
+           .reset_index(drop=True))
+    assert len(out) == len(exp)
+    assert out["dup_count"].sum() == len(docs_pdf)
+    got = (out[["keep_id", "dup_count"]]
+           .sort_values(["keep_id", "dup_count"]).reset_index(drop=True))
+    want = (exp.sort_values(["keep_id", "dup_count"])[["keep_id", "dup_count"]]
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # keys are 16-byte fixed-width binary (half the hex shuffle payload)
+    assert all(len(k) == 16 for k in out["text_hash"])
+    with pytest.raises(ValueError):
+        dedup.exact_dedup_groups(docs, hash="sha9")
+
+
+def test_stable128_hex_matches_binary(ray_session):
+    """The S32 hex form used for ingest's membership tests must be the
+    hexlify of the fixed_size_binary form — including keys whose raw
+    bytes carry leading/trailing NULs (the numpy 'S' aliasing hazard)."""
+    import binascii
+
+    from iresearch_ray.analysis.minhash import (
+        stable_hash_strings128,
+        stable_hash_strings128_hex,
+    )
+
+    vals = ["a", "b", "", "x" * 1000, "nul\x00inside", "a"]
+    fsb = stable_hash_strings128(vals)
+    hx = stable_hash_strings128_hex(vals)
+    assert [binascii.hexlify(v.as_py()) for v in fsb] == list(hx)
+    assert hx[0] == hx[-1] and hx[0] != hx[1]
+
+
 def test_fingerprint_dedup(docs, docs_pdf):
     out = dedup.fingerprint_dedup_groups(docs).to_pandas()
     ana = get_analyzer("ascii")
@@ -1185,8 +1225,15 @@ def test_pagerank_fixed_point_exact(ray_session):
         [{"src_domain": "x", "dst_domain": "y", "n": 1}]).filter(
         lambda row: False)).to_pandas()
     assert len(empty) == 0
-    with pytest.raises(ValueError):
-        graph.pagerank(ed, max_broadcast=10).to_pandas()
+    # above the broadcast guard the PARTITIONED path runs instead of
+    # raising (round-5: the ~4M-node ceiling is gone) — and it must be
+    # bit-identical to the broadcast path
+    part = (graph.pagerank(ed, iterations=10, max_broadcast=10)
+            .to_pandas().sort_values("node").reset_index(drop=True))
+    assert part["node"].tolist() == pr["node"].tolist()
+    assert (part["rank_units"].to_numpy()
+            == pr["rank_units"].to_numpy()).all()
+    assert (part["rank"].to_numpy() == pr["rank"].to_numpy()).all()
     # a zero out-weight sum would divide by zero in contrib() and cast
     # inf to garbage int64 units — it must fail loudly instead
     zed = ray.data.from_items(
@@ -1194,6 +1241,33 @@ def test_pagerank_fixed_point_exact(ray_session):
          {"src_domain": "b", "dst_domain": "a", "n": 1}])
     with pytest.raises(ValueError, match="non-positive out-weight"):
         graph.pagerank(zed).to_pandas()
+    with pytest.raises(ValueError, match="non-positive out-weight"):
+        graph.pagerank(zed, partitions=2).to_pandas()
+
+
+def test_pagerank_partitioned_random_equality(ray_session):
+    """The partitioned path (rank vector as P object-store refs, edges
+    co-range-sorted) must be bit-identical to the broadcast path on a
+    random weighted digraph with dangling nodes, hubs, and self-loops —
+    for several partition counts including P=1 and P > node count."""
+    from iresearch_ray.pipelines import graph
+
+    rng = np.random.default_rng(11)
+    names = np.array([f"h{i:03d}.x" for i in range(80)])
+    src = names[rng.integers(0, 60, 700)]        # 20 pure-dangling nodes
+    dst = names[rng.integers(0, 80, 700)]
+    df = (pd.DataFrame({"src_domain": src, "dst_domain": dst,
+                        "n": rng.integers(1, 7, 700)})
+          .groupby(["src_domain", "dst_domain"], as_index=False)["n"].sum())
+    ed = ray.data.from_pandas(df).repartition(5)
+    ref = (graph.pagerank(ed, iterations=6).to_pandas()
+           .sort_values("node").reset_index(drop=True))
+    for p in (1, 3, 200):
+        got = (graph.pagerank(ed, iterations=6, partitions=p)
+               .to_pandas().sort_values("node").reset_index(drop=True))
+        assert got["node"].tolist() == ref["node"].tolist(), p
+        assert (got["rank_units"].to_numpy()
+                == ref["rank_units"].to_numpy()).all(), p
 
 
 def test_filter_by_domain_rank(ray_session):
