@@ -786,6 +786,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = curate.domain_stats(docs).to_pandas()
         return out.sort_values("domain").reset_index(drop=True)
 
+    def _with_psl_urls(b):
+        # deterministic hosts spanning every PSL rule class: 2nd-level
+        # public suffix (co.uk), private suffix (github.io), wildcard
+        # (*.ck), the !www.ck exception, an unknown TLD (default rule),
+        # and hosts that ARE a public suffix (resolve to '')
+        import pyarrow as pa
+
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        st = ids.astype(str)
+        m = ids % 8
+        cands = [
+            "sub.site" + pd.Series((ids % 7).astype(str)) + ".co.uk",
+            "site" + pd.Series((ids % 5).astype(str)) + ".co.uk",
+            "proj" + pd.Series((ids % 3).astype(str)) + ".github.io",
+            "a.b.proj" + pd.Series((ids % 3).astype(str)) + ".github.io",
+            "x" + pd.Series((ids % 4).astype(str)) + ".ck",
+            "p.x" + pd.Series((ids % 4).astype(str)) + ".ck",
+            pd.Series(np.full(len(ids), "www.ck")),
+            "foo" + pd.Series((ids % 6).astype(str)) + ".unknowntld",
+        ]
+        host = np.select([m == k for k in range(7)],
+                         [c.to_numpy(dtype=object) for c in cands[:7]],
+                         default=cands[7].to_numpy(dtype=object))
+        url = "http://" + pd.Series(host) + "/p" + pd.Series(st)
+        return b.append_column("url", pa.array(url.tolist()))
+
+    def domain_stats_psl_q(sf_dir):
+        from iresearch_ray.pipelines import curate
+
+        docs = ray_docs(sf_dir, ["doc_id", "text"]).map_batches(
+            _with_psl_urls, batch_format="pyarrow")
+        out = curate.domain_stats(docs, domain_mode="registrable").to_pandas()
+        return out.sort_values("domain").reset_index(drop=True)
+
     def cap_per_domain_q(sf_dir):
         from iresearch_ray.pipelines import curate
 
@@ -1067,7 +1101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_rank": domain_rank_q,
         # --- windows / dedup pipelines ---
         "window_tumbling": window_tumbling,
-        "embedding_neardup": embedding_neardup,
+        "domain_stats_psl": domain_stats_psl_q,   # PSL registrable mode
         "ngram_jaccard": ngram_jaccard,
         "keyterms": keyterms_q,
         "duplicated_spans": duplicated_spans_q,
@@ -1095,6 +1129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": fingerprints_q,        # ~ dedup_fingerprint
         "contamination": contamination,            # ~ ngram_jaccard
         "more_like_this": more_like_this_q,        # ~ keyterms
+        "embedding_neardup": embedding_neardup,    # ~ ngram_jaccard
     }
 
 
@@ -1356,6 +1391,85 @@ def _domain_stats_oracle_sql() -> str:
     return f"""
 WITH derived AS ({_DERIVED_URLS_SQL}),
 d AS (SELECT {_domain_expr_sql()} AS domain, text FROM derived),
+tok AS (SELECT domain, {_TOK} AS ts FROM d)
+SELECT domain, count(*)::BIGINT AS n_docs,
+       sum(len(ts))::BIGINT AS total_tokens
+FROM tok GROUP BY domain ORDER BY domain"""
+
+
+_PSL_URLS_SQL = """
+  SELECT doc_id, text,
+         'http://' ||
+         (CASE doc_id % 8
+            WHEN 0 THEN 'sub.site' || (doc_id % 7) || '.co.uk'
+            WHEN 1 THEN 'site' || (doc_id % 5) || '.co.uk'
+            WHEN 2 THEN 'proj' || (doc_id % 3) || '.github.io'
+            WHEN 3 THEN 'a.b.proj' || (doc_id % 3) || '.github.io'
+            WHEN 4 THEN 'x' || (doc_id % 4) || '.ck'
+            WHEN 5 THEN 'p.x' || (doc_id % 4) || '.ck'
+            WHEN 6 THEN 'www.ck'
+            ELSE 'foo' || (doc_id % 6) || '.unknowntld' END)
+         || '/p' || doc_id AS url
+  FROM documents"""
+
+
+def _psl_ctes_sql() -> str:
+    """CTE chain resolving hosts -> PSL registrable domains, the SQL
+    twin of curate.registrable_domains over the SAME vendored rules
+    file (inlined as VALUES): expects a relation ``hh(rid, host)`` in
+    scope and yields ``reg(rid, rdomain)``.  Prevailing-rule semantics
+    match the engine exactly: longest exact match, wildcard = one label
+    deeper (needs an extra label present), exception = one shallower
+    and beats everything, default depth 1; registrable = public suffix
+    plus one label, else ''."""
+    from iresearch_ray.pipelines.curate import load_psl
+
+    psl = load_psl()
+    for grp in ("exact", "wild", "exc"):
+        assert all(set(r) <= set("abcdefghijklmnopqrstuvwxyz0123456789.-")
+                   for r in psl[grp]), "PSL rule needs quoting"
+    D = psl["depth"] + 1
+    ex = ", ".join(f"('{r}')" for r in psl["exact"])
+    wi = ", ".join(f"('{r}')" for r in psl["wild"]) or "('')"
+    xc = ", ".join(f"('{r}')" for r in psl["exc"]) or "('')"
+    return f"""
+pslx(rule) AS (VALUES {ex}),
+pslw(base) AS (VALUES {wi}),
+psle(rule) AS (VALUES {xc}),
+lab AS (SELECT rid, host, string_split(host, '.') AS ls,
+               len(string_split(host, '.')) AS L FROM hh),
+cand AS (SELECT rid, L, ks.k AS k,
+                array_to_string(ls[L - ks.k + 1 : L], '.') AS sfx
+         FROM lab, (SELECT UNNEST(range(1, {D + 1})) AS k) ks
+         WHERE L >= ks.k AND host <> ''),
+dx AS (SELECT rid, max(k) AS d FROM cand JOIN pslx ON sfx = rule
+       GROUP BY rid),
+dw AS (SELECT c.rid, max(c.k + 1) AS d FROM cand c JOIN pslw
+       ON c.sfx = base WHERE c.L >= c.k + 1 GROUP BY c.rid),
+de AS (SELECT rid, max(k - 1) AS d FROM cand JOIN psle ON sfx = rule
+       GROUP BY rid),
+dep AS (SELECT lab.rid,
+               COALESCE(de.d, GREATEST(COALESCE(dx.d, 1),
+                                       COALESCE(dw.d, 1))) AS d,
+               lab.L, lab.ls, lab.host
+        FROM lab LEFT JOIN dx USING (rid) LEFT JOIN dw USING (rid)
+             LEFT JOIN de USING (rid)),
+reg AS (SELECT rid, CASE WHEN host <> '' AND L > d
+                         THEN array_to_string(ls[L - d : L], '.')
+                         ELSE '' END AS rdomain FROM dep)"""
+
+
+def _domain_stats_psl_oracle_sql() -> str:
+    """SQL twin of domain_stats(domain_mode='registrable'): the shared
+    host chain, then the vendored-PSL resolution CTEs, then the same
+    (n_docs, total_tokens) aggregation."""
+    return f"""
+WITH derived AS ({_PSL_URLS_SQL}),
+hh AS (SELECT doc_id AS rid, text, {_domain_expr_sql()} AS host
+       FROM derived),
+{_psl_ctes_sql()},
+d AS (SELECT reg.rdomain AS domain, hh.text
+      FROM hh JOIN reg ON hh.rid = reg.rid),
 tok AS (SELECT domain, {_TOK} AS ts FROM d)
 SELECT domain, count(*)::BIGINT AS n_docs,
        sum(len(ts))::BIGINT AS total_tokens
@@ -2055,6 +2169,7 @@ ORDER BY doc_id
         "cap_per_domain": _cap_per_domain_oracle_sql(),
         "extract_links": _extract_links_oracle_sql(),
         "domain_links": _domain_links_oracle_sql(),
+        "domain_stats_psl": _domain_stats_psl_oracle_sql(),
         "extract_text": _extract_text_oracle_sql(),
         "extract_anchors": _extract_anchors_oracle_sql(),
         "domain_rank": _domain_rank_oracle_sql(),

@@ -234,17 +234,20 @@ def cmd_stats(a) -> dict:
 
             return curate.domain_stats(ds, url_column=a.url_column,
                                        text_column=a.text_column,
-                                       analyzer=a.analyzer)
+                                       analyzer=a.analyzer,
+                                       domain_mode=a.domain_mode)
         if a.op == "links":
             from iresearch_ray.pipelines import curate
 
             return curate.domain_links(ds, html_column=a.html_column,
-                                       url_column=a.url_column)
+                                       url_column=a.url_column,
+                                       domain_mode=a.domain_mode)
         if a.op == "domain-rank":
             from iresearch_ray.pipelines import graph
 
             return graph.domain_rank(ds, html_column=a.html_column,
-                                     url_column=a.url_column)
+                                     url_column=a.url_column,
+                                     domain_mode=a.domain_mode)
         if a.op == "extract-text":
             from iresearch_ray.pipelines import curate
 
@@ -265,7 +268,8 @@ def cmd_stats(a) -> dict:
     # a re-run with a different --html-column must restage, not resume
     return _run_staged_op(a, "op", build_op,
                           {"k_top": a.k_top, "url_column": a.url_column,
-                           "html_column": a.html_column},
+                           "html_column": a.html_column,
+                           "domain_mode": a.domain_mode},
                           columns=cols)
 
 
@@ -337,6 +341,10 @@ def main(argv=None) -> int:
     s.add_argument("--analyzer", default="ascii")
     s.add_argument("--url-column", default="url")
     s.add_argument("--html-column", default="html")
+    s.add_argument("--domain-mode", choices=("host", "registrable"),
+                   default="host",
+                   help="per-domain key: raw host or the public-suffix"
+                        "-list registrable domain (vendored PSL subset)")
 
     a = ap.parse_args(argv)
     owns = _ray_init()

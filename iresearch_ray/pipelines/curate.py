@@ -5,7 +5,10 @@ reproducible in ANSI SQL for exact oracles.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from iresearch_ray.analysis.minhash import md5_hash_strings
@@ -127,10 +130,12 @@ def url_canonicalize(ds, url_column: str = "url", out_column: str =
         concurrency=pool_size(concurrency) if concurrency else None)
 
 
-# domain = lowercase URL authority, default-port and "www." stripped —
-# NOT the PSL registrable domain (no public-suffix list in-container;
-# "a.co.uk" and "b.co.uk" therefore stay distinct hosts, a documented
-# simplification).  RE2 on both sides keeps the SQL oracle byte-exact.
+# domain (mode='host') = lowercase URL authority, default-port and
+# "www." stripped.  mode='registrable' additionally resolves through
+# the vendored public-suffix list (load_psl/registrable_domains below)
+# so "a.co.uk"/"b.co.uk" key as registrable domains — round 5; host
+# mode stays the oracle-checked default.  RE2 on both sides keeps the
+# host chain's SQL oracle byte-exact.
 _DOMAIN_PATTERN = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)"
 _DOMAIN_STEPS = (
     (r":[0-9]+$", ""),   # port
@@ -147,13 +152,26 @@ _DOMAIN_STEPS = (
 
 def extract_domain(ds, url_column: str = "url",
                    out_column: str = "domain",
-                   concurrency: int | None = None):
+                   concurrency: int | None = None,
+                   mode: str = "host", psl_path: str | None = None):
     """Input columns plus ``out_column``: the document's host — lowercase
     URL authority with the port and a leading ``www.`` stripped; ``''``
     for null urls / urls without a scheme.  One RE2 group-extract + two
     RE2 rewrites per batch, shuffle-free; the key for every per-domain
-    curation policy (stats, caps, per-site dedup)."""
+    curation policy (stats, caps, per-site dedup).
+
+    ``mode='registrable'`` resolves the host to its public-suffix-list
+    registrable domain (``a.co.uk`` and ``b.co.uk`` both -> their own
+    ``<name>.co.uk``; ``sub.example.com`` -> ``example.com``) — what a
+    real curation pipeline means by "domain".  A host that IS a public
+    suffix resolves to ``''`` (dropped wherever ``''`` drops).  Rules
+    come from the vendored :func:`load_psl` subset or ``psl_path``."""
     import pyarrow.compute as pc
+
+    if mode not in ("host", "registrable"):
+        raise ValueError(f"mode must be 'host' or 'registrable', "
+                         f"got {mode!r}")
+    psl = load_psl(psl_path) if mode == "registrable" else None
 
     def dom(b: pa.Table) -> pa.Table:
         u = pc.fill_null(b[url_column], "")
@@ -166,6 +184,9 @@ def extract_domain(ds, url_column: str = "url",
         for pat, repl in _DOMAIN_STEPS:
             host = pc.replace_substring_regex(host, pattern=pat,
                                               replacement=repl)
+        if psl is not None:
+            host = pa.array(registrable_domains(
+                host.to_numpy(zero_copy_only=False), psl), pa.string())
         return b.append_column(out_column, host)
 
     return ds.map_batches(
@@ -173,9 +194,115 @@ def extract_domain(ds, url_column: str = "url",
         concurrency=pool_size(concurrency) if concurrency else None)
 
 
+_PSL_CACHE: dict = {}
+
+
+def load_psl(psl_path: str | None = None) -> dict:
+    """Parse a publicsuffix.org-format rules file (default: the vendored
+    subset at ``iresearch_ray/data/psl_subset.dat`` — the container has
+    no network; drop in the full upstream
+    ``public_suffix_list.dat`` via ``psl_path`` for production use).
+
+    Returns ``{'exact', 'wild', 'exc'}`` as sorted ``pd.Index`` objects
+    (hash-based ``get_indexer`` membership — the NUL-safe idiom) plus
+    ``'depth'``, the deepest public suffix any rule can produce."""
+    path = psl_path or os.path.join(os.path.dirname(__file__), "..",
+                                    "data", "psl_subset.dat")
+    path = os.path.abspath(path)
+    if path in _PSL_CACHE:
+        return _PSL_CACHE[path]
+    exact, wild, exc = set(), set(), set()
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("//"):
+                continue
+            rule = line.split()[0].lower()
+            if rule.startswith("!"):
+                exc.add(rule[1:])
+            elif rule.startswith("*."):
+                wild.add(rule[2:])
+            else:
+                exact.add(rule)
+    depth = max([r.count(".") + 1 for r in exact]
+                + [r.count(".") + 2 for r in wild] + [1])
+    out = {"exact": pd.Index(sorted(exact), dtype=object),
+           "wild": pd.Index(sorted(wild), dtype=object),
+           "exc": pd.Index(sorted(exc), dtype=object),
+           "depth": int(depth)}
+    _PSL_CACHE[path] = out
+    return out
+
+
+def registrable_domains(hosts, psl: dict):
+    """Vectorized publicsuffix.org resolution over a host array ->
+    object ndarray of registrable domains ('' when the host is empty,
+    IS a public suffix, or has no label left of its public suffix).
+
+    Algorithm (the PSL spec, applied label-suffix-wise): the prevailing
+    public-suffix depth is the LONGEST matching rule — exact rules match
+    their own label count, a wildcard ``*.base`` matches one label
+    deeper, an exception ``!rule`` overrides to one label shallower; a
+    host matching nothing gets the default ``*`` rule (depth 1).  The
+    registrable domain is the suffix one label deeper than the public
+    suffix.  All membership tests are hash-based ``pd.Index.get_indexer``
+    sweeps over per-depth suffix arrays — no Python per row.
+
+    Deliberate deviations, documented: hosts arrive lowercased and
+    www-stripped from the shared host chain (so ``www.com`` resolves via
+    host ``com`` -> ''); punycode/IDN labels are matched verbatim."""
+    hosts = np.asarray(hosts, dtype=object)
+    n = len(hosts)
+    if n == 0:
+        return hosts
+    D = psl["depth"] + 1  # registrable domains are one label deeper
+    s = pd.Series(hosts, dtype=object).fillna("")
+    sfx = [None] * (D + 1)    # sfx[k] = last k labels joined by '.'
+    exists = np.zeros((D + 1, n), dtype=bool)
+    rest = s
+    for k in range(1, D + 1):
+        rp = rest.str.rpartition(".")
+        lab = rp[2]
+        if k == 1:
+            exists[1] = (s != "").to_numpy()
+            sfx[1] = lab
+        else:
+            # label k exists iff the previous split found a dot — NOT
+            # "rest non-empty", which would drop a leading empty label
+            # ('.a' has two labels: '' and 'a'; matches the SQL twin's
+            # string_split semantics)
+            exists[k] = exists[k - 1] & had_dot
+            sfx[k] = lab.str.cat(sfx[k - 1], sep=".")
+        had_dot = (rp[1] == ".").to_numpy()
+        rest = rp[0]
+    sfx = [None] + [x.to_numpy(dtype=object) for x in sfx[1:]]
+
+    depth = np.ones(n, np.int64)  # default '*' rule
+    for k in range(1, D + 1):
+        if not exists[k].any():
+            break
+        m = exists[k] & (psl["exact"].get_indexer(sfx[k]) >= 0)
+        np.maximum.at(depth, np.flatnonzero(m), k)
+        if k + 1 <= D:
+            w = exists[k + 1] & (psl["wild"].get_indexer(sfx[k]) >= 0)
+            np.maximum.at(depth, np.flatnonzero(w), k + 1)
+    if len(psl["exc"]):
+        for k in range(1, D + 1):
+            e = exists[k] & (psl["exc"].get_indexer(sfx[k]) >= 0)
+            depth[e] = k - 1  # exception rules beat everything
+    out = np.full(n, "", dtype=object)
+    need = depth + 1
+    for k in range(1, D + 1):
+        m = exists[k] & (need == k)
+        if m.any():
+            out[m] = sfx[k][m]
+    return out
+
+
 def domain_stats(ds, url_column: str = "url", text_column: str = "text",
                  analyzer: str = "ascii",
-                 concurrency: int | None = None):
+                 concurrency: int | None = None,
+                 domain_mode: str = "host", psl_path: str | None = None):
     """Per-domain corpus profile -> Dataset(domain, n_docs, total_tokens):
     the first thing a Common-Crawl-scale curation run asks of a crawl
     ("which sites dominate the corpus?") and the input to cap / boost
@@ -200,7 +327,8 @@ def domain_stats(ds, url_column: str = "url", text_column: str = "text",
                              "_tok": pa.array(doc_len.astype(np.int64))})
 
     rows = extract_domain(
-        ds, url_column=url_column, concurrency=concurrency
+        ds, url_column=url_column, concurrency=concurrency,
+        mode=domain_mode, psl_path=psl_path
     ).map_batches(
         StatelessBatchFn(DomainTok), batch_format="pyarrow",
         concurrency=pool_size(concurrency) if concurrency else None)
@@ -211,7 +339,8 @@ def domain_stats(ds, url_column: str = "url", text_column: str = "text",
 def cap_per_domain(ds, cap: int, url_column: str = "url",
                    id_column: str = "doc_id",
                    max_broadcast: int = 50_000_000,
-                   concurrency: int | None = None):
+                   concurrency: int | None = None,
+                   domain_mode: str = "host", psl_path: str | None = None):
     """Keep at most ``cap`` documents per domain (the ``cap`` SMALLEST
     ids — deterministic, so re-runs and resumed jobs keep the same
     survivors) -> the surviving rows of ``ds``, full schema, streaming.
@@ -232,7 +361,8 @@ def cap_per_domain(ds, cap: int, url_column: str = "url",
     )
 
     keyed = extract_domain(
-        ds, url_column=url_column, concurrency=concurrency
+        ds, url_column=url_column, concurrency=concurrency,
+        mode=domain_mode, psl_path=psl_path
     ).select_columns(["domain", id_column])
     dropped = grouped_rank_drop_ids(keyed, "domain", id_column, cap)
     chunks = []
@@ -434,7 +564,8 @@ def extract_anchors(ds, html_column: str = "html",
 
 def domain_links(ds, html_column: str = "html",
                  url_column: str = "url",
-                 concurrency: int | None = None):
+                 concurrency: int | None = None,
+                 domain_mode: str = "host", psl_path: str | None = None):
     """Domain-level link graph -> Dataset(src_domain, dst_domain, n):
     extract every href, resolve source and target hosts, count edges —
     the (domain, domain) webgraph a crawl-frontier or PageRank-style
@@ -452,9 +583,11 @@ def domain_links(ds, html_column: str = "html",
                           key_column=url_column,
                           concurrency=concurrency)
     with_src = extract_domain(links, url_column=url_column,
-                              out_column="_src")
+                              out_column="_src", mode=domain_mode,
+                              psl_path=psl_path)
     with_dst = extract_domain(with_src, url_column="href",
-                              out_column="_dst")
+                              out_column="_dst", mode=domain_mode,
+                              psl_path=psl_path)
 
     def pack(b: pa.Table) -> pa.Table:
         keep = pc.and_(pc.not_equal(b["_src"], ""),

@@ -444,7 +444,9 @@ def _pagerank_partitioned(edges, nodes_ds, outw_ds, n_nodes, *,
 
 def filter_by_domain_rank(ds, ranks, min_rank_units: int,
                           url_column: str = "url",
-                          max_broadcast: int = 200_000_000):
+                          max_broadcast: int = 200_000_000,
+                          domain_mode: str = "host",
+                          psl_path: str | None = None):
     """Rank-aware curation: keep rows whose url's domain has
     ``rank_units >= min_rank_units`` in ``ranks`` (a :func:`pagerank` /
     :func:`domain_rank` result) — "docs from reputable hosts", the
@@ -476,18 +478,22 @@ def filter_by_domain_rank(ds, ranks, min_rank_units: int,
         return b.filter(pa.array(mask)).drop_columns(["_rank_domain"])
 
     tagged = extract_domain(ds, url_column=url_column,
-                            out_column="_rank_domain")
+                            out_column="_rank_domain", mode=domain_mode,
+                            psl_path=psl_path)
     return tagged.map_batches(keep_rows, batch_format="pyarrow")
 
 
 def domain_rank(ds, html_column: str = "html", url_column: str = "url",
                 damping: float = 0.85, iterations: int = 10,
-                concurrency: int | None = None, **kw):
+                concurrency: int | None = None,
+                domain_mode: str = "host", psl_path: str | None = None,
+                **kw):
     """PageRank over the domain link graph of a crawled-page corpus:
     ``curate.domain_links`` (href fan-out -> host-pair edge counts)
     feeding :func:`pagerank`."""
     from iresearch_ray.pipelines.curate import domain_links
 
     edges = domain_links(ds, html_column=html_column,
-                         url_column=url_column, concurrency=concurrency)
+                         url_column=url_column, concurrency=concurrency,
+                         domain_mode=domain_mode, psl_path=psl_path)
     return pagerank(edges, damping=damping, iterations=iterations, **kw)

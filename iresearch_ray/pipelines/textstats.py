@@ -341,6 +341,32 @@ def repetition_stats(ds, text_column="text", id_column="doc_id",
         concurrency=pool_size(concurrency) if concurrency else None)
 
 
+def _materialize_derived(ds):
+    """Materialize a DERIVED lineage once so multi-pass consumers
+    (keyterms' df pass + count + scoring pass) don't re-execute the
+    upstream transforms per pass.  Bare reads (`Read`: re-scanning a
+    column-pruned Parquet read is cheap and streaming-friendly) and
+    already-in-object-store inputs (`InputData` = materialized,
+    `AbstractFrom` = from_items/pandas/arrow) pass through untouched.
+    Inspects Ray Data's logical plan; if that private surface moves,
+    falls back to materializing (the safe side — correct either way,
+    at worst an unneeded copy that can spill)."""
+    try:
+        from ray.data._internal.logical.operators.from_operators import (
+            AbstractFrom,
+        )
+        from ray.data._internal.logical.operators.input_data_operator import (
+            InputData,
+        )
+        from ray.data._internal.logical.operators.read_operator import Read
+
+        if isinstance(ds._logical_plan.dag, (Read, InputData, AbstractFrom)):
+            return ds
+    except Exception:
+        pass
+    return ds.materialize()
+
+
 def keyterms(ds, n_terms: int = 3, text_column="text", id_column="doc_id",
              analyzer="ascii", concurrency=None, hash: str = "stable",
              n_total: int | None = None, max_broadcast: int = 50_000_000):
@@ -362,17 +388,20 @@ def keyterms(ds, n_terms: int = 3, text_column="text", id_column="doc_id",
     — the same documented assumption as the LSH band keys; a collision
     would only nudge one term's idf).
 
-    DERIVED (non-Parquet) inputs execute their upstream lineage up to
-    THREE times: once for the (term, df) pass, once for the default
-    ``n_total=ds.count()``, and once for the scoring pass.  Materialize a
-    filtered/derived stream first (``ds = ds.materialize()``) and/or pass
-    ``n_total`` explicitly; Parquet reads only pay the extra count as a
-    metadata lookup plus the two real scans.
+    keyterms consumes its input up to three times (the (term, df) pass,
+    the default ``n_total=ds.count()``, the scoring pass).  A DERIVED
+    (non-read) lineage is therefore AUTO-MATERIALIZED once up front
+    (object store, spills under pressure) instead of re-executing per
+    pass; bare Parquet reads and already-materialized datasets pass
+    through untouched (re-scanning a column-pruned read is the cheap,
+    streaming-friendly shape).  Pass ``n_total`` explicitly to also skip
+    the count pass.
     """
     import ray
 
     from iresearch_ray.pipelines.dedup import _term_hasher
 
+    ds = _materialize_derived(ds)
     hasher = _term_hasher(hash)
     # pass 1: (term, df) partials -> small groupby -> broadcast hash map
     df_tbl = term_frequencies(ds, text_column=text_column,

@@ -28,6 +28,8 @@ import ray
 def build_anchor_index(ds, work_dir: str, *, html_column: str = "html",
                        url_column: str = "url",
                        anchors_per_domain: int | None = 10_000,
+                       domain_mode: str = "host",
+                       psl_path: str | None = None,
                        analyzer: str = "ascii",
                        analyzer_opts: dict | None = None,
                        target_docs: int = 50_000,
@@ -72,7 +74,8 @@ def build_anchor_index(ds, work_dir: str, *, html_column: str = "html",
                               key_column=url_column,
                               ordinal_column="_ord")
     tagged = extract_domain(anchors, url_column="href",
-                            out_column="domain")
+                            out_column="domain", mode=domain_mode,
+                            psl_path=psl_path)
 
     def keep_and_id(b: pa.Table) -> pa.Table:
         # a source url with an embedded NUL would make the packed

@@ -111,7 +111,10 @@ def test_distinctive_queries_fit_driver_window():
              "simhash_groups": "dedup_fingerprint",
              "doc_fingerprints": "dedup_fingerprint",
              "contamination": "ngram_jaccard",
-             "more_like_this": "keyterms"}
+             "more_like_this": "keyterms",
+             # demoted in round 5 for domain_stats_psl (registrable-
+             # domain mode, new contract entry)
+             "embedding_neardup": "ngram_jaccard"}
     import json
     import pathlib
     r04 = json.loads((pathlib.Path(__file__).parent.parent

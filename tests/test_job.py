@@ -181,6 +181,24 @@ def test_job_domain_subcommands(ray_session, tmp_path, capsys):
     surv = pq.read_table(cap_dir).to_pandas()
     assert sorted(surv["doc_id"]) == [0, 1, 5]
 
+    # --domain-mode registrable keys on PSL registrable domains (round
+    # 5): sub.a.co.uk / a.co.uk pool, b.co.uk stays separate — and the
+    # mode is a staging param, so it restages rather than resumes
+    rows3 = ([{"doc_id": i, "url": f"http://sub{i}.a.co.uk/p",
+               "text": "one two"} for i in range(3)]
+             + [{"doc_id": 3, "url": "http://b.co.uk/q",
+                 "text": "three"}])
+    src3 = str(tmp_path / "psl_docs.parquet")
+    pq.write_table(pa.Table.from_pylist(rows3), src3)
+    psl_dir = str(tmp_path / "psl_out")
+    assert main(["stats", "--input", src3, "--output", psl_dir,
+                 "--op", "domains", "--domain-mode", "registrable"]) == 0
+    rep3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep3["rows"] == 2
+    st3 = pq.read_table(psl_dir).to_pandas().set_index("domain")
+    assert int(st3.loc["a.co.uk", "n_docs"]) == 3
+    assert int(st3.loc["b.co.uk", "n_docs"]) == 1
+
 
 def test_job_webgraph_subcommands(ray_session, tmp_path, capsys):
     import pyarrow as pa

@@ -1,0 +1,117 @@
+"""Public-suffix-list registrable-domain mode (round 5): unit cases for
+every rule class, a differential fuzz against the SQL CTE twin, and
+registrable-mode runs of the per-domain operators."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from iresearch_ray.pipelines import curate
+
+
+def test_registrable_domain_cases():
+    psl = curate.load_psl()
+    cases = {
+        # 2nd-level public suffix: a.co.uk / b.co.uk are DISTINCT
+        # registrable domains, their subdomains collapse into them
+        "a.co.uk": "a.co.uk",
+        "deep.sub.a.co.uk": "a.co.uk",
+        "b.co.uk": "b.co.uk",
+        "co.uk": "",          # IS a public suffix
+        "uk": "",
+        "example.com": "example.com",
+        "sub.example.com": "example.com",
+        # private-domain rules
+        "example.github.io": "example.github.io",
+        "deep.example.github.io": "example.github.io",
+        "github.io": "",
+        "b.s3.amazonaws.com": "b.s3.amazonaws.com",
+        "s3.amazonaws.com": "",
+        # wildcard *.ck: any label under ck is a public suffix
+        "x.ck": "",
+        "a.x.ck": "a.x.ck",
+        "ck": "",
+        # exception !www.ck beats the wildcard
+        "www.ck": "www.ck",
+        "a.www.ck": "www.ck",
+        # unknown TLD -> default '*' rule (depth 1)
+        "unknowntld": "",
+        "foo.unknowntld": "foo.unknowntld",
+        "a.b.unknowntld": "b.unknowntld",
+        "": "",
+        "1.2.3.4": "3.4",     # IPs are garbage-in, documented
+    }
+    hosts = np.array(list(cases), dtype=object)
+    got = curate.registrable_domains(hosts, psl)
+    for h, g in zip(hosts, got):
+        assert g == cases[h], (h, g, cases[h])
+
+
+def test_registrable_differential_fuzz(ray_session):
+    """Random host soup through the engine resolver and the SQL CTE
+    twin (same vendored rules, inlined as VALUES) must agree exactly —
+    including empty labels, bare suffixes, wildcard/exception depths
+    and over-deep hosts."""
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    rng = np.random.default_rng(43)
+    labels = ["a", "b", "site7", "www", "x1", "co", "uk", "ck", "com",
+              "github", "io", "org", "unknowntld", "", "s3", "amazonaws"]
+    hosts = [".".join(rng.choice(labels, rng.integers(1, 6)))
+             for _ in range(400)] + ["", "co.uk", "www.ck", "x.ck"]
+    pdf = pd.DataFrame({"rid": range(len(hosts)), "host": hosts})
+    psl = curate.load_psl()
+    got = curate.registrable_domains(
+        np.array(hosts, dtype=object), psl)
+    con = duckdb.connect()
+    con.register("hh", pdf)
+    want = con.execute(f"""
+        WITH {entrymod._psl_ctes_sql()}
+        SELECT rid, rdomain FROM reg ORDER BY rid""").df()
+    assert want["rdomain"].tolist() == list(got)
+
+
+def test_registrable_mode_operators(ray_session):
+    """domain_stats / cap_per_domain / domain_links keyed on
+    registrable domains: co.uk sites stay distinct, subdomains of one
+    registrable domain pool together."""
+    rows = []
+    for i in range(12):
+        rows.append({"doc_id": f"d{i:02d}",
+                     "url": f"http://sub{i % 3}.alpha.co.uk/p{i}",
+                     "text": "tok tok tok",
+                     "html": '<a href="http://x.beta.co.uk/q">y</a>'})
+    for i in range(12, 18):
+        rows.append({"doc_id": f"d{i:02d}",
+                     "url": f"http://beta.co.uk/p{i}",
+                     "text": "tok tok",
+                     "html": '<a href="http://alpha.co.uk/q">y</a>'})
+    ds = ray.data.from_items(rows)
+
+    st = (curate.domain_stats(ds, domain_mode="registrable")
+          .to_pandas().sort_values("domain").reset_index(drop=True))
+    # host mode would yield 4 domains (3 subX.alpha + beta); registrable
+    # pools the alpha subdomains
+    assert st["domain"].tolist() == ["alpha.co.uk", "beta.co.uk"]
+    assert st["n_docs"].tolist() == [12, 6]
+    assert st["total_tokens"].tolist() == [36, 12]
+
+    capped = curate.cap_per_domain(
+        ds, cap=5, domain_mode="registrable").to_pandas()
+    # 5 survivors per REGISTRABLE domain (the 5 smallest doc_ids each)
+    assert sorted(capped["doc_id"]) == [
+        "d00", "d01", "d02", "d03", "d04",
+        "d12", "d13", "d14", "d15", "d16"]
+
+    links = (curate.domain_links(ds, domain_mode="registrable")
+             .to_pandas().sort_values(["src_domain", "dst_domain"])
+             .reset_index(drop=True))
+    assert links.values.tolist() == [
+        ["alpha.co.uk", "beta.co.uk", 12],
+        ["beta.co.uk", "alpha.co.uk", 6]]
+
+    with pytest.raises(ValueError):
+        curate.extract_domain(ds, mode="nope")

@@ -351,3 +351,56 @@ def test_duplicated_spans_property(ray_session, token_lists, k):
         counts.update(s)
     exp = sorted(c for c in counts.values() if c >= 2)
     assert got == exp
+
+
+def test_keyterms_materializes_derived_lineage_once(ray_session):
+    """Round-5 (VERDICT r4 item 7): a DERIVED input lineage must execute
+    exactly once — keyterms auto-materializes it before its df pass,
+    count, and scoring pass.  The upstream map stage counts its own
+    executions through a Ray actor."""
+    import pyarrow as pa
+    import ray
+
+    from iresearch_ray.pipelines import textstats
+
+    @ray.remote
+    class Counter:
+        def __init__(self):
+            self.n = 0
+
+        def inc(self, k):
+            self.n += k
+
+        def get(self):
+            return self.n
+
+    counter = Counter.remote()
+    rows = [{"doc_id": f"d{i}", "text": f"alpha beta tok{i % 5} gamma"}
+            for i in range(40)]
+    base = ray.data.from_items(rows).repartition(4)
+
+    def counted(b: pa.Table) -> pa.Table:
+        ray.get(counter.inc.remote(1))
+        return b
+
+    derived = base.map_batches(counted, batch_format="pyarrow",
+                               batch_size=None)
+    out = textstats.keyterms(derived, n_terms=2).to_pandas()
+    assert len(out) == 40 * 2
+    # 4 blocks -> exactly 4 stage executions; the pre-fix shape ran the
+    # lineage 3x (12)
+    assert ray.get(counter.get.remote()) == 4
+
+    # bare reads / from_items inputs pass through untouched (no
+    # InputData materialization step) — shape check via the plan type
+    from ray.data._internal.logical.operators.input_data_operator import (
+        InputData,
+    )
+    plain = ray.data.from_items(rows)  # AbstractFrom: already in store
+    assert textstats._materialize_derived(plain) is plain
+    # base carries a Repartition op -> derived -> materialized
+    assert isinstance(
+        textstats._materialize_derived(base)._logical_plan.dag, InputData)
+    assert isinstance(
+        textstats._materialize_derived(derived)._logical_plan.dag,
+        InputData)
