@@ -48,12 +48,22 @@ def hash_split(ds, ratios=(0.98, 0.01, 0.01),
     hash_fn = md5_hash_strings if hash == "md5" else stable_hash_strings
 
     def assign(b: pa.Table) -> pa.Table:
-        ids = [str(v) for v in b[id_column].to_pylist()]
+        a = b[id_column].to_numpy(zero_copy_only=False)
+        if a.dtype.kind in "iu":
+            # vectorized decimal rendering == str(int) for every int64,
+            # so the md5 oracle key space is unchanged
+            ids = a.astype("U")
+        else:
+            ids = np.asarray(
+                [v if isinstance(v, str) else str(v) for v in a],
+                dtype=object)
         bucket = (hash_fn(ids) % SPLIT_BUCKETS).astype(np.int64)
         idx = np.searchsorted(bounds, bucket, side="right")
+        # label gather via numpy take — no per-row list indexing
+        lab_arr = np.asarray(labels, dtype=object)
         return pa.table({
             id_column: b[id_column],
-            "split": pa.array([labels[i] for i in idx], pa.string())})
+            "split": pa.array(lab_arr[idx], pa.string())})
 
     return ds.map_batches(
         assign, batch_format="pyarrow",

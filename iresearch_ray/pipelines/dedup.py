@@ -164,10 +164,14 @@ def _grouped_count_min(rows, key_column: str, id_column: str | None,
     re-sampling is exactly what false-tripped the retired round-3 guard
     actor when a caller consumed the lazy result twice).
 
-    ``_presorted`` is a TEST seam: skip the sort and treat the input's
-    existing blocks as the sorted blocking, so adversarial splits (runs
-    straddling hand-built blocks) can be injected — Ray's current
-    partitioner is a pure key function and never produces them."""
+    ``_presorted`` skips the sort and treats the input's existing
+    blocks as the sorted blocking.  Two callers: tests inject
+    adversarial splits (runs straddling hand-built blocks — Ray's
+    partitioner is a pure key function and never produces them), and
+    ``pagerank`` feeds per-iteration contributions that ride a ONE-TIME
+    target-sorted edge table (order-preserving map), so ten iterations
+    pay one sort total.  Callers must guarantee global key order across
+    blocks; straddling runs are fine (boundary repair owns them)."""
     import ray
     import ray.data
 

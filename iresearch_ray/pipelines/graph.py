@@ -19,11 +19,12 @@ table is materialized once and never re-shuffled; each iteration is one
 shuffle-free map_batches over the edges (rank + out-weight vectors
 broadcast via ``ray.put``) followed by ONE keys-only sort+combine
 summing per-target contributions.  Above the guard (or with
-``partitions=`` forced) the rank vector is hash-range-partitioned into
-P object-store refs and edges are co-range-sorted once, so no
-node-sized vector ever lives on the driver or ships whole to a task —
-the ~90M-host Common-Crawl design point runs (10M-node probe in
-SCALE.md).  Both shapes are bit-identical by construction.
+``partitions=`` forced) the rank vector is range-partitioned into P
+object-store refs and edges are co-range-sorted once, so no node-sized
+vector ever lives on the driver — the ~90M-host Common-Crawl design
+point runs (10M-node probe in SCALE.md).  Both shapes target-sort the
+edge table once so every iteration's per-target sum runs PRESORTED (no
+per-iteration all-to-all), and both are bit-identical by construction.
 """
 
 from __future__ import annotations
@@ -54,17 +55,19 @@ def pagerank(edges, src_column: str = "src_domain",
 
     - **broadcast** (node vectors fit ``max_broadcast``): rank +
       out-weight vectors ship via ``ray.put``; each iteration is one
-      shuffle-free map over the integer-ified edges + one int-key
-      sort+combine.
+      shuffle-free map over the integer-ified, TARGET-sorted edge table
+      feeding a PRESORTED boundary-repaired combine — all iterations
+      together pay one sort.
     - **partitioned** (above the guard, or ``partitions=`` forced): the
       rank vector lives as P object-store refs of contiguous node-id
-      ranges; edges are integer-ified ONCE by two range sorts (by dst,
-      then by src) so each edge block joins against the 1-2 node/rank
-      partitions it overlaps; per iteration each contrib task fetches
-      only its overlapping rank partitions, the per-target sum is the
-      same sort+combine, and P small tasks rebuild the next rank
-      partitions.  Driver state is O(P) metadata — a ~90M-host
-      Common-Crawl graph runs without any node-sized driver vector.
+      ranges; edges integer-ify ONCE via two range sorts (by src for
+      ids+out-weights, by dst last so the table ends TARGET-sorted);
+      per iteration the contrib map gathers rank slices piecewise
+      (zero-copy plasma reads of int64 arrays, shared per node), the
+      per-target sum is the presorted combine (no per-iteration
+      all-to-all), and P small tasks rebuild the next rank partitions.
+      Driver state is O(P) metadata — a ~90M-host Common-Crawl graph
+      runs without any node-sized driver vector.
     """
     damping = float(damping)
     edges = edges.materialize()
@@ -156,8 +159,12 @@ def pagerank(edges, src_column: str = "src_domain",
                 zero_copy_only=False).astype(np.float64), pa.float64()),
             "wf": pa.array(wbn[si], pa.float64())})
 
+    # TARGET-sorted once (round 5): contrib emits (ti, c) in iedges' row
+    # order, so a ti-sorted edge table makes every iteration's per-
+    # target sum PRESORTED — the boundary-repaired combine runs with no
+    # per-iteration all-to-all.  Ten iterations pay ONE sort total.
     iedges = edges.map_batches(
-        intify, batch_format="pyarrow").materialize()
+        intify, batch_format="pyarrow").sort("ti").materialize()
 
     # all scalar expressions mirror the SQL oracle byte-for-byte
     units = np.full(n_nodes, np.int64(
@@ -178,9 +185,10 @@ def pagerank(edges, src_column: str = "src_domain",
                              "c": pa.array(c, pa.int64())})
 
         summed = _grouped_count_min(
-            iedges.map_batches(contrib, batch_format="pyarrow"),
+            iedges.map_batches(contrib, batch_format="pyarrow",
+                               batch_size=None),
             "ti", None, count_alias="_c", sum_column="c",
-            sum_alias="csum").to_pandas()
+            sum_alias="csum", _presorted=True).to_pandas()
         dang_mass = int(units[is_dangling].sum())
         dang = np.int64(np.floor(
             (damping * float(dang_mass)) / float(n_nodes) + 0.5))
@@ -277,14 +285,15 @@ def _pagerank_partitioned(edges, nodes_ds, outw_ds, n_nodes, *,
                           max_broadcast, partitions):
     """PageRank past the broadcast ceiling (SCALE.md §4): the rank
     vector is P object-store refs over contiguous ranges of the sorted
-    node-id space; edges integer-ify ONCE via two range sorts (by dst
-    for target ids, then by src for source ids + out-weights) so every
-    edge block joins against only the 1-2 node partitions it overlaps;
-    each iteration is one contrib map fetching only overlapping rank
-    partitions, the shared int-key sort+combine, and P small rebuild
-    tasks.  Driver state is O(P) boundary metadata.  Bit-identical to
-    the broadcast path: same sorted-id assignment, same IEEE scalar
-    expressions, order-free int64 sums."""
+    node-id space; edges integer-ify ONCE via two range sorts (by src
+    for source ids + out-weights, then by dst so the final table is
+    TARGET-sorted) with each attach stage joining only the 1-2 node
+    partitions its sorted block overlaps; each iteration is one contrib
+    map (piecewise zero-copy rank gathers), a PRESORTED boundary-
+    repaired combine (no per-iteration all-to-all — 2.25x on the 10M
+    probe), and P small rebuild tasks.  Driver state is O(P) boundary
+    metadata.  Bit-identical to the broadcast path: same sorted-id
+    assignment, same IEEE scalar expressions, order-free int64 sums."""
     import bisect
 
     from iresearch_ray.pipelines.dedup import _grouped_count_min
@@ -333,38 +342,19 @@ def _pagerank_partitioned(edges, nodes_ds, outw_ds, n_nodes, *,
 
     sc, dc, wc = src_column, dst_column, weight_column
     nrefs_t = tuple(node_refs)
-
-    # pass 1: range-sort by target, attach global target ids
-    def attach_ti(b: pa.Table) -> pa.Table:
-        d = b[dc].to_numpy(zero_copy_only=False)
-        if len(d) == 0:
-            return pa.table({sc: pa.array([], pa.string()),
-                             "ti": pa.array([], pa.int64()),
-                             wc: pa.array([], pa.int64())})
-        p_lo, p_hi = part_of(d[0]), part_of(d[-1])
-        cat = np.concatenate([
-            ray.get(nrefs_t[p])["v"].to_numpy(zero_copy_only=False)
-            for p in range(p_lo, p_hi + 1)])
-        ti = pd.Index(cat).get_indexer(d) + offsets[p_lo]
-        return pa.table({sc: b[sc], "ti": pa.array(ti, pa.int64()),
-                         wc: b[wc]})
-
-    e1 = (edges.sort(dc).map_batches(attach_ti, batch_format="pyarrow",
-                                     batch_size=None))
-
-    # pass 2: range-sort by source, attach source ids + out-weights;
-    # strings leave the pipeline here
     orefs_t = tuple(ow_refs)
 
     def ow_overlap(lo_s, hi_s):
         return [orefs_t[q] for q in range(len(orefs_t))
                 if not (ow_lasts[q] < lo_s or ow_firsts[q] > hi_s)]
 
+    # pass 1: range-sort by SOURCE, attach source ids + out-weights
+    # (batch sorted by src -> the 1-2 node/outw blocks it overlaps)
     def attach_si(b: pa.Table) -> pa.Table:
         s = b[sc].to_numpy(zero_copy_only=False)
         if len(s) == 0:
             return pa.table({"si": pa.array([], pa.int64()),
-                             "ti": pa.array([], pa.int64()),
+                             dc: pa.array([], pa.string()),
                              "nf": pa.array([], pa.float64()),
                              "wf": pa.array([], pa.float64())})
         p_lo, p_hi = part_of(s[0]), part_of(s[-1])
@@ -379,12 +369,36 @@ def _pagerank_partitioned(edges, nodes_ds, outw_ds, n_nodes, *,
         pos = pd.Index(osrc).get_indexer(s)
         return pa.table({
             "si": pa.array(si, pa.int64()),
-            "ti": b["ti"],
+            dc: b[dc],
             "nf": pa.array(b[wc].to_numpy(
                 zero_copy_only=False).astype(np.float64), pa.float64()),
             "wf": pa.array(ow_w[pos].astype(np.float64), pa.float64())})
 
-    iedges = (e1.sort(sc).map_batches(attach_si, batch_format="pyarrow",
+    e1 = (edges.sort(sc).map_batches(attach_si, batch_format="pyarrow",
+                                     batch_size=None))
+
+    # pass 2: range-sort by TARGET, attach target ids; strings leave
+    # the pipeline here.  Ending TI-SORTED is the round-5 perf shape:
+    # contrib preserves row order, so every iteration's per-target sum
+    # runs the PRESORTED boundary-repaired combine — no per-iteration
+    # all-to-all; ten iterations pay these two sorts total.
+    def attach_ti(b: pa.Table) -> pa.Table:
+        d = b[dc].to_numpy(zero_copy_only=False)
+        if len(d) == 0:
+            return pa.table({"si": pa.array([], pa.int64()),
+                             "ti": pa.array([], pa.int64()),
+                             "nf": pa.array([], pa.float64()),
+                             "wf": pa.array([], pa.float64())})
+        p_lo, p_hi = part_of(d[0]), part_of(d[-1])
+        cat = np.concatenate([
+            ray.get(nrefs_t[p])["v"].to_numpy(zero_copy_only=False)
+            for p in range(p_lo, p_hi + 1)])
+        ti = pd.Index(cat).get_indexer(d) + offsets[p_lo]
+        return pa.table({"si": b["si"],
+                         "ti": pa.array(ti, pa.int64()),
+                         "nf": b["nf"], "wf": b["wf"]})
+
+    iedges = (e1.sort(dc).map_batches(attach_ti, batch_format="pyarrow",
                                       batch_size=None).materialize())
 
     dang_refs = []
@@ -407,11 +421,15 @@ def _pagerank_partitioned(edges, nodes_ds, outw_ds, n_nodes, *,
             if len(si) == 0:
                 return pa.table({"ti": pa.array([], pa.int64()),
                                  "c": pa.array([], pa.int64())})
-            p_lo = int(np.searchsorted(offsets, si[0], "right")) - 1
-            p_hi = int(np.searchsorted(offsets, si[-1], "right")) - 1
-            u = np.concatenate([ray.get(_u[p])
-                                for p in range(p_lo, p_hi + 1)])
-            r = u[si - offsets[p_lo]].astype(np.float64)
+            # ti-sorted blocks scatter si across partitions: gather the
+            # rank piecewise — each ray.get is a zero-copy plasma read
+            # of one int64 slice (shared per node, never concatenated)
+            route = np.searchsorted(offsets, si, "right") - 1
+            r = np.empty(len(si), np.float64)
+            for p in np.unique(route):
+                sel = route == p
+                u = ray.get(_u[p])
+                r[sel] = u[si[sel] - offsets[p]].astype(np.float64)
             c = np.floor(((damping * r) * b["nf"].to_numpy())
                          / b["wf"].to_numpy() + 0.5).astype(np.int64)
             return pa.table({"ti": b["ti"], "c": pa.array(c, pa.int64())})
@@ -420,7 +438,7 @@ def _pagerank_partitioned(edges, nodes_ds, outw_ds, n_nodes, *,
             iedges.map_batches(contrib, batch_format="pyarrow",
                                batch_size=None),
             "ti", None, count_alias="_c", sum_column="c",
-            sum_alias="csum").materialize()
+            sum_alias="csum", _presorted=True).materialize()
         srefs = summed.to_arrow_refs()
         sinfo = ray.get([_pr_scan_int.remote(r) for r in srefs])
         dang_mass = int(sum(ray.get(
@@ -442,6 +460,47 @@ def _pagerank_partitioned(edges, nodes_ds, outw_ds, n_nodes, *,
          for p in range(P)])
 
 
+@ray.remote
+def _fr_nbytes(t):
+    """String payload + 8 B/row of a kept-node block (driver never sees
+    the strings)."""
+    return (t["node"].nbytes if t.num_rows else 0) + 8 * t.num_rows
+
+
+@ray.remote
+def _fr_pack(t):
+    """Kept-node block -> contiguous (2, n) uint64 hash matrix (h1
+    sorted) — numeric, so workers read it zero-copy from the object
+    store instead of each unpickling a node-sized string array."""
+    h = np.empty((2, t.num_rows), np.uint64)
+    h[0] = t["h1"].to_numpy()
+    h[1] = t["h2"].to_numpy()
+    return np.ascontiguousarray(h)
+
+
+@ray.remote
+def _fr_scan(h):
+    return (int(h[0, 0]), int(h[0, -1]), h.shape[1]) if h.shape[1] \
+        else None
+
+
+def _member128(block, q1, q2):
+    """Membership of (q1, q2) hash pairs in a (2, n) h1-sorted block.
+    Equal-h1 runs are ~length-1 (128-bit hashes of distinct domains);
+    the general run case falls back to a loop over those rare rows."""
+    h1, h2 = block[0], block[1]
+    lo = np.searchsorted(h1, q1, side="left")
+    hi = np.searchsorted(h1, q1, side="right")
+    member = np.zeros(len(q1), bool)
+    simple = (hi - lo) == 1
+    if simple.any():
+        member[simple] = h2[lo[simple]] == q2[simple]
+    multi = np.flatnonzero((hi - lo) > 1)
+    for i in multi:
+        member[i] = bool((h2[lo[i]:hi[i]] == q2[i]).any())
+    return member
+
+
 def filter_by_domain_rank(ds, ranks, min_rank_units: int,
                           url_column: str = "url",
                           max_broadcast: int = 200_000_000,
@@ -453,34 +512,102 @@ def filter_by_domain_rank(ds, ranks, min_rank_units: int,
     quality-weighting step a crawl pipeline runs after ranking.
 
     The threshold compares int64 fixed-point units, so the decision is
-    exact.  The kept-domain set is node-sized, broadcast sorted under
-    ``max_broadcast``; rows whose domain is absent from the graph (or
-    has no extractable host) drop."""
+    exact.  Rows whose domain is absent from the graph (or has no
+    extractable host) drop.
+
+    Two membership shapes (round 5 — the node-sized ceiling is gone):
+    under ``max_broadcast`` the kept-domain set broadcasts sorted via
+    ``ray.put`` (string compare, exact); above it the kept set re-sorts
+    by 128-bit content hash into P numeric (2, n) uint64 blocks that
+    workers read zero-copy from the object store, and each batch routes
+    its domain hashes to the 1-few blocks they fall in (a false keep
+    needs a 128-bit collision with a kept domain: ~n_kept/2^128).  The
+    driver never materializes the node strings in either shape."""
     import pyarrow.compute as pc
 
+    from iresearch_ray.analysis.minhash import _stable128_packed
     from iresearch_ray.pipelines.curate import extract_domain
     from iresearch_ray.pipelines.dedup import _sorted_member
 
-    kept_tbl = ranks.filter(
+    kept_ds = ranks.filter(
         expr=f"rank_units >= {int(min_rank_units)}").select_columns(
-        ["node"]).to_pandas()
-    kept = np.sort(kept_tbl["node"].to_numpy())
-    payload = int(sum(len(x) for x in kept)) + 8 * len(kept)
-    if payload > max_broadcast:
-        raise ValueError(
-            f"kept-domain set {payload} B exceeds max_broadcast="
-            f"{max_broadcast}; invert to a drop set or partition")
-    ref = ray.put(kept)
-
-    def keep_rows(b: pa.Table) -> pa.Table:
-        doms = b["_rank_domain"].to_numpy(zero_copy_only=False)
-        mask = _sorted_member(ray.get(ref), doms)
-        return b.filter(pa.array(mask)).drop_columns(["_rank_domain"])
+        ["node"]).materialize()
+    payload = int(sum(ray.get(
+        [_fr_nbytes.remote(r) for r in kept_ds.to_arrow_refs()])))
 
     tagged = extract_domain(ds, url_column=url_column,
                             out_column="_rank_domain", mode=domain_mode,
                             psl_path=psl_path)
-    return tagged.map_batches(keep_rows, batch_format="pyarrow")
+
+    if payload <= max_broadcast:
+        kept = np.sort(kept_ds.to_pandas()["node"].to_numpy())
+        ref = ray.put(kept)
+
+        def keep_rows(b: pa.Table) -> pa.Table:
+            doms = b["_rank_domain"].to_numpy(zero_copy_only=False)
+            mask = _sorted_member(ray.get(ref), doms)
+            return b.filter(pa.array(mask)).drop_columns(["_rank_domain"])
+
+        return tagged.map_batches(keep_rows, batch_format="pyarrow")
+
+    # hash-partitioned membership: kept nodes -> (h1, h2) -> h1 sort ->
+    # P numeric blocks; O(P) driver metadata
+    def to_hash(b: pa.Table) -> pa.Table:
+        packed = _stable128_packed(b["node"])
+        return pa.table({"h1": pa.array(packed[:, 0], pa.uint64()),
+                         "h2": pa.array(packed[:, 1], pa.uint64())})
+
+    hrefs = (kept_ds.map_batches(to_hash, batch_format="pyarrow")
+             .sort("h1").materialize().to_arrow_refs())
+    pack_refs, scans = [], []
+    for r in hrefs:
+        p = _fr_pack.remote(r)
+        pack_refs.append(p)
+        scans.append(_fr_scan.remote(p))
+    infos = ray.get(scans)
+    pack_refs = [p for p, i in zip(pack_refs, infos) if i]
+    infos = [i for i in infos if i]
+    if not pack_refs:
+        return tagged.filter(lambda row: False)
+    starts = np.array([i[0] for i in infos], np.uint64)
+    P = len(pack_refs)
+    prefs_t = tuple(pack_refs)
+
+    def keep_rows_hashed(b: pa.Table) -> pa.Table:
+        doms = b["_rank_domain"]
+        n = len(doms)
+        if n == 0:
+            return b.drop_columns(["_rank_domain"])
+        q = _stable128_packed(doms)
+        q1, q2 = q[:, 0], q[:, 1]
+        route = np.clip(
+            np.searchsorted(starts, q1, side="right") - 1, 0, P - 1)
+        member = np.zeros(n, bool)
+        for p in np.unique(route):
+            blk = ray.get(prefs_t[p])
+            sel = route == p
+            m = _member128(blk, q1[sel], q2[sel])
+            # an equal-h1 run straddling a block boundary: probe the
+            # neighbors for queries sitting exactly on a block edge
+            if p > 0:
+                edge = q1[sel] == blk[0, 0]
+                if edge.any():
+                    m[edge] |= _member128(ray.get(prefs_t[p - 1]),
+                                          q1[sel][edge], q2[sel][edge])
+            if p < P - 1:
+                edge = q1[sel] == blk[0, -1]
+                if edge.any():
+                    m[edge] |= _member128(ray.get(prefs_t[p + 1]),
+                                          q1[sel][edge], q2[sel][edge])
+            member[sel] = m
+        # extractionless rows ('') must drop even if '' hashes into
+        # the kept set's range by accident — exact check, not hash
+        empty = pc.equal(doms, "").to_numpy(zero_copy_only=False)
+        member &= ~empty
+        return (b.filter(pa.array(member))
+                .drop_columns(["_rank_domain"]))
+
+    return tagged.map_batches(keep_rows_hashed, batch_format="pyarrow")
 
 
 def domain_rank(ds, html_column: str = "html", url_column: str = "url",

@@ -1270,6 +1270,37 @@ def test_pagerank_partitioned_random_equality(ray_session):
                 == ref["rank_units"].to_numpy()).all(), p
 
 
+def test_filter_by_domain_rank_hashed_path(ray_session):
+    """Past max_broadcast the kept set becomes hash-partitioned numeric
+    blocks (round 5): results must equal the broadcast string path
+    exactly, including extractionless rows and sub-block partitioning."""
+    from iresearch_ray.pipelines import graph
+
+    rng = np.random.default_rng(17)
+    hosts = [f"h{i:03d}.org" for i in range(60)]
+    edges = (pd.DataFrame({
+        "src_domain": rng.choice(hosts[:50], 500),
+        "dst_domain": rng.choice(hosts, 500),
+        "n": rng.integers(1, 5, 500)})
+        .groupby(["src_domain", "dst_domain"], as_index=False)["n"].sum())
+    ranks = graph.pagerank(
+        ray.data.from_pandas(edges), iterations=4).materialize()
+    med = int(ranks.to_pandas()["rank_units"].median())
+    docs = [{"doc_id": i, "url": f"http://{hosts[i % 60]}/p{i}"}
+            for i in range(300)]
+    docs += [{"doc_id": 300, "url": "not a url"},
+             {"doc_id": 301, "url": "http://unknown.net/x"}]
+    ds = ray.data.from_items(docs).repartition(4)
+    a = (graph.filter_by_domain_rank(ds, ranks, med)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (graph.filter_by_domain_rank(ds, ranks, med, max_broadcast=1)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b)
+    assert 300 not in b["doc_id"].tolist()
+    assert 301 not in b["doc_id"].tolist()
+
+
 def test_filter_by_domain_rank(ray_session):
     """Rank-aware curation keeps exactly the docs whose host clears the
     int64 fixed-point threshold; unknown/extractionless hosts drop."""
@@ -1295,10 +1326,12 @@ def test_filter_by_domain_rank(ray_session):
     out2 = graph.filter_by_domain_rank(
         ray.data.from_items(docs), ranks, min_rank_units=0).to_pandas()
     assert sorted(out2["doc_id"]) == [0, 1]
-    with pytest.raises(ValueError):
-        graph.filter_by_domain_rank(ray.data.from_items(docs), ranks,
-                                    min_rank_units=0,
-                                    max_broadcast=4).to_pandas()
+    # past the broadcast guard the hashed membership path runs instead
+    # of raising (round 5) and must agree with the broadcast path
+    out3 = graph.filter_by_domain_rank(ray.data.from_items(docs), ranks,
+                                       min_rank_units=0,
+                                       max_broadcast=4).to_pandas()
+    assert sorted(out3["doc_id"]) == sorted(out2["doc_id"])
 
 
 def test_grouped_count_min_result_is_reconsumable(ray_session):
