@@ -1430,12 +1430,19 @@ def _psl_ctes_sql() -> str:
                    for r in psl[grp]), "PSL rule needs quoting"
     D = psl["depth"] + 1
     ex = ", ".join(f"('{r}')" for r in psl["exact"])
-    wi = ", ".join(f"('{r}')" for r in psl["wild"]) or "('')"
-    xc = ", ".join(f"('{r}')" for r in psl["exc"]) or "('')"
+    # an empty rule group must be an EMPTY relation, not VALUES ('') —
+    # '' is a reachable sfx (hosts with empty labels like '.a'), so the
+    # placeholder row would join where the Python resolver matches nothing
+    wi = (f"SELECT * FROM (VALUES {v}) t(base)"
+          if (v := ", ".join(f"('{r}')" for r in psl["wild"]))
+          else "SELECT '' AS base WHERE false")
+    xc = (f"SELECT * FROM (VALUES {v}) t(rule)"
+          if (v := ", ".join(f"('{r}')" for r in psl["exc"]))
+          else "SELECT '' AS rule WHERE false")
     return f"""
 pslx(rule) AS (VALUES {ex}),
-pslw(base) AS (VALUES {wi}),
-psle(rule) AS (VALUES {xc}),
+pslw(base) AS ({wi}),
+psle(rule) AS ({xc}),
 lab AS (SELECT rid, host, string_split(host, '.') AS ls,
                len(string_split(host, '.')) AS L FROM hh),
 cand AS (SELECT rid, L, ks.k AS k,

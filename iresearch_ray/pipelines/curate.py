@@ -48,14 +48,20 @@ def hash_split(ds, ratios=(0.98, 0.01, 0.01),
     hash_fn = md5_hash_strings if hash == "md5" else stable_hash_strings
 
     def assign(b: pa.Table) -> pa.Table:
-        a = b[id_column].to_numpy(zero_copy_only=False)
-        if a.dtype.kind in "iu":
+        col = b[id_column]
+        a = col.to_numpy(zero_copy_only=False)
+        if a.dtype.kind in "iu" and col.null_count == 0:
             # vectorized decimal rendering == str(int) for every int64,
-            # so the md5 oracle key space is unchanged
+            # so the md5 oracle key space is unchanged.  A null in an
+            # int column makes to_numpy float64 ('1.0'/'nan' keys), so
+            # nullable batches take the exact to_pylist path below —
+            # membership must be a pure function of the id, never of
+            # which batch the id landed in.
             ids = a.astype("U")
         else:
             ids = np.asarray(
-                [v if isinstance(v, str) else str(v) for v in a],
+                [v if isinstance(v, str) else str(v)
+                 for v in col.to_pylist()],
                 dtype=object)
         bucket = (hash_fn(ids) % SPLIT_BUCKETS).astype(np.int64)
         idx = np.searchsorted(bounds, bucket, side="right")

@@ -403,8 +403,7 @@ def _pagerank_partitioned(edges, nodes_ds, outw_ds, n_nodes, *,
 
     dang_refs = []
     for p in range(P):
-        over = [ow_refs[q] for q in range(len(ow_refs))
-                if not (ow_lasts[q] < firsts[p] or ow_firsts[q] > lasts[p])]
+        over = ow_overlap(firsts[p], lasts[p])
         dang_refs.append(_pr_dang_mask.remote(node_refs[p], *over))
 
     # identical scalar expressions to the broadcast path / SQL oracle
@@ -541,6 +540,10 @@ def filter_by_domain_rank(ds, ranks, min_rank_units: int,
 
     if payload <= max_broadcast:
         kept = np.sort(kept_ds.to_pandas()["node"].to_numpy())
+        # extractionless rows ('') must drop even when '' is itself a
+        # ranked node (a caller-built edge list can contain '' endpoints)
+        # — same rule the hashed path applies, so both shapes agree
+        kept = kept[kept != ""]
         ref = ray.put(kept)
 
         def keep_rows(b: pa.Table) -> pa.Table:

@@ -1741,3 +1741,58 @@ def test_domain_links_nul_domains(ray_session):
     # no surviving domain carries the packed-key separator
     assert not got["src_domain"].str.contains("\x00").any()
     assert not got["dst_domain"].str.contains("\x00").any()
+
+
+def test_hash_split_nullable_int_ids(ray_session):
+    """A null in an int id column must not change OTHER rows' split
+    assignment (nullable int -> float64 to_numpy renders '1.0'/'nan'
+    keys; review finding, round 5): membership stays a pure function
+    of the id regardless of batch composition, in both hash modes."""
+    import pyarrow as pa
+
+    from iresearch_ray.pipelines import curate
+
+    with_null = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array([1, 2, None, 4, 5], pa.int64())}))
+    no_null = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array([1, 2, 4, 5], pa.int64())}))
+    for mode in ("md5", "stable"):
+        a = (curate.hash_split(with_null, ratios=(0.5, 0.5),
+                               names=("x", "y"), hash=mode)
+             .to_pandas().dropna(subset=["doc_id"]))
+        b = (curate.hash_split(no_null, ratios=(0.5, 0.5),
+                               names=("x", "y"), hash=mode).to_pandas())
+        ma = a.set_index("doc_id")["split"].sort_index()
+        mb = b.set_index("doc_id")["split"].sort_index()
+        assert ma.index.tolist() == mb.index.tolist()
+        assert ma.tolist() == mb.tolist(), mode
+
+
+def test_filter_by_domain_rank_empty_node_agreement(ray_session):
+    """When '' is itself a ranked node (caller-built edge lists can
+    contain '' endpoints), BOTH membership shapes must still drop
+    extractionless rows and agree exactly (review finding, round 5)."""
+    from iresearch_ray.pipelines import graph
+
+    edges = ray.data.from_items(
+        [{"src_domain": "", "dst_domain": "a.com", "n": 5},
+         {"src_domain": "a.com", "dst_domain": "", "n": 9},
+         {"src_domain": "b.com", "dst_domain": "", "n": 9},
+         {"src_domain": "a.com", "dst_domain": "b.com", "n": 1}])
+    ranks = graph.pagerank(edges, iterations=3).materialize()
+    rdf = ranks.to_pandas()
+    # '' must be the strongest node for the test to bite
+    assert rdf.loc[rdf["node"] == "", "rank_units"].iloc[0] == \
+        rdf["rank_units"].max()
+    docs = [{"doc_id": 0, "url": "http://a.com/x"},
+            {"doc_id": 1, "url": "http://b.com/x"},
+            {"doc_id": 2, "url": "not a url"},      # no extractable host
+            {"doc_id": 3, "url": "http://c.com/x"}]  # unranked
+    ds = ray.data.from_items(docs)
+    lo = int(rdf["rank_units"].min())
+    a = (graph.filter_by_domain_rank(ds, ranks, lo)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (graph.filter_by_domain_rank(ds, ranks, lo, max_broadcast=1)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert a["doc_id"].tolist() == [0, 1]

@@ -115,3 +115,36 @@ def test_registrable_mode_operators(ray_session):
 
     with pytest.raises(ValueError):
         curate.extract_domain(ds, mode="nope")
+
+
+def test_psl_empty_rule_group_sql_twin(monkeypatch):
+    """A PSL with NO wildcard/exception rules must compile to an EMPTY
+    relation in the SQL twin, not a VALUES ('') placeholder: '' is a
+    reachable k-label suffix (hosts with empty labels like '.a'), so
+    the placeholder row would join where the Python resolver matches
+    nothing (review finding, round 5)."""
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    fake = {"exact": pd.Index(["com"], dtype=object),
+            "wild": pd.Index([], dtype=object),
+            "exc": pd.Index([], dtype=object),
+            "depth": 1}
+    monkeypatch.setattr(curate, "load_psl",
+                        lambda psl_path=None: fake)
+    hosts = [".a", "a..b", "x.com", "com", "", "y.x.com", ".", "..",
+             "a.", "b.com."]
+    got = list(curate.registrable_domains(
+        np.array(hosts, dtype=object), fake))
+    pdf = pd.DataFrame({"rid": range(len(hosts)), "host": hosts})
+    con = duckdb.connect()
+    con.register("hh", pdf)
+    want = con.execute(f"""
+        WITH {entrymod._psl_ctes_sql()}
+        SELECT rid, rdomain FROM reg ORDER BY rid""").df()
+    assert want["rdomain"].tolist() == got
+    # the specific divergence the placeholder caused: '.a' resolves via
+    # the default depth-1 rule to registrable '.a', never via a
+    # phantom ''-wildcard to depth 2
+    assert got[hosts.index(".a")] == ".a"
