@@ -606,7 +606,10 @@ class _PreparedPhrase(Prepared):
             # dense-mark intersection: mark the rarest part's keys in a
             # boolean table, gather the others — O(occ) with no
             # per-element binary search (searchsorted is ~40ns/element;
-            # this is one vectorized scatter + gathers)
+            # this is one vectorized scatter + gathers).  A fresh
+            # np.zeros per part is deliberate: calloc's lazily-zeroed
+            # pages beat a reused scratch that needs an extra un-scatter
+            # pass (measured interleaved, 34.4 vs 37.5 ms HighPhrase)
             keys = parts[0]
             for k in parts[1:]:
                 mark = np.zeros(dense, dtype=bool)
@@ -621,10 +624,18 @@ class _PreparedPhrase(Prepared):
                 if len(keys) == 0:
                     return _empty(self.sp.dtype)
         match_docs = keys >> pb
-        # match_docs is sorted: boundary-diff unique beats np.unique's sort
-        bounds = np.flatnonzero(np.r_[True, match_docs[1:] != match_docs[:-1]])
-        u_docs = match_docs[bounds]
-        phrase_freq = np.diff(np.r_[bounds, len(match_docs)])
+        # match_docs is sorted: boundary-diff unique beats np.unique's
+        # sort.  Explicit empty+fill, not np.r_ — np.r_ is ~35us of
+        # Python per call, 2 calls per segment execute
+        idx = np.flatnonzero(match_docs[1:] != match_docs[:-1])
+        starts = np.empty(len(idx) + 1, np.int64)
+        starts[0] = 0
+        starts[1:] = idx + 1
+        u_docs = match_docs[starts]
+        ends = np.empty_like(starts)
+        ends[:-1] = starts[1:]
+        ends[-1] = len(match_docs)
+        phrase_freq = ends - starts
         scores = self.sp.score(phrase_freq, seg.reader.doc_len[u_docs - 1], seg.tiny)
         return u_docs, scores
 
