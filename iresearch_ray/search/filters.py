@@ -75,7 +75,11 @@ def union_sum(docs_list, scores_list, counts_needed=False, dtype=np.float32):
     u_docs = docs[starts]
     u_scores = np.add.reduceat(scores, starts).astype(dtype, copy=False)
     if counts_needed:
-        return u_docs, u_scores, np.diff(np.r_[starts, len(docs)])
+        # explicit empty+fill, not np.r_ (~35us of Python per call)
+        ends = np.empty(len(starts), np.int64)
+        ends[:-1] = starts[1:]
+        ends[-1] = len(docs)
+        return u_docs, u_scores, ends - starts
     return u_docs, u_scores
 
 
@@ -792,7 +796,11 @@ class _PreparedNgramSim(Prepared):
         # longest strictly-increasing subsequence of qidx per doc
         order = np.lexsort((-q, p, d))
         d, q = d[order], q[order]
-        bounds = np.r_[0, np.flatnonzero(d[1:] != d[:-1]) + 1, len(d)]
+        idx = np.flatnonzero(d[1:] != d[:-1])
+        bounds = np.empty(len(idx) + 2, np.int64)  # not np.r_: ~35us/call
+        bounds[0] = 0
+        bounds[1:-1] = idx + 1
+        bounds[-1] = len(d)
         starts, lens = bounds[:-1], np.diff(bounds)
         # kernel choice is a SIZE crossover, measured interleaved on the
         # 200k-doc bench: the bitmask DP pays ~10 whole-array numpy ops
