@@ -148,3 +148,46 @@ def test_psl_empty_rule_group_sql_twin(monkeypatch):
     # the default depth-1 rule to registrable '.a', never via a
     # phantom ''-wildcard to depth 2
     assert got[hosts.index(".a")] == ".a"
+
+
+def test_psl_random_rulefile_differential_fuzz(monkeypatch, tmp_path):
+    """Random RULE FILES (not just random hosts): the placeholder bug
+    this round was a rule-file-shape issue (no wildcard rules), so fuzz
+    the generator over random exact/wildcard/exception mixes — sparse
+    groups included — against the SQL twin on an adversarial host soup."""
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    labels = ["com", "uk", "co", "a", "b", "x1", "io", "gov"]
+    rng = np.random.default_rng(7)
+    for trial in range(6):
+        n_exact = int(rng.integers(1, 5))
+        n_wild = int(rng.integers(0, 3))   # 0 exercises the empty group
+        n_exc = int(rng.integers(0, 2))
+        mk = lambda k: ".".join(rng.choice(labels, int(k)))
+        exact = {mk(rng.integers(1, 3)) for _ in range(n_exact)}
+        wild = {mk(rng.integers(1, 2)) for _ in range(n_wild)}
+        # an exception only means something under a wildcard base
+        exc = {f"{rng.choice(labels)}.{w}"
+               for w in list(wild)[:n_exc]} if wild else set()
+        p = tmp_path / f"psl{trial}.dat"
+        p.write_text("// fuzz\n" + "\n".join(
+            sorted(exact) + [f"*.{w}" for w in sorted(wild)]
+            + [f"!{e}" for e in sorted(exc)]) + "\n")
+        psl = curate.load_psl(str(p))
+        monkeypatch.setattr(curate, "load_psl",
+                            lambda psl_path=None, _p=psl: _p)
+        hosts = [".".join(rng.choice(labels + [""], int(rng.integers(1, 5))))
+                 for _ in range(300)] + ["", ".", "..", ".com", "com."]
+        got = list(curate.registrable_domains(
+            np.array(hosts, dtype=object), psl))
+        pdf = pd.DataFrame({"rid": range(len(hosts)), "host": hosts})
+        con = duckdb.connect()
+        con.register("hh", pdf)
+        want = con.execute(f"""
+            WITH {entrymod._psl_ctes_sql()}
+            SELECT rid, rdomain FROM reg ORDER BY rid""").df()
+        assert want["rdomain"].tolist() == got, (
+            trial, sorted(exact), sorted(wild), sorted(exc))
+        monkeypatch.undo()
