@@ -477,7 +477,10 @@ def exact_dedup_groups(ds, text_column: str = "text",
             # the Arrow column goes straight to the vectorized hasher
             key = stable_hash_strings128(b[text_column])
         else:
-            key = pa.array(_md5_hex(b[text_column].to_pylist()))
+            # explicit type: an empty block would infer null and break
+            # schema unification under the downstream range sort
+            key = pa.array(_md5_hex(b[text_column].to_pylist()),
+                           type=pa.string())
         return pa.table({"text_hash": key, id_column: b[id_column]})
 
     hashed = ds.map_batches(hash_batch, batch_format="pyarrow")
@@ -496,7 +499,8 @@ def fingerprint_dedup_groups(ds, text_column: str = "text",
         def __call__(self, b: pa.Table) -> pa.Table:
             fps = [hashlib.md5(" ".join(sorted(self.analyzer.tokens(t))).encode()).hexdigest()
                    for t in b[text_column].to_pylist()]
-            return pa.table({"fingerprint": pa.array(fps), id_column: b[id_column]})
+            return pa.table({"fingerprint": pa.array(fps, type=pa.string()),
+                             id_column: b[id_column]})
 
     hashed = ds.map_batches(StatelessBatchFn(FpBatch), batch_format="pyarrow")
     return _grouped_count_min(hashed, "fingerprint", id_column)
@@ -1049,9 +1053,12 @@ def rolling_doc_fingerprints(ds, text_column: str = "text",
             th = (hasher(dict_np)[codes] if len(dict_np)
                   else np.empty(0, np.uint64))
             d, f = rolling_fingerprints(th, offs, k=k, sample_mod=sample_mod)
-            ids = b[id_column].to_numpy()
-            return pa.table({id_column: pa.array(ids[d]),
-                             "fingerprint": pa.array(f.view(np.int64))})
+            ids = b[id_column].to_numpy(zero_copy_only=False)
+            # explicit id type: an all-tokenless batch yields an empty
+            # slice that pa.array would otherwise infer as null-typed
+            return pa.table({
+                id_column: pa.array(ids[d], type=b[id_column].type),
+                "fingerprint": pa.array(f.view(np.int64))})
 
     return ds.map_batches(
         StatelessBatchFn(FpBatch), batch_format="pyarrow",
@@ -1188,21 +1195,22 @@ def dedup_keep_first(pairs_df: pd.DataFrame, all_ids: np.ndarray) -> np.ndarray:
     KEEP (min id per duplicate component).  Candidate pairs are the output
     of `minhash_lsh_pairs` — bounded by true near-dup volume, not corpus
     size, so driver-side is safe (documented assumption)."""
-    parent: dict = {}
-
-    def find(x):
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    for a, b in zip(pairs_df["id_a"], pairs_df["id_b"]):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-    drop = {x for x in parent if find(x) != x}
+    drop = dedup_drop_set(pairs_df)
     return np.array([i for i in all_ids if i not in drop], dtype=all_ids.dtype)
+
+
+def _int_ids(col) -> np.ndarray:
+    """Embedding-pair ids must be integers (the pair tables and the
+    id_a < id_b ordering are int64 by contract): validate loudly instead
+    of letting astype crash confusingly on 'doc_0001' or silently turn
+    digit STRINGS into ints that no longer join back to the corpus."""
+    ids = col.to_numpy(zero_copy_only=False)
+    if len(ids) and ids.dtype.kind not in "iu":
+        raise ValueError(
+            f"embedding near-dup requires an integer id column, got "
+            f"{col.type}; map string ids to int64 (e.g. a dense index "
+            "or stable_hash_strings) before pairing")
+    return ids.astype(np.int64, copy=False)
 
 
 def _exact_pairs_blocked(ds, threshold: float, id_column: str,
@@ -1221,7 +1229,7 @@ def _exact_pairs_blocked(ds, threshold: float, id_column: str,
 
     @ray.remote
     def _norm_block(t: pa.Table):
-        ids = t[id_column].to_numpy(zero_copy_only=False)
+        ids = _int_ids(t[id_column])
         M = _as_matrix(t[vec_column], dtype)
         Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
         return ids, Mn
@@ -1232,7 +1240,7 @@ def _exact_pairs_blocked(ds, threshold: float, id_column: str,
     block_refs = [_norm_block.remote(r) for r in refs]
 
     def batch_pairs(t: pa.Table) -> pa.Table:
-        ids = t[id_column].to_numpy(zero_copy_only=False)
+        ids = _int_ids(t[id_column])
         out_a = [np.empty(0, np.int64)]
         out_b = [np.empty(0, np.int64)]
         out_c = [np.empty(0, np.float64)]
@@ -1407,9 +1415,8 @@ def embedding_neardup_pairs(ds, threshold: float = 0.9,
                     return _empty_pairs_table()
                 buckets = t["bucket"].to_numpy()
                 skip = ray.get(sref)
-                ids_all = t[id_column].to_numpy(
-                    zero_copy_only=False).astype(np.int64)
-                Mn = _as_matrix(t[vec_column], np.float32)
+                ids_all = _int_ids(t[id_column])
+                Mn = _as_matrix(t[vec_column], dtype)
                 Mn = Mn / np.maximum(
                     np.linalg.norm(Mn, axis=1, keepdims=True), 1e-30)
                 starts = np.flatnonzero(
@@ -1471,7 +1478,7 @@ def embedding_neardup_pairs(ds, threshold: float = 0.9,
                     parts.append(_exact_pairs_blocked(
                         straddled_rows.map_batches(keep_one_straddled,
                                                    batch_format="pyarrow"),
-                        threshold, id_column, vec_column, np.float32,
+                        threshold, id_column, vec_column, dtype,
                         concurrency))
         if len(degen_keys) > 64:
             raise ValueError(
@@ -1506,7 +1513,7 @@ def embedding_neardup_pairs(ds, threshold: float = 0.9,
 
             parts.append(_exact_pairs_blocked(
                 degen_rows.map_batches(keep_one, batch_format="pyarrow"),
-                threshold, id_column, vec_column, np.float32, concurrency))
+                threshold, id_column, vec_column, dtype, concurrency))
         res = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
         # each vector lives in exactly ONE sign-LSH bucket, so pairs are
         # already unique; materialize (output-sized) before the scratch
@@ -1577,10 +1584,11 @@ def duplicated_spans(ds, text_column: str = "text", id_column: str = "doc_id",
     the whole cost; the combine is one vector sweep), because the
     aggregate path materializes every one-doc group before filtering.
 
-    The combine is exact because Ray's sort range-partitions rows by
-    ``searchsorted`` over sampled boundaries — a pure function of the
-    key — so a run of equal span hashes can never straddle two blocks
-    (and ``batch_size=None`` keeps map_batches from splitting a block).
+    The combine is exact at ANY key skew: equal-hash runs CAN straddle
+    block boundaries (observed at a 2.4M-row hot key — sampled sort
+    boundaries split runs), and :func:`_grouped_count_min`'s
+    boundary-run repair merges the edge pieces through
+    <=2-rows-per-block driver partials; interior runs combine locally.
     """
     spans = ds.map_batches(
         StatelessBatchFn(_SpanHashBatch, dict(
@@ -2049,6 +2057,15 @@ def dedup_corpus(ds, pairs=None, id_column: str = "doc_id",
     def _ids(col) -> np.ndarray:
         t = col.type
         if pa.types.is_string(t) or pa.types.is_large_string(t):
+            import pyarrow.compute as pc
+
+            if len(col) and pc.max(
+                    pc.count_substring(col, "\x00")).as_py():
+                # fixed-width unicode ndarrays ALIAS values differing
+                # only by trailing NULs ('x' == 'x\x00' after storage) —
+                # the NUL-key class the round-4 sweep targets; exact
+                # object compares for NUL-bearing id columns
+                return np.asarray(col.to_pylist(), dtype=object)
             # unicode ndarray: numpy compares mixed-width exactly; an
             # object array would fall back to per-element Python compare
             return np.asarray(col.to_pylist())

@@ -1796,3 +1796,56 @@ def test_filter_by_domain_rank_empty_node_agreement(ray_session):
          .to_pandas().sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
     assert a["doc_id"].tolist() == [0, 1]
+
+
+def test_dedup_hash_stages_survive_empty_and_tokenless_blocks(ray_session):
+    """Empty blocks (and all-tokenless batches with string ids) must not
+    infer null-typed key/id columns — mixed schemas break the downstream
+    range sort (review findings, round 5)."""
+    import pyarrow as pa
+
+    rows = [{"doc_id": f"d{i}", "text": f"alpha beta gamma delta {i}"}
+            for i in range(4)]
+    ds = ray.data.from_pandas(pd.DataFrame(rows)).repartition(4)
+
+    def empty_some(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        if any(i in ("d0", "d1") for i in ids):
+            return b.slice(0, 0)  # an EMPTY block, schema intact
+        return b
+
+    holey = ds.map_batches(empty_some, batch_format="pyarrow")
+    out = dedup.exact_dedup_groups(holey, hash="md5").to_pandas()
+    assert sorted(out["keep_id"]) == ["d2", "d3"]
+    out = dedup.fingerprint_dedup_groups(holey).to_pandas()
+    assert sorted(out["keep_id"]) == ["d2", "d3"]
+    # all-tokenless batch with STRING ids through the fingerprint mapper
+    blank = ray.data.from_pandas(pd.DataFrame(
+        [{"doc_id": "e0", "text": ""}, {"doc_id": "e1", "text": "  "}]))
+    import pyarrow as pa2
+    got_ds = dedup.rolling_doc_fingerprints(blank, k=3).materialize()
+    assert got_ds.count() == 0  # no fingerprints, but schema stays clean
+    sch = got_ds.schema()
+    assert sch.base_schema.field("doc_id").type == pa2.string()
+
+
+def test_dedup_corpus_nul_bearing_string_ids(ray_session):
+    """Ids differing only by a trailing NUL alias in fixed-width numpy
+    unicode arrays ('x' == 'x\\x00' after storage): the drop-set scan
+    must compare exactly (review finding, round 5)."""
+    rows = [{"doc_id": "x", "text": "t"},
+            {"doc_id": "x\x00", "text": "t"},
+            {"doc_id": "y", "text": "u"}]
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    pairs = ray.data.from_items([{"id_a": "x", "id_b": "x\x00"}])
+    out = dedup.dedup_corpus(ds, pairs=pairs).to_pandas()
+    assert sorted(out["doc_id"].tolist()) == ["x", "y"]
+
+
+def test_embedding_neardup_rejects_string_ids(ray_session):
+    ds = ray.data.from_items(
+        [{"vec_id": "doc_a", "embedding": [1.0, 0.0]},
+         {"vec_id": "doc_b", "embedding": [1.0, 0.0]}])
+    with pytest.raises(Exception) as ei:
+        dedup.embedding_neardup_pairs(ds, threshold=0.9).to_pandas()
+    assert "integer id column" in str(ei.value)
