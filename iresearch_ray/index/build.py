@@ -39,7 +39,9 @@ import pyarrow.parquet as pq
 from iresearch_ray.analysis import get_analyzer
 from iresearch_ray.analysis.tokenizers import flatten_batch, flatten_batch_arrow
 from iresearch_ray.index import manifest as manifest_mod
-from iresearch_ray.index.segment import META_FILE, SegmentWriter, analyzer_config_hash
+from iresearch_ray.index.segment import (META_FILE, TERMS_FILE,
+                                          SegmentWriter,
+                                          analyzer_config_hash)
 
 DEFAULT_TARGET_DOCS = 50_000
 TOKENIZE_BATCH_ROWS = 4096
@@ -97,6 +99,11 @@ def _lineage(spec: dict, analyzer_cfg: dict, text_column: str, key_column: str,
              norm_feature: str | None = None) -> dict:
     lin = {
         "file": os.path.basename(str(spec["file"])),
+        # size pins the CONTENT, not just the name: a same-named file
+        # regenerated with different text must invalidate resume (the
+        # basename stays deliberately path-free so a wholesale-moved
+        # dataset directory still resumes)
+        "file_bytes": int(os.path.getsize(str(spec["file"]))),
         "row_groups": [int(g) for g in spec["row_groups"]],
         "row_start": int(spec["row_start"]),
         "num_rows": int(spec["num_rows"]),
@@ -437,7 +444,10 @@ def build_index(paths, index_dir: str, analyzer: str = "unicode",
             num_cpus=cpus_per_task, batch_format="numpy")
     else:
         task = _SegmentTaskFn(ctor)
+        # pass the cap in task mode too: a caller throttling memory-bound
+        # build tasks (concurrency=2) must not be silently autoscaled
         stats_ds = ds.map_batches(task, batch_size=1, num_cpus=cpus_per_task,
+                                  concurrency=min(concurrency, len(specs)),
                                   batch_format="numpy")
     rows = stats_ds.take_all()  # one small row per segment
     rows.sort(key=lambda r: r["segment_id"])
@@ -548,7 +558,7 @@ def term_stats_dataset(index_dir: str, generation: int | None = None):
     from ray.data.aggregate import Sum
 
     man = manifest_mod.load(index_dir, generation)
-    files = [os.path.join(index_dir, s["segment_id"], "terms.parquet")
+    files = [os.path.join(index_dir, s["segment_id"], TERMS_FILE)
              for s in man["segments"]]
     ds = ray.data.read_parquet(files, columns=["term", "df", "ttf"])
     return ds.groupby("term").aggregate(Sum("df", alias_name="df"),

@@ -36,6 +36,10 @@ from iresearch_ray.index import codec
 from iresearch_ray.util import nul_safe_factorize
 
 TERMS_FILE = "terms.parquet"
+# fuzzy/wildcard char-matrix row cap: one mega-token must not allocate
+# n_terms x its length (see SegmentReader.term_chars); far above any
+# realistic fuzzy query length (reference/Lucene cap terms near 255)
+TERM_CHARS_MAX_WIDTH = 512
 DOCMAP_FILE = "docmap.parquet"
 COLUMNS_FILE = "columns.parquet"  # stored-field columnstore (optional)
 META_FILE = "segment.json"
@@ -69,6 +73,31 @@ def _large_list_array(values: np.ndarray, offsets: np.ndarray) -> pa.Array:
     child = pa.array(np.ascontiguousarray(values, dtype=np.int64), type=pa.int64())
     return pa.LargeListArray.from_arrays(
         pa.array(np.ascontiguousarray(offsets, dtype=np.int64), type=pa.int64()), child)
+
+
+def _np_keys(keys) -> np.ndarray:
+    """Doc-key list -> ndarray WITHOUT numpy's fixed-width string dtypes:
+    a '<U' array strips trailing NULs on .tolist() ('x\\x00' -> 'x'),
+    silently colliding distinct keys — the NUL-key class the factorize
+    sweep protects terms against.  Numeric keys stay zero-copy."""
+    a = np.asarray(keys)
+    if a.dtype.kind in "US":
+        a = np.asarray(keys, dtype=object)
+    return a
+
+
+def prefix_upper_bound(prefix: str) -> str | None:
+    """Smallest string greater than EVERY string with this prefix —
+    the exclusive upper bound for a sorted-dictionary prefix scan.
+    ``prefix + '\\U0010FFFF'`` is NOT it: a term like
+    ``prefix + '\\U0010FFFF' + 'x'`` sorts after that sentinel and a
+    prefix query would miss it.  Increment the last incrementable code
+    point instead; ``None`` = unbounded (prefix is all U+10FFFF)."""
+    for i in range(len(prefix) - 1, -1, -1):
+        c = ord(prefix[i])
+        if c < 0x10FFFF:
+            return prefix[:i] + chr(c + 1)
+    return None
 
 
 def analyzer_config_hash(config: dict) -> str:
@@ -129,7 +158,7 @@ class SegmentWriter:
         if "payload" in flat:  # PAY feature: per-occurrence bytes
             self._payload_chunks.append(flat["payload"])
         self._doc_len_chunks.append(flat["doc_len"])
-        self._key_chunks.append(np.asarray(keys))
+        self._key_chunks.append(_np_keys(keys))
         self._num_docs += n
 
     def add_batch_coded(self, flat: dict, keys) -> None:
@@ -146,7 +175,7 @@ class SegmentWriter:
         self._doc_chunks.append(flat["doc_idx"] + (self._num_docs + 1))
         self._pos_chunks.append(flat["position"])
         self._doc_len_chunks.append(flat["doc_len"])
-        self._key_chunks.append(np.asarray(keys))
+        self._key_chunks.append(_np_keys(keys))
         self._num_docs += n
 
     def flush(self, out_dir: str) -> dict:
@@ -317,13 +346,15 @@ def encode_postings_table(uniques: np.ndarray, term_post_offs: np.ndarray,
     n_terms = len(uniques)
     t_starts = term_post_offs[:-1]
     df = np.diff(term_post_offs)
+    if len(freqs) and (df == 0).any():
+        # reduceat can't handle empty groups (and raises an opaque
+        # IndexError when the LAST group is empty — check FIRST so the
+        # named diagnostic always wins); merge never produces them
+        raise ValueError("empty posting list for a dictionary term")
     ttf = (np.add.reduceat(freqs, t_starts) if len(freqs)
            else np.empty(0, dtype=np.int64))
     if n_terms and len(freqs) == 0:
         ttf = np.zeros(n_terms, dtype=np.int64)
-    elif len(freqs) and (df == 0).any():
-        # reduceat can't handle empty groups; merge never produces them
-        raise ValueError("empty posting list for a dictionary term")
     max_freq = (codec.block_max_reduce(freqs, term_post_offs)
                 if len(freqs) else np.empty(0, dtype=np.int64))
     if n_terms and len(freqs) == 0:
@@ -479,10 +510,19 @@ def write_segment_dir(index_dir: str, segment_id: str, terms: pa.Table,
             json.dump(meta, f, indent=1)
         if os.path.isdir(final):
             # stale content from an older lineage (e.g. analyzer change):
-            # replace it; duplicate concurrent attempts write identical bytes
-            # (deterministic build), so last-wins is safe
+            # move it ASIDE atomically instead of rmtree(final) —
+            # rmtree->replace leaves a window where a reader sees NO
+            # segment, and a concurrent duplicate writer's rmtree can
+            # race FileNotFoundError / ENOTEMPTY.  os.replace onto the
+            # trash name is atomic; duplicate attempts write identical
+            # bytes (deterministic build), so last-wins stays safe.
             import shutil
-            shutil.rmtree(final)
+            trash = tempfile.mkdtemp(dir=index_dir, prefix=".stale-")
+            try:
+                os.replace(final, os.path.join(trash, "old"))
+            except FileNotFoundError:
+                pass  # a concurrent duplicate already swapped it
+            shutil.rmtree(trash, ignore_errors=True)
         os.replace(tmp, final)
     except BaseException:
         import shutil
@@ -534,10 +574,27 @@ class SegmentReader:
                 self._term_chars = (np.empty((0, 0), dtype=np.int32),
                                     np.empty(0, dtype=np.int64))
             else:
-                u = t.astype("U")  # U<maxlen>, NUL-padded
+                import pyarrow.compute as pc
+
+                # EXACT code-point lengths from Arrow: np.char.str_len
+                # undercounts terms with trailing NULs (numpy U-dtype
+                # padding is NUL), which would let fuzzy distance treat
+                # 'a' and 'a\x00' as the same term
+                lens = pc.utf8_length(
+                    self.terms_table["term"]).to_numpy().astype(np.int64)
+                u = t.astype("U")  # U<maxlen>, NUL-padded (interior exact)
                 width = u.dtype.itemsize // 4
+                if width > TERM_CHARS_MAX_WIDTH:
+                    # one outlier mega-token must not allocate an
+                    # n_terms x width matrix (1M x 4096 int32 = 16 GB):
+                    # clip ROWS, keep exact lens — the fuzzy length
+                    # prefilter excludes clipped terms unless the query
+                    # itself is ~width chars (guarded loudly there)
+                    u = np.asarray(
+                        [s[:TERM_CHARS_MAX_WIDTH] for s in t],
+                        dtype=f"U{TERM_CHARS_MAX_WIDTH}")
+                    width = TERM_CHARS_MAX_WIDTH
                 mat = u.view(np.uint32).reshape(len(t), width).astype(np.int32)
-                lens = np.char.str_len(u).astype(np.int64)
                 self._term_chars = (mat, lens)
         return self._term_chars
 
@@ -628,7 +685,9 @@ class SegmentReader:
     def prefix_range(self, prefix: str) -> tuple[int, int]:
         t = self.terms
         i = int(np.searchsorted(t, prefix, side="left"))
-        j = int(np.searchsorted(t, prefix + "\U0010FFFF", side="right"))
+        hi = prefix_upper_bound(prefix)
+        j = (len(t) if hi is None
+             else int(np.searchsorted(t, hi, side="left")))
         return i, max(i, j)
 
     def df(self, idx: int) -> int:

@@ -51,10 +51,13 @@ def wildcard_to_regex(pattern: str, any_char: str = "_", any_str: str = "%") -> 
 
 def match_wildcard(terms: np.ndarray, pattern: str) -> np.ndarray:
     """Indices of `terms` (sorted object array) matching the %/_ pattern."""
+    from iresearch_ray.index.segment import prefix_upper_bound
+
     prefix = wildcard_literal_prefix(pattern)
     lo = int(np.searchsorted(terms, prefix, side="left")) if prefix else 0
-    hi = (int(np.searchsorted(terms, prefix + "\U0010FFFF", side="right"))
-          if prefix else len(terms))
+    ub = prefix_upper_bound(prefix) if prefix else None
+    hi = (len(terms) if ub is None
+          else int(np.searchsorted(terms, ub, side="left")))
     rx = wildcard_to_regex(pattern)
     m = rx.match
     return np.array([i for i in range(lo, hi) if m(terms[i])], dtype=np.int64)
@@ -166,9 +169,13 @@ def match_fuzzy(terms: np.ndarray, probe: str, max_d: int,
     and bounds the dictionary scan.
     """
     if prefix_len:
+        from iresearch_ray.index.segment import prefix_upper_bound
+
         prefix = probe[:prefix_len]
         lo = int(np.searchsorted(terms, prefix, side="left"))
-        hi = int(np.searchsorted(terms, prefix + "\U0010FFFF", side="right"))
+        ub = prefix_upper_bound(prefix)
+        hi = (len(terms) if ub is None
+              else int(np.searchsorted(terms, ub, side="left")))
     else:
         lo, hi = 0, len(terms)
     window = terms[lo:hi]

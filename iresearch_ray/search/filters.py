@@ -1134,11 +1134,15 @@ class FuzzyFilter(_ExpansionFilter):
         segment's CACHED char matrix (r.term_chars) — no per-term Python
         work at query time (the reference's parametric-DFA-over-FST walk
         traded for numpy sweeps over the resident dictionary)."""
+        from iresearch_ray.index.segment import prefix_upper_bound
+
         terms = r.terms
         if self.prefix_len:
             prefix = self.term[:self.prefix_len]
             lo = int(np.searchsorted(terms, prefix, side="left"))
-            hi = int(np.searchsorted(terms, prefix + "\U0010FFFF", side="right"))
+            ub = prefix_upper_bound(prefix)
+            hi = (len(terms) if ub is None
+                  else int(np.searchsorted(terms, ub, side="left")))
         else:
             lo, hi = 0, len(terms)
         if hi <= lo:
@@ -1149,6 +1153,15 @@ class FuzzyFilter(_ExpansionFilter):
                               <= self.max_distance)
         if not len(feas):
             return np.empty(0, dtype=np.int64)
+        if (len(self.term) + self.max_distance > mat.shape[1]
+                and (lens_w[feas] > mat.shape[1]).any()):
+            # the char matrix clips rows at TERM_CHARS_MAX_WIDTH; a
+            # feasible term longer than the matrix would DP over
+            # truncated chars — refuse loudly (only reachable with a
+            # ~512-char fuzzy probe against a same-length mega-token)
+            raise ValueError(
+                f"fuzzy probe of {len(self.term)} chars exceeds the "
+                f"term char-matrix width {mat.shape[1]}")
         d = automaton.levenshtein_from_matrix(mat[lo:hi][feas], lens_w[feas],
                                               self.term, self.max_distance)
         return lo + feas[d <= self.max_distance]

@@ -340,3 +340,96 @@ def test_norm_feature_hash_helper_depth_and_c_callables():
     for bound in (_re.compile("a+").match, {"a": 1}.get):
         with _pytest.raises(ValueError):
             _stable_fn_hash(mk(bound))
+
+
+def test_nul_and_overlong_terms_exact(tmp_path):
+    """Round-5 review fixes: (a) doc keys with trailing NULs survive the
+    writer intact; (b) term_chars lens are EXACT code-point counts, so
+    'a' and 'a\\x00' are distinct to fuzzy matching; (c) a mega-token
+    caps the char-matrix width instead of inflating n_terms x len; (d)
+    prefix_range's upper bound admits prefix+U10FFFF+more."""
+    from iresearch_ray.index.segment import TERM_CHARS_MAX_WIDTH
+    from iresearch_ray.search.filters import FuzzyFilter
+
+    ana = get_analyzer("delimiter", delimiter="|")
+    texts = ["a\x00|a|" + "z" * 600,
+             "pre\U0010FFFFx|pre\U0010FFFF|prefix"]
+    keys = ["k", "k\x00"]
+    w = SegmentWriter("seg-000", ana.config())
+    w.add_batch(flatten_batch(ana, texts), keys)
+    idx_dir = str(tmp_path)
+    w.flush(idx_dir)
+    r = SegmentReader(f"{idx_dir}/seg-000")
+    # (a) writer preserved both keys distinctly
+    assert list(r.keys) == ["k", "k\x00"]
+    # (b) exact lens: 'a' is 1 char, 'a\x00' is 2
+    mat, lens = r.term_chars
+    terms = list(r.terms)
+    assert lens[terms.index("a")] == 1
+    assert lens[terms.index("a\x00")] == 2
+    # fuzzy 'a' at distance 0 must match ONLY 'a'
+    f0 = FuzzyFilter("a", max_distance=0)
+    assert [terms[i] for i in f0._match(r)] == ["a"]
+    f1 = FuzzyFilter("a", max_distance=1)
+    assert sorted(terms[i] for i in f1._match(r)) == ["a", "a\x00"]
+    # (c) width capped; the mega-token keeps its exact length
+    assert mat.shape[1] == TERM_CHARS_MAX_WIDTH
+    assert lens[terms.index("z" * 600)] == 600
+    # (d) prefix scan catches the term sorting AFTER prefix+U10FFFF
+    lo, hi = r.prefix_range("pre")
+    got = set(terms[lo:hi])
+    assert {"pre\U0010FFFF", "pre\U0010FFFFx", "prefix"} <= got
+
+
+def test_encode_postings_empty_last_group_is_loud():
+    """The (df == 0) guard must fire BEFORE reduceat, which raises an
+    opaque IndexError when the LAST dictionary position is empty."""
+    from iresearch_ray.index.segment import encode_postings_table
+
+    uniques = np.array(["a", "b"], dtype=object)
+    offs = np.array([0, 2, 2], dtype=np.int64)  # 'b' has df=0
+    docs = np.array([1, 2], dtype=np.int64)
+    freqs = np.array([1, 1], dtype=np.int64)
+    poss = np.array([0, 0], dtype=np.int64)
+    runs = np.array([0, 1, 2], dtype=np.int64)
+    with pytest.raises(ValueError, match="empty posting list"):
+        encode_postings_table(uniques, offs, docs, freqs, poss, runs)
+
+
+def test_prefix_upper_bound_unit():
+    from iresearch_ray.index.segment import prefix_upper_bound
+
+    assert prefix_upper_bound("abc") == "abd"
+    assert prefix_upper_bound("ab\U0010FFFF") == "ac"
+    assert prefix_upper_bound("\U0010FFFF" * 3) is None
+    # ordering property on adversarial neighbors
+    for p in ("x", "x\U0010FFFF", "zz"):
+        ub = prefix_upper_bound(p)
+        if ub is not None:
+            assert ub > p + "\U0010FFFF" * 4
+
+
+def test_resume_invalidates_on_same_name_different_content(
+        ray_session, tmp_path):
+    """Lineage now pins file SIZE: a same-named input regenerated with
+    different text must rebuild, not silently serve stale segments."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iresearch_ray.index.build import build_index
+
+    src = str(tmp_path / "pages.parquet")
+    idx = str(tmp_path / "idx")
+
+    def write(texts):
+        pq.write_table(pa.table({
+            "url": [f"u{i}" for i in range(len(texts))],
+            "text": texts}), src)
+
+    write(["alpha beta"] * 4)
+    man1 = build_index(src, idx, analyzer="ascii", target_docs=10)
+    assert man1["build_stats"]["segments_built"] == 1
+    write(["gamma delta variant content"] * 4)  # same name, new content
+    man2 = build_index(src, idx, analyzer="ascii", target_docs=10)
+    assert man2["build_stats"]["segments_built"] == 1  # NOT skipped
