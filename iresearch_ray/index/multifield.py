@@ -175,6 +175,12 @@ class MultiFieldReader:
     def key_of(self, global_doc: int) -> str:
         return self.readers[self.default_field].key_of(global_doc)
 
+    def df(self, term: str) -> int:
+        """Document frequency in the DEFAULT field — lets field-agnostic
+        helpers (mlt_terms / more_like_this) run against a multifield
+        index the way key_of already does."""
+        return self.readers[self.default_field].df(term)
+
 
 class MultiFieldSearcher(IndexSearcher):
     """Top-k over a multi-field index: plain filters hit the default

@@ -877,12 +877,19 @@ class SegmentReader:
 
         return self.cached_entry((idx, "skips"), build)
 
-    def decode_blocks(self, idx: int, block_mask: np.ndarray):
+    def term_blobs(self, idx: int) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_blob, freq_blob) of term row ``idx`` as uint8 views —
+        extracted ONCE per query so a block-at-a-time WAND loop doesn't
+        re-materialize the full blobs per decoded block."""
+        tbl = self.terms_table
+        return (np.frombuffer(tbl["doc_blob"][idx].as_py(), dtype=np.uint8),
+                np.frombuffer(tbl["freq_blob"][idx].as_py(), dtype=np.uint8))
+
+    def decode_blocks(self, idx: int, block_mask: np.ndarray, blobs=None):
         """Decode only the selected 128-posting blocks (WAND path)."""
         sk = self.skips(idx)
-        tbl = self.terms_table
-        doc_blob = np.frombuffer(tbl["doc_blob"][idx].as_py(), dtype=np.uint8)
-        freq_blob = np.frombuffer(tbl["freq_blob"][idx].as_py(), dtype=np.uint8)
+        doc_blob, freq_blob = blobs if blobs is not None \
+            else self.term_blobs(idx)
         if sk is None:
             docs = codec.delta_decode(codec.varint_decode(doc_blob))
             return docs, codec.varint_decode(freq_blob).astype(np.int64)

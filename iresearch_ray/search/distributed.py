@@ -45,8 +45,7 @@ def _make_group_actor():
         already do the single-field thing (WAND only on unmasked
         segments, apply_mask after execute)."""
 
-        def __init__(self, index_dir: str, generation, segment_entries,
-                     field_stats):
+        def __init__(self, index_dir: str, segment_entries, field_stats):
             from iresearch_ray.index.delete import load_mask
             from iresearch_ray.index.segment import SegmentReader
             from iresearch_ray.search.executor import SegmentView
@@ -82,7 +81,7 @@ class DistributedSearcher:
             base += s["num_docs"]
         field_stats = (man["num_docs"], man["sum_doc_len"])
         Actor = _make_group_actor()
-        self.actors = [Actor.remote(index_dir, man.get("generation"), g, field_stats)
+        self.actors = [Actor.remote(index_dir, g, field_stats)
                        for g in plan_groups(entries, num_groups)]
 
     def search(self, flt, k: int = 10, mode: str = "all") -> pd.DataFrame:

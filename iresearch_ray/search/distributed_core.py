@@ -103,9 +103,17 @@ class GroupSearchCore:
         if not docs_l:
             return (np.empty(0, dtype=np.int64),
                     np.empty(0, dtype=np.float64), [])
-        return (np.concatenate(docs_l),
-                np.concatenate(scores_l).astype(np.float64),
-                list(np.concatenate(keys_l)))
+        docs = np.concatenate(docs_l)
+        scores = np.concatenate(scores_l).astype(np.float64)
+        keys = np.concatenate(keys_l)
+        if len(docs) > k:
+            # group-level trim: the driver merge orders by (-score, doc),
+            # so each group's own top-k by that exact order is all it can
+            # contribute — k rows per GROUP cross the wire, not k per
+            # segment (docs are already global here)
+            sel = np.lexsort((docs, -scores))[:k]
+            docs, scores, keys = docs[sel], scores[sel], keys[sel]
+        return docs, scores, list(keys)
 
 
 # -------------------------------------------------- driver-side halves ----
@@ -157,6 +165,10 @@ def distributed_topk(actors, flt, scorer, df_map: dict, k: int,
     id at the merge are never pruned) prunes the remaining groups."""
     import ray
 
+    if not actors:  # empty index -> empty frame, like the local searcher
+        return pd.DataFrame({"doc": np.empty(0, dtype=np.int64),
+                             "key": pd.Series([], dtype=object),
+                             "score": np.empty(0, dtype=np.float64)})
     if mode == "top" and len(actors) > 1:
         pilot = ray.get(actors[0].execute_topk.remote(
             flt, scorer, df_map, k, "top"))

@@ -341,7 +341,9 @@ def _wand_union(prep, seg: SegmentView,
                 parts.append(docs)
                 continue
             decoded[ci] = need
-            docs, freqs = x["seg"].reader.decode_blocks(x["i"], need)
+            x["blobs"] = x["seg"].reader.term_blobs(x["i"])
+            docs, freqs = x["seg"].reader.decode_blocks(x["i"], need,
+                                                        blobs=x["blobs"])
             child_data[ci] = (docs.astype(np.int64, copy=False), freqs)
             parts.append(child_data[ci][0])
     if not decoded:  # every child fully decoded -> plain exact union
@@ -366,7 +368,8 @@ def _wand_union(prep, seg: SegmentView,
         need_extra[np.unique(blk)] = True
         extra = need_extra & ~decoded[ci]
         if extra.any():
-            d2, f2 = x["seg"].reader.decode_blocks(x["i"], extra)
+            d2, f2 = x["seg"].reader.decode_blocks(x["i"], extra,
+                                                   blobs=x["blobs"])
             d0, f0 = child_data[ci]
             docs = np.concatenate([d0, d2.astype(np.int64, copy=False)])
             freqs = np.concatenate([f0, f2])
@@ -422,12 +425,15 @@ def _wand_term(prep: _PreparedTerm, seg: SegmentView, k: int,
     out_docs: list[np.ndarray] = []
     out_scores: list[np.ndarray] = []
     kept = 0
+    blobs = seg.reader.term_blobs(i)  # extract the varint blobs ONCE
     for b in np.argsort(-ub, kind="stable"):  # best blocks first -> tight threshold early
         if kept >= k and ub[b] <= threshold:
-            continue
+            # ub is visited descending and threshold only grows: every
+            # remaining block is also prunable
+            break
         mask = np.zeros(len(ub), dtype=bool)
         mask[b] = True
-        docs, freqs = seg.reader.decode_blocks(i, mask)
+        docs, freqs = seg.reader.decode_blocks(i, mask, blobs=blobs)
         docs = docs.astype(np.int64, copy=False)
         scores = prep.sp.score(freqs, seg.reader.doc_len[docs - 1], seg.tiny)
         out_docs.append(docs)

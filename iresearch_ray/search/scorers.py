@@ -34,6 +34,18 @@ class FieldStats:
     total_tokens: int      # sum of doc lens (total_term_freq of the field)
 
 
+def _check_boost(boost: float) -> float:
+    """WAND block-max pruning assumes scores are monotone in the block
+    upper bound, which a NEGATIVE boost inverts (score(max_freq, dl=0)
+    becomes the block MINIMUM) — mode='top' would silently drop docs
+    that beat the threshold.  Rejected engine-wide; documented deviation
+    from the reference, which leaves negative boosts undefined."""
+    if boost < 0:
+        raise ValueError(f"negative boost {boost} is unsupported "
+                         "(breaks block-max top-k pruning)")
+    return boost
+
+
 class PreparedBM25:
     """Per-(query term-set) prepared stats; score() is vectorized per segment."""
 
@@ -97,7 +109,8 @@ class BM25:
     def prepare(self, stats: FieldStats, df: int, boost: float = 1.0,
                 idf_override: float | None = None) -> PreparedBM25:
         idf = self.idf(stats.docs_with_field, df) if idf_override is None else idf_override
-        return PreparedBM25(self.k, self.b, idf, stats, boost, self.dtype)
+        return PreparedBM25(self.k, self.b, idf, stats, _check_boost(boost),
+                            self.dtype)
 
 
 class PreparedTFIDF:
@@ -134,7 +147,8 @@ class TFIDF:
     def prepare(self, stats: FieldStats, df: int, boost: float = 1.0,
                 idf_override: float | None = None) -> PreparedTFIDF:
         idf = self.idf(stats.docs_with_field, df) if idf_override is None else idf_override
-        return PreparedTFIDF(idf, boost, self.with_norms, self.dtype)
+        return PreparedTFIDF(idf, _check_boost(boost), self.with_norms,
+                             self.dtype)
 
 
 class PreparedBoost:
@@ -161,7 +175,7 @@ class BoostScore:
         return 1.0
 
     def prepare(self, stats, df, boost: float = 1.0, idf_override=None):
-        return PreparedBoost(boost, self.dtype)
+        return PreparedBoost(_check_boost(boost), self.dtype)
 
 
 _SCORERS = {"bm25": BM25, "tfidf": TFIDF, "boostscore": BoostScore}

@@ -155,3 +155,48 @@ def test_distributed_scored_terms_limit_isolated(dist):
     assert np.allclose(pa_["score"].to_numpy(), pb_["score"].to_numpy(),
                        rtol=0, atol=0)
     assert (pa_["score"].to_numpy() > 0).any()
+
+
+def test_negative_boost_rejected(dist):
+    """Negative boosts invert the WAND block upper bound (mode='top'
+    would silently drop winners); rejected loudly engine-wide."""
+    d, local = dist[0], dist[1]
+    with pytest.raises(ValueError, match="negative boost"):
+        local.search(TermFilter("the", boost=-1.0), k=5)
+    with pytest.raises(Exception, match="negative boost"):
+        d.search(TermFilter("the", boost=-2.0), k=5)
+
+
+def test_distributed_empty_index(ray_session, tmp_path):
+    """Zero segments -> empty frame, matching the local searcher (was a
+    np.concatenate ValueError; review finding, round 5)."""
+    import json
+    import os
+
+    idx = str(tmp_path / "empty_idx")
+    os.makedirs(idx)
+    with open(os.path.join(idx, "index_1.json"), "w") as f:
+        json.dump({"format_version": 1, "generation": 1, "num_docs": 0,
+                   "sum_doc_len": 0, "segments": [],
+                   "build_stats": {}}, f)
+    d = DistributedSearcher(idx)
+    out = d.search(TermFilter("anything"), k=5)
+    assert len(out) == 0
+    assert list(out.columns) == ["doc", "key", "score"]
+
+
+def test_group_result_bounded_to_k(dist):
+    """execute_topk returns at most k rows per GROUP (the wire-traffic
+    bound distributed.py documents), and the merge stays exact."""
+    d, local = dist[0], dist[1]
+    flt = TermFilter("the")
+    got = d.search(flt, k=7)
+    want = local.search(flt, k=7)
+    assert got["key"].tolist() == want["key"].tolist()
+    import ray as _ray
+
+    from iresearch_ray.search.distributed_core import collect_df_map
+    df_map = collect_df_map(d.actors, flt)
+    for a in d.actors:
+        r = _ray.get(a.execute_topk.remote(flt, d.scorer, df_map, 7, "all"))
+        assert len(r[0]) <= 7

@@ -184,3 +184,16 @@ def test_multifield_distributed_equals_local(built_large):
                                   b["score"].to_numpy())
     finally:
         dist.close()
+
+
+def test_more_like_this_on_multifield(built):
+    """more_like_this runs against a MultiFieldSearcher (MultiFieldReader
+    now exposes default-field df; review finding, round 5)."""
+    from iresearch_ray.search.executor import more_like_this
+
+    index_dir, titles, bodies = built
+    r = MultiFieldReader(index_dir, default_field="body")
+    s = MultiFieldSearcher(r, BM25())
+    out = more_like_this(s, "body text row1 shared", n_terms=3, k=5)
+    assert list(out.columns) == ["doc", "key", "score"]
+    assert len(out) > 0
