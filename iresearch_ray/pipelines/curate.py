@@ -250,6 +250,19 @@ def load_psl(psl_path: str | None = None) -> dict:
     return out
 
 
+def psl_fingerprint(psl_path: str | None = None) -> str:
+    """Content fingerprint (md5 hex) of the EFFECTIVE public-suffix-list
+    file ``extract_domain(mode='registrable')`` would load — resolved
+    path included so staleness params (``stage_parquet_atomic``) rebuild
+    when either the file or the choice of file changes."""
+    import hashlib
+
+    path = os.path.abspath(psl_path or os.path.join(
+        os.path.dirname(__file__), "..", "data", "psl_subset.dat"))
+    with open(path, "rb") as f:
+        return path + ":" + hashlib.md5(f.read()).hexdigest()
+
+
 def registrable_domains(hosts, psl: dict):
     """Vectorized publicsuffix.org resolution over a host array ->
     object ndarray of registrable domains ('' when the host is empty,

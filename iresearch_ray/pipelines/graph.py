@@ -74,6 +74,56 @@ def pagerank(edges, src_column: str = "src_domain",
 
     from iresearch_ray.pipelines.dedup import _grouped_count_min
 
+    # Endpoint/weight dtype contract, enforced ONCE up front:
+    # - node ids are compared as STRINGS everywhere (the node table is
+    #   built via cast(pa.string()) below) — a raw int64 src column
+    #   would silently get_indexer to -1 in the broadcast path (garbage
+    #   ranks, no error) and crash on str/int bisect in the partitioned
+    #   path, so non-string endpoint columns are cast here and both
+    #   shapes see identical keys;
+    # - weights are summed as int64 by the sort+combine (W) but shipped
+    #   exact as float64 per edge (nf) — a fractional weight would make
+    #   the two disagree (rank mass silently inflates), so the
+    #   fixed-point contract requires an integer weight column.
+    def _patype(t):
+        # Ray Schema types are pyarrow DataTypes for Arrow blocks but
+        # numpy dtypes / Python types for pandas-backed datasets; None
+        # = undeterminable (e.g. pandas object, which arrives as Arrow
+        # string at batch time anyway)
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(np.dtype(t))
+        except (pa.ArrowNotImplementedError, TypeError):
+            return None
+
+    sch = edges.schema()
+    # a zero-block edge list has no schema at all (schema() is None);
+    # the n_nodes == 0 early return below covers it
+    types = ({n: _patype(t) for n, t in zip(sch.names, sch.types)}
+             if sch is not None else {})
+    wt = types.get(weight_column)
+    if wt is not None and not pa.types.is_integer(wt):
+        raise ValueError(
+            f"pagerank: {weight_column!r} must be an integer column "
+            f"(got {wt}); the fixed-point contract "
+            f"sums weights as int64 — cast/round explicitly first")
+
+    def _stringy(t):
+        return t is None or pa.types.is_string(t) \
+            or pa.types.is_large_string(t)
+
+    if not (_stringy(types.get(src_column))
+            and _stringy(types.get(dst_column))):
+        def to_str(b: pa.Table) -> pa.Table:
+            for col in {src_column, dst_column}:
+                i = b.schema.get_field_index(col)
+                b = b.set_column(i, col, b[col].cast(pa.string()))
+            return b
+
+        edges = edges.map_batches(
+            to_str, batch_format="pyarrow").materialize()
+
     # node universe: distinct union of both endpoints, distributed
     # (sorted output -> contiguous global ids fall out of block order)
     def node_rows(b: pa.Table) -> pa.Table:
@@ -553,6 +603,20 @@ def filter_by_domain_rank(ds, ranks, min_rank_units: int,
 
         return tagged.map_batches(keep_rows, batch_format="pyarrow")
 
+    def _empty_result():
+        # schema-true zero-row result (no _rank_domain leak, no pass
+        # over the corpus, no per-row Python filter); limit(0) would
+        # lose the schema entirely (Dataset.schema() -> None)
+        sch = tagged.schema().base_schema
+        return ray.data.from_arrow(pa.schema(
+            [f for f in sch if f.name != "_rank_domain"]).empty_table())
+
+    if kept_ds.count() == 0:
+        # an entirely-empty kept set never runs to_hash, so the sorted
+        # blocks would keep the node schema and _fr_pack would KeyError
+        # on 'h1' — exit with the schema contract intact instead
+        return _empty_result()
+
     # hash-partitioned membership: kept nodes -> (h1, h2) -> h1 sort ->
     # P numeric blocks; O(P) driver metadata
     def to_hash(b: pa.Table) -> pa.Table:
@@ -571,7 +635,7 @@ def filter_by_domain_rank(ds, ranks, min_rank_units: int,
     pack_refs = [p for p, i in zip(pack_refs, infos) if i]
     infos = [i for i in infos if i]
     if not pack_refs:
-        return tagged.filter(lambda row: False)
+        return _empty_result()
     starts = np.array([i[0] for i in infos], np.uint64)
     P = len(pack_refs)
     prefs_t = tuple(pack_refs)

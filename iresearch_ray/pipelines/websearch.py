@@ -25,6 +25,12 @@ import pyarrow as pa
 import ray
 
 
+@ray.remote
+def _aid_nbytes(t):
+    """True string payload of a drop-set block's _aid column."""
+    return t["_aid"].nbytes if t.num_rows else 0
+
+
 def build_anchor_index(ds, work_dir: str, *, html_column: str = "html",
                        url_column: str = "url",
                        anchors_per_domain: int | None = 10_000,
@@ -55,7 +61,11 @@ def build_anchor_index(ds, work_dir: str, *, html_column: str = "html",
     import pyarrow.compute as pc
 
     from iresearch_ray.index.build import build_index
-    from iresearch_ray.pipelines.curate import extract_anchors, extract_domain
+    from iresearch_ray.pipelines.curate import (
+        extract_anchors,
+        extract_domain,
+        psl_fingerprint,
+    )
     from iresearch_ray.pipelines.dedup import (
         _collect_small,
         _sorted_member,
@@ -99,17 +109,23 @@ def build_anchor_index(ds, work_dir: str, *, html_column: str = "html",
                               batch_format="pyarrow").materialize()
 
     if anchors_per_domain is not None:
-        drops = _collect_small(grouped_rank_drop_ids(
+        drops_ds = grouped_rank_drop_ids(
             rows.select_columns(["domain", "_aid"]), "domain", "_aid",
-            cap=anchors_per_domain))
+            cap=anchors_per_domain).materialize()
+        # size the drop set REMOTELY (per-block Arrow buffer scan =
+        # true string payload; an object-array .nbytes would count
+        # 8 B/pointer and under-guard 5-25x) BEFORE any driver
+        # collection — a hub-heavy crawl's drop set can be corpus-sized
+        # and must hit the guard as a clean ValueError, not OOM the
+        # driver inside _collect_small
+        payload = int(sum(ray.get(
+            [_aid_nbytes.remote(r) for r in drops_ds.to_arrow_refs()])))
+        if payload > max_broadcast:
+            raise ValueError(
+                f"anchor drop set {payload} B exceeds "
+                f"max_broadcast={max_broadcast}")
+        drops = _collect_small(drops_ds)
         if drops is not None and drops.num_rows:
-            # Arrow buffer size = true string payload (an object-array
-            # .nbytes would count 8 B/pointer and under-guard 5-25x)
-            payload = drops["_aid"].nbytes
-            if payload > max_broadcast:
-                raise ValueError(
-                    f"anchor drop set {payload} B exceeds "
-                    f"max_broadcast={max_broadcast}")
             drop_ids = np.sort(drops["_aid"].to_numpy(
                 zero_copy_only=False))
             ref = ray.put(drop_ids)
@@ -137,8 +153,14 @@ def build_anchor_index(ds, work_dir: str, *, html_column: str = "html",
         lambda: rows.groupby("domain").map_groups(
             concat_domain, batch_format="pandas"),
         staged,
+        # domain_mode + the PSL content fingerprint are staleness
+        # inputs: rerunning with a different mode or rules file must
+        # rebuild, not silently reuse host-keyed staged anchors
         params={"anchors_per_domain": anchors_per_domain,
-                "html_column": html_column, "url_column": url_column})
+                "html_column": html_column, "url_column": url_column,
+                "domain_mode": domain_mode,
+                "psl": psl_fingerprint(psl_path)
+                if domain_mode == "registrable" else None})
 
     return build_index(
         staged, os.path.join(work_dir, "index"), analyzer=analyzer,

@@ -113,18 +113,24 @@ def hopping_aggregate(ds, window_minutes: int = 60, hop_minutes: int = 30):
     hop_us = hop_minutes * 60 * 1_000_000
 
     def partial(batch: pa.Table) -> pa.Table:
-        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        base = ts // hop_us
-        n = len(ts)
+        import pyarrow.compute as pc
+
+        # bucket arithmetic TRUNCATES toward zero (Arrow divide ==
+        # DuckDB `//`) — the same convention tumbling_aggregate and
+        # both SQL twins use, so pre-epoch timestamps land in the same
+        # bucket engine-side and oracle-side (numpy // FLOORS and
+        # diverged for ts < 0)
+        base = pc.divide(batch["ts"].cast(pa.int64()),
+                         hop_us).to_numpy(zero_copy_only=False)
+        n = len(base)
         # k window starts per event, vectorized: (base - j) * hop
         buckets = ((np.repeat(base, k)
                     - np.tile(np.arange(k, dtype=np.int64), n)) * hop_us)
         return _partial_sums(pa.table({
             "bucket": pa.array(buckets),
-            "event_type": pa.array(
-                np.repeat(np.asarray(batch["event_type"].to_pylist(),
-                                     dtype=object), k),
-                type=pa.string()),
+            # row replication stays Arrow-side (no to_pylist round-trip)
+            "event_type": batch["event_type"].take(
+                pa.array(np.repeat(np.arange(n, dtype=np.int64), k))),
             "n": pa.array(np.ones(n * k, dtype=np.int64)),
             "sum_value": pa.array(np.repeat(
                 batch["value"].to_numpy(zero_copy_only=False), k)),
@@ -146,7 +152,11 @@ def sessionize_salted(ds, gap_minutes: int = 30, bucket_hours: int = 24):
     within-bucket session (start/end ts, count, sum).
     Stage 2 groups by user over those summaries (volume = sessions, not
     events) and stitches sessions whose cross-bucket gap <= gap.
-    Result is row-identical to ``sessionize``.
+    Result is row-identical to ``sessionize`` in keys and counts;
+    float ``sum_value`` re-sums per-bucket partials, so its association
+    differs from the plain path's single sum — agreement is exact for
+    int-valued data and ulp-level for adversarial floats (the tested
+    equality is value-based, not byte-based).
 
     ``bucket_hours`` must dominate the gap (enforced) so a session can
     only ever span ADJACENT buckets' boundaries, which the ordered stitch

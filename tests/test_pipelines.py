@@ -1849,3 +1849,106 @@ def test_embedding_neardup_rejects_string_ids(ray_session):
     with pytest.raises(Exception) as ei:
         dedup.embedding_neardup_pairs(ds, threshold=0.9).to_pandas()
     assert "integer id column" in str(ei.value)
+
+
+def test_pagerank_integer_node_ids(ray_session):
+    """Non-string endpoint columns must rank identically to their
+    string-labeled equivalent — the node table is built via
+    cast(pa.string()), and a raw int64 get_indexer probe used to return
+    -1 for every row (silently wrong ranks; review finding, round 5)."""
+    from iresearch_ray.pipelines import graph
+
+    edges = [(5, 7, 2), (5, 11, 1), (7, 11, 1), (11, 5, 1), (3, 5, 3)]
+    ints = ray.data.from_items(
+        [{"src_domain": s, "dst_domain": t, "n": n} for s, t, n in edges])
+    strs = ray.data.from_items(
+        [{"src_domain": str(s), "dst_domain": str(t), "n": n}
+         for s, t, n in edges])
+    a = (graph.pagerank(ints, iterations=5).to_pandas()
+         .sort_values("node").reset_index(drop=True))
+    b = (graph.pagerank(strs, iterations=5).to_pandas()
+         .sort_values("node").reset_index(drop=True))
+    assert a["node"].tolist() == b["node"].tolist() == [
+        "11", "3", "5", "7"]
+    assert (a["rank_units"].to_numpy() == b["rank_units"].to_numpy()).all()
+    # ranks differ across nodes (a get_indexer(-1) bug collapses them)
+    assert a["rank_units"].nunique() > 1
+    # partitioned path agrees on the same int-keyed input
+    p = (graph.pagerank(ints, iterations=5, partitions=2).to_pandas()
+         .sort_values("node").reset_index(drop=True))
+    assert (p["rank_units"].to_numpy() == a["rank_units"].to_numpy()).all()
+
+
+def test_pagerank_float_weight_rejected(ray_session):
+    """The fixed-point contract sums weights as int64; a float weight
+    column would ship exact per edge but truncate in the out-weight sum
+    (silently inflated rank mass) — rejected loudly instead."""
+    from iresearch_ray.pipelines import graph
+
+    ed = ray.data.from_items(
+        [{"src_domain": "a", "dst_domain": "b", "n": 1.5},
+         {"src_domain": "b", "dst_domain": "a", "n": 2.0}])
+    with pytest.raises(ValueError, match="integer column"):
+        graph.pagerank(ed).to_pandas()
+
+
+def test_window_bucket_truncation_matches_duckdb(ray_session):
+    """Bucket arithmetic truncates toward zero (Arrow divide == DuckDB
+    `//`) in BOTH tumbling and hopping — numpy // floors and made
+    hopping diverge from its own SQL twin for pre-epoch timestamps
+    (review finding, round 5)."""
+    import duckdb
+
+    from iresearch_ray.pipelines.windows import (
+        hopping_aggregate,
+        tumbling_aggregate,
+    )
+
+    hour = 3_600_000_000
+    ts = [-3 * hour // 2, -hour, -1, 0, 1, hour // 2, 2 * hour + 7]
+    pdf = pd.DataFrame({"ts": np.array(ts, np.int64),
+                        "event_type": ["a", "b", "a", "b", "a", "b", "a"],
+                        "value": np.arange(7, dtype=np.float64)})
+    ds = ray.data.from_pandas(pdf).repartition(3)
+
+    con = duckdb.connect()
+    con.register("ev", pdf)
+    want_t = con.execute(
+        "SELECT (ts // 3600000000) * 3600000000 AS bucket, event_type, "
+        "count(*)::BIGINT AS n, sum(value) AS sum_value FROM ev "
+        "GROUP BY 1, 2 ORDER BY 1, 2").df()
+    got_t = (tumbling_aggregate(ds, window_minutes=60).to_pandas()
+             .sort_values(["bucket", "event_type"]).reset_index(drop=True))
+    assert got_t["bucket"].tolist() == want_t["bucket"].tolist()
+    assert got_t["n"].tolist() == want_t["n"].tolist()
+
+    want_h = con.execute(
+        "WITH off AS (SELECT unnest(range(2)) AS j) "
+        "SELECT ((ts // 1800000000) - j) * 1800000000 AS bucket, "
+        "event_type, count(*)::BIGINT AS n, sum(value) AS sum_value "
+        "FROM ev, off GROUP BY 1, 2 ORDER BY 1, 2").df()
+    got_h = (hopping_aggregate(ds, window_minutes=60, hop_minutes=30)
+             .to_pandas().sort_values(["bucket", "event_type"])
+             .reset_index(drop=True))
+    assert got_h["bucket"].tolist() == want_h["bucket"].tolist()
+    assert got_h["n"].tolist() == want_h["n"].tolist()
+    assert np.allclose(got_h["sum_value"], want_h["sum_value"])
+
+
+def test_filter_by_domain_rank_empty_hashed_exit(ray_session):
+    """The hashed path's empty-kept-set exit keeps the schema contract
+    (no _rank_domain leak) and returns zero rows without a per-row
+    Python filter (review finding, round 5)."""
+    from iresearch_ray.pipelines import graph
+
+    ranks = graph.pagerank(ray.data.from_items(
+        [{"src_domain": "a.com", "dst_domain": "b.org", "n": 1},
+         {"src_domain": "b.org", "dst_domain": "a.com", "n": 1}]),
+        iterations=2)
+    ds = ray.data.from_items(
+        [{"doc_id": 0, "url": "http://a.com/x"},
+         {"doc_id": 1, "url": "http://b.org/y"}])
+    out = graph.filter_by_domain_rank(
+        ds, ranks, min_rank_units=10 ** 18, max_broadcast=-1)
+    assert out.count() == 0
+    assert sorted(out.schema().names) == ["doc_id", "url"]
