@@ -92,6 +92,10 @@ def test_distinctive_queries_fit_driver_window():
                  "phrase_variadic", "dedup_fingerprint", "window_hopping",
                  "facet_lang", "keyword_search"]:
         assert name in window, f"{name} outside the driver's 50-row window"
+    # new round-5 contract entries (exclusion, boosted term sets, block
+    # join): in the window so their FIRST driver row lands this round
+    for name in ["not_search", "terms_boost", "nested_search"]:
+        assert name in window, f"{name} outside the driver's 50-row window"
     # the tail must stay redundant-only: each is an r04-green row
     # (its own driver evidence) AND has an in-window twin
     twins = {"term_postings": "term_search",
@@ -114,7 +118,14 @@ def test_distinctive_queries_fit_driver_window():
              "more_like_this": "keyterms",
              # demoted in round 5 for domain_stats_psl (registrable-
              # domain mode, new contract entry)
-             "embedding_neardup": "ngram_jaccard"}
+             "embedding_neardup": "ngram_jaccard",
+             # demoted in round 5 for not_search / terms_boost /
+             # nested_search (each r04-green; conjunction scoring stays
+             # in-window via multifield_and, positional phrase via
+             # phrase_variadic, columnstore existence via facet_lang)
+             "bool_and_search": "multifield_and",
+             "phrase_search": "phrase_variadic",
+             "column_existence": "facet_lang"}
     import json
     import pathlib
     r04 = json.loads((pathlib.Path(__file__).parent.parent
