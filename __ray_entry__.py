@@ -32,6 +32,11 @@ _READERS: dict[str, Any] = {}
 # SQL fragment: the ascii tokenizer, exactly
 _TOK = ("list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
         "x -> x <> '')")
+
+# stopword set for the analyzer_pipeline contract query — one constant so
+# the engine-side StopwordsAnalyzer and the SQL twin's NOT IN stay in
+# lockstep
+PIPELINE_STOPWORDS = ("a", "and", "of", "the", "to")
 _TOK_CTE = f"WITH tok AS (SELECT doc_id, {_TOK} AS ts FROM documents)"
 
 # per-doc DISTINCT unsampled rolling span hashes (k=5 token windows), the
@@ -130,6 +135,89 @@ def _deleted_reader(sf_dir: str):
     build_index(pages_path, index_dir, analyzer="ascii",
                 target_docs=max(32, math.ceil(n / 4)))
     delete_by_filter(index_dir, TermFilter("dup"))
+    reader = IndexReader(index_dir)
+    _READERS[key] = reader
+    return reader
+
+
+def _consolidated_reader(sf_dir: str):
+    """Index built as ~8 small segments then tiered-consolidated
+    (reference consolidation, index_writer::consolidate) — query results
+    must be IDENTICAL to an unconsolidated build (global stats and
+    per-doc lengths are segment-layout-invariant), which is exactly what
+    the SQL oracle checks: it never sees segment boundaries."""
+    from iresearch_ray.index.build import build_index
+    from iresearch_ray.index.merge import consolidate
+    from iresearch_ray.search import IndexReader
+
+    key = _slug(sf_dir) + "_consol"
+    if key in _READERS:
+        return _READERS[key]
+    _index_reader(sf_dir)
+    cache = os.path.join(_CACHE_ROOT, _slug(sf_dir))
+    import pyarrow.parquet as pq
+
+    pages_path = os.path.join(cache, "pages.parquet")
+    n = pq.ParquetFile(pages_path).metadata.num_rows
+    index_dir = os.path.join(cache, "index_consol")
+    build_index(pages_path, index_dir, analyzer="ascii",
+                target_docs=max(8, math.ceil(n / 8)))
+    # merges every run of 2..10 segments under the target; a second call
+    # on the already-consolidated manifest plans no runs and is a no-op
+    man = consolidate(index_dir, target_docs=n)
+    if len(man["segments"]) >= 8:
+        raise RuntimeError("consolidation did not reduce the segment count")
+    reader = IndexReader(index_dir)
+    _READERS[key] = reader
+    return reader
+
+
+def _replaced_reader(sf_dir: str):
+    """Update-as-replace (reference documents_context::replace): every doc
+    whose ascii tokens contain 'dup' is atomically replaced — same url
+    key, one manifest generation — by the deterministic 4-token doc
+    'replacement batch doc <doc_id>'.  Masked originals still count in
+    the global stats and term df (same accounting as delete_search);
+    a marker file keeps the replace from re-applying on warm caches."""
+    from iresearch_ray.analysis import get_analyzer
+    from iresearch_ray.index.build import build_index
+    from iresearch_ray.index.delete import replace_by_filter
+    from iresearch_ray.search import IndexReader, TermFilter
+
+    key = _slug(sf_dir) + "_repl"
+    if key in _READERS:
+        return _READERS[key]
+    _index_reader(sf_dir)
+    cache = os.path.join(_CACHE_ROOT, _slug(sf_dir))
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pages_path = os.path.join(cache, "pages.parquet")
+    n = pq.ParquetFile(pages_path).metadata.num_rows
+    index_dir = os.path.join(cache, "index_repl")
+    build_index(pages_path, index_dir, analyzer="ascii",
+                target_docs=max(32, math.ceil(n / 4)))
+    marker = os.path.join(index_dir, "_replaced.done")
+    if not os.path.exists(marker):
+        d = pq.read_table(pages_path, columns=["url", "text"])
+        ana = get_analyzer("ascii")
+        urls, texts = [], []
+        for u, t in zip(d["url"].to_pylist(), d["text"].to_pylist()):
+            if "dup" in ana.tokens(t or ""):
+                urls.append(u)
+                texts.append(f"replacement batch doc {_doc_id(u)}")
+        if urls:
+            new_path = os.path.join(cache, "replacement_pages.parquet")
+            tmp = new_path + ".tmp"
+            pq.write_table(pa.table({"url": pa.array(urls, pa.string()),
+                                     "text": pa.array(texts, pa.string())}),
+                           tmp, compression="zstd")
+            os.replace(tmp, new_path)
+            replace_by_filter(index_dir, TermFilter("dup"), new_path,
+                              analyzer="ascii",
+                              target_docs=max(32, math.ceil(n / 4)))
+        with open(marker, "w") as f:
+            f.write("done")
     reader = IndexReader(index_dir)
     _READERS[key] = reader
     return reader
@@ -636,6 +724,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                          TermFilter("batch"), merge="sum"),
                             reader=_nested_reader(sf_dir))
 
+    def consolidate_search(sf_dir):
+        """BM25('stream') against the consolidated index — results must be
+        bit-identical to an unconsolidated build (the oracle never sees
+        segment boundaries), proving the k-way merge preserves postings,
+        doc lengths and global stats."""
+        return _all_matches(sf_dir, TermFilter("stream"),
+                            reader=_consolidated_reader(sf_dir))
+
+    def replace_search(sf_dir):
+        """BM25('batch') after update-as-replace: docs containing 'dup'
+        are masked and re-inserted as 'replacement batch doc <id>' in one
+        generation; masked originals still count in n/tot/df (the same
+        stats accounting delete_search pins)."""
+        return _all_matches(sf_dir, TermFilter("batch"),
+                            reader=_replaced_reader(sf_dir))
+
+    def analyzer_pipeline(sf_dir):
+        """Composed analyzer chain (reference pipeline_token_stream:
+        delimited -> norm(lower) -> stopwords) driving the distributed
+        term_frequencies combiner; top-20 by (df desc, ttf desc, term)."""
+        from iresearch_ray.analysis import (
+            DelimiterAnalyzer, NormalizeAnalyzer, PipelineAnalyzer,
+            StopwordsAnalyzer,
+        )
+
+        ana = PipelineAnalyzer([
+            DelimiterAnalyzer(" "),
+            StopwordsAnalyzer(NormalizeAnalyzer(lowercase=True,
+                                                strip_accents=False),
+                              PIPELINE_STOPWORDS),
+        ])
+        ds = ray_docs(sf_dir, ["text"])
+        out = textstats.term_frequencies(ds, analyzer=ana).to_pandas()
+        out = out.sort_values(["df", "ttf", "term"],
+                              ascending=[False, False, True]).head(20)
+        return pd.DataFrame({"term": out["term"].astype(str),
+                             "df": out["df"].astype(np.int64),
+                             "ttf": out["ttf"].astype(np.int64)}
+                            ).reset_index(drop=True)
+
     def ngram_similarity(sf_dir):
         from iresearch_ray.analysis import NgramAnalyzer
         from iresearch_ray.search import NgramSimilarityFilter
@@ -1127,6 +1255,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "terms_boost": lambda sf: _all_matches(
             sf, TermsFilter(["batch", "stream"], boosts=[1.0, 2.0])),
         "nested_search": nested_search,
+        "consolidate_search": consolidate_search,
+        "replace_search": replace_search,
+        "analyzer_pipeline": analyzer_pipeline,
         # --- engine-backed fulltext (r04-green keepers) ---
         "term_search": lambda sf: _all_matches(sf, TermFilter("batch")),
         "term_topk": lambda sf: _topk(sf, TermFilter("batch"), k=10),
@@ -1134,12 +1265,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, OrFilter([TermFilter("spark"), TermFilter("window"),
                           TermFilter("dup")], min_match=2), with_counts=True),
         "sorted_topk": sorted_topk,
-        "wildcard_search": lambda sf: _all_matches(sf, WildcardFilter("%ow%"),
-                                                   with_counts=True),
         "fuzzy_search": lambda sf: _all_matches(
             sf, FuzzyFilter("batc", max_distance=1), with_counts=True),
         "term_dictionary": term_dictionary,
-        "top_terms": top_terms,
         "numeric_range": numeric_range,
         "multifield_and": multifield_and,
         "delete_search": delete_search,
@@ -1154,7 +1282,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_quantiles": token_quantiles_q,
         # --- webtext curation ---
         "hash_split": hash_split_q,
-        "url_canonical": url_canonical_q,
         "cap_per_domain": cap_per_domain_q,
         "extract_text": extract_text_q,
         "domain_links": domain_links_q,
@@ -1196,6 +1323,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, AndFilter([TermFilter("batch"), TermFilter("stream")])),
         "phrase_search": lambda sf: _all_matches(sf, PhraseFilter(["batch", "batch"])),
         "column_existence": column_existence,
+        # demoted in round 5 for consolidate_search / replace_search /
+        # analyzer_pipeline (each r04-green with an in-window twin)
+        "wildcard_search": lambda sf: _all_matches(sf, WildcardFilter("%ow%"),
+                                                   with_counts=True),
+        "top_terms": top_terms,
+        "url_canonical": url_canonical_q,
     }
 
 
@@ -1900,6 +2033,51 @@ SELECT m.doc_id, round(sum(
 FROM m, d, stats s
 GROUP BY m.doc_id
 ORDER BY m.doc_id
+""",
+        # the consolidated index must score EXACTLY like an unconsolidated
+        # one (global n/tot and per-doc dl are segment-layout-invariant),
+        # so its oracle is the plain corpus BM25 — any merge bug (lost
+        # postings, wrong doc-id remap, wrong merged doc lengths) breaks it
+        "consolidate_search": _sql_bm25(_sql_tf("stream"), "f > 0"),
+        # update-as-replace: docs with 'dup' are masked and re-inserted as
+        # the 4-token 'replacement batch doc <id>'.  Masked originals stay
+        # in n/tot and in the term df (the delete_search accounting), so
+        # the corpus is originals (all N) UNION replacements (R rows);
+        # output rows are unmasked matches only
+        "replace_search": f"""
+{_TOK_CTE},
+base AS (SELECT doc_id, len(ts) AS dl, {_sql_tf('batch')} AS fb,
+                {_sql_tf('dup')} AS fd FROM tok),
+corpus AS (SELECT doc_id, dl, fb, fd > 0 AS masked FROM base
+           UNION ALL
+           SELECT doc_id, 4 AS dl, 1 AS fb, FALSE AS masked
+           FROM base WHERE fd > 0),
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE AS tot FROM corpus),
+d AS (SELECT count(*)::DOUBLE AS df FROM corpus WHERE fb > 0),
+m AS (SELECT doc_id, dl, fb FROM corpus WHERE fb > 0 AND NOT masked)
+SELECT m.doc_id, round(
+   (({k}+1)*ln(1+(s.n-d.df+0.5)/(d.df+0.5)))
+   - (({k}+1)*ln(1+(s.n-d.df+0.5)/(d.df+0.5)))
+     * (({k}-{k}*{b}) + ({k}*{b}/(s.tot/s.n))*m.dl)
+     / ((({k}-{k}*{b}) + ({k}*{b}/(s.tot/s.n))*m.dl) + m.fb), 4) AS score
+FROM m, d, stats s
+""",
+        # composed analyzer chain: delimited(' ') -> lower -> stopwords;
+        # str.split(' ') and DuckDB string_split both keep interior empty
+        # tokens, and BOTH sides drop the empty-text doc up front (the
+        # engine's DelimiterAnalyzer returns [] for '', SQL via the CASE)
+        "analyzer_pipeline": f"""
+WITH raw AS (SELECT doc_id,
+    CASE WHEN text IS NULL OR text = '' THEN []::VARCHAR[]
+         ELSE string_split(text, ' ') END AS rt FROM documents),
+t AS (SELECT doc_id, lower(unnest(rt)) AS w FROM raw),
+f AS (SELECT doc_id, w FROM t
+      WHERE w NOT IN ({', '.join(repr(w) for w in PIPELINE_STOPWORDS)}))
+SELECT w AS term, count(DISTINCT doc_id)::BIGINT AS df,
+       count(*)::BIGINT AS ttf
+FROM f GROUP BY w
+ORDER BY df DESC, ttf DESC, term
+LIMIT 20
 """,
         "phrase_search": f"""
 {_TOK_CTE},

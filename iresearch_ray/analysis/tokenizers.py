@@ -321,7 +321,16 @@ def register_analyzer(name: str, factory: Callable[..., Analyzer]) -> None:
     _REGISTRY[name] = factory
 
 
-def get_analyzer(name: str, **opts) -> Analyzer:
+def get_analyzer(name: str | Analyzer, **opts) -> Analyzer:
+    """Resolve a registry name (plus options) — or pass an already-built
+    Analyzer instance through unchanged, so pipeline operators that take
+    ``analyzer=`` accept composed analyzers (pipeline/stopwords chains)
+    without a registry round-trip; instances pickle into Ray tasks."""
+    if isinstance(name, Analyzer):
+        if opts:
+            raise ValueError(
+                "analyzer options are not allowed with an Analyzer instance")
+        return name
     try:
         return _REGISTRY[name](**opts)
     except KeyError:
@@ -407,6 +416,14 @@ register_analyzer("icu", lambda **o: RegexTokenizer(kind="icu", **o))
 register_analyzer("delimiter", lambda **o: DelimiterAnalyzer(**o))
 register_analyzer("ngram", lambda **o: NgramAnalyzer(**o))
 register_analyzer("norm", lambda **o: NormalizeAnalyzer(**o))
+# registry parity with the reference's named streams (pipeline_token_stream,
+# stopwords): stage/inner accept either a registry name or a config() dict
+register_analyzer("stopwords", lambda inner, stopwords: StopwordsAnalyzer(
+    analyzer_from_config(inner) if isinstance(inner, dict)
+    else get_analyzer(inner), stopwords))
+register_analyzer("pipeline", lambda stages: PipelineAnalyzer(
+    [analyzer_from_config(s) if isinstance(s, dict) else get_analyzer(s)
+     for s in stages]))
 
 
 def flatten_batch_arrow(analyzer: Analyzer, texts) -> dict[str, np.ndarray]:

@@ -109,6 +109,29 @@ def test_stem_and_text_analyzers():
     assert txt.config()["stopwords"] == ["of", "the"]
 
 
+def test_registry_pipeline_stopwords_and_instance_passthrough():
+    """pipeline / stopwords resolve by registry name (stages/inner accept
+    names or config() dicts), and get_analyzer passes an already-built
+    instance straight through (composed analyzers into `analyzer=` params)."""
+    p = get_analyzer("pipeline", stages=[
+        {"name": "delimiter", "delimiter": " "},
+        {"name": "stopwords", "inner": {"name": "norm", "lowercase": True,
+                                        "strip_accents": False},
+         "stopwords": ["the"]},
+    ])
+    assert p.tokens("The Quick the FOX") == ["quick", "fox"]
+    sw = get_analyzer("stopwords", inner="ascii", stopwords=("of",))
+    assert sw.tokens("The sum of parts") == ["the", "sum", "parts"]
+    # instance passthrough: identity, and opts are rejected
+    assert get_analyzer(p) is p
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        get_analyzer(p, delimiter=",")
+    # round-trips through config() like every other registered analyzer
+    from iresearch_ray.analysis.tokenizers import analyzer_from_config
+    assert analyzer_from_config(p.config()).tokens("The a B") == p.tokens("The a B")
+
+
 def test_keyword_boolean_null_collation():
     assert get_analyzer("keyword").tokens("Exact Value!") == ["Exact Value!"]
     bo = get_analyzer("boolean")

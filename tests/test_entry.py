@@ -93,15 +93,20 @@ def test_distinctive_queries_fit_driver_window():
                  "facet_lang", "keyword_search"]:
         assert name in window, f"{name} outside the driver's 50-row window"
     # new round-5 contract entries (exclusion, boosted term sets, block
-    # join): in the window so their FIRST driver row lands this round
-    for name in ["not_search", "terms_boost", "nested_search"]:
+    # join, consolidation, update-as-replace, composed analyzer chain):
+    # in the window so their FIRST driver row lands this round
+    for name in ["not_search", "terms_boost", "nested_search",
+                 "consolidate_search", "replace_search",
+                 "analyzer_pipeline"]:
         assert name in window, f"{name} outside the driver's 50-row window"
     # the tail must stay redundant-only: each is an r04-green row
     # (its own driver evidence) AND has an in-window twin
     twins = {"term_postings": "term_search",
              "term_topk_wand": "term_topk",
              "filtered_agg": "term_search",
-             "prefix_search": "wildcard_search",
+             # (wildcard_search itself demoted in round 5, so the
+             # expansion-count twins both point at fuzzy_search)
+             "prefix_search": "fuzzy_search",
              "range_search": "numeric_range",
              "ann_lsh": "ann_cosine",
              "ann_ivf": "ann_cosine",
@@ -125,7 +130,15 @@ def test_distinctive_queries_fit_driver_window():
              # phrase_variadic, columnstore existence via facet_lang)
              "bool_and_search": "multifield_and",
              "phrase_search": "phrase_variadic",
-             "column_existence": "facet_lang"}
+             "column_existence": "facet_lang",
+             # demoted in round 5 for consolidate_search / replace_search
+             # / analyzer_pipeline (each r04-green; scored-expansion
+             # unions stay in-window via fuzzy_search, the dictionary /
+             # collector views via term_dictionary, the RE2-chain class
+             # via redact_pii)
+             "wildcard_search": "fuzzy_search",
+             "top_terms": "term_dictionary",
+             "url_canonical": "redact_pii"}
     import json
     import pathlib
     r04 = json.loads((pathlib.Path(__file__).parent.parent
