@@ -238,3 +238,59 @@ def test_lifecycle_fuzz_consistent(ray_session, tmp_path_factory, seed):
             got |= {seg.reader.keys[x - 1] for x in docs}
         want = {k for k in alive_keys if term in truth[k]}
         assert got == want, (term, sorted(want - got)[:3], sorted(got - want)[:3])
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_analyzer_pipeline_sql_twin_fuzz(ray_session, seed):
+    """The analyzer_pipeline oracle twin over adversarial texts the sf
+    corpora never exercise: double/leading/trailing spaces (empty tokens),
+    NUL bytes inside tokens, digits, punctuation-glued tokens, safe
+    accents, empty and NULL texts.  Documented exclusions — two classes
+    where Python str.lower() and DuckDB lower() genuinely disagree, so
+    the twin's contract excludes them: dotted 'İ' (U+0130 lowers to
+    'i'+combining-dot in Python, plain 'i' in DuckDB) and Greek capital
+    sigma (Python applies final-sigma context, DuckDB does not)."""
+    import duckdb
+    import ray.data
+
+    import __ray_entry__ as M
+    from iresearch_ray.analysis import (
+        DelimiterAnalyzer,
+        NormalizeAnalyzer,
+        PipelineAnalyzer,
+        StopwordsAnalyzer,
+    )
+    from iresearch_ray.pipelines import textstats
+
+    rng = np.random.default_rng(seed)
+    frags = ["the", "The", "THE", "AND", "of", "to", "x1", "B2", "", " ",
+             "é", "Ñ", "a\x00b", "\x00", "Ø9", "zz", "Q", "0", "-", "a,b",
+             "Straße", "ÀÉÎ"]
+    texts: list = []
+    for i in range(150):
+        k = int(rng.integers(0, 9))
+        if k == 0:
+            texts.append(None if i % 2 == 0 else "")
+        else:
+            texts.append(" ".join(rng.choice(frags, size=k)))
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+
+    ana = PipelineAnalyzer([
+        DelimiterAnalyzer(" "),
+        StopwordsAnalyzer(NormalizeAnalyzer(lowercase=True,
+                                            strip_accents=False),
+                          M.PIPELINE_STOPWORDS),
+    ])
+    out = textstats.term_frequencies(ray.data.from_arrow(tbl),
+                                     analyzer=ana).to_pandas()
+    out = out.sort_values(["df", "ttf", "term"],
+                          ascending=[False, False, True]).head(20)
+
+    con = duckdb.connect()
+    con.register("fuzz_docs", tbl)
+    con.execute("CREATE VIEW documents AS SELECT * FROM fuzz_docs")
+    exp = con.execute(M.oracle_sql()["analyzer_pipeline"]).df()
+    assert list(out["term"]) == list(exp["term"])
+    assert list(out["df"].astype(np.int64)) == list(exp["df"].astype(np.int64))
+    assert list(out["ttf"].astype(np.int64)) == list(exp["ttf"].astype(np.int64))
