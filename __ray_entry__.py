@@ -197,8 +197,17 @@ def _replaced_reader(sf_dir: str):
     index_dir = os.path.join(cache, "index_repl")
     build_index(pages_path, index_dir, analyzer="ascii",
                 target_docs=max(32, math.ceil(n / 4)))
-    marker = os.path.join(index_dir, "_replaced.done")
-    if not os.path.exists(marker):
+    # idempotence rides the manifest itself: replace_by_filter inserts
+    # segments under the 'seg-r<gen>-' prefix in the SAME atomic commit
+    # that masks the originals, and _carry_forward keeps them through
+    # every later resume commit — so their presence (not a side marker a
+    # crash could miss, nor a manifest extra a resume commit drops) is
+    # the replay guard
+    from iresearch_ray.index import manifest as manifest_mod
+
+    man = manifest_mod.load(index_dir)
+    if not any(s["segment_id"].startswith("seg-r")
+               for s in man["segments"]):
         d = pq.read_table(pages_path, columns=["url", "text"])
         ana = get_analyzer("ascii")
         urls, texts = [], []
@@ -216,8 +225,6 @@ def _replaced_reader(sf_dir: str):
             replace_by_filter(index_dir, TermFilter("dup"), new_path,
                               analyzer="ascii",
                               target_docs=max(32, math.ceil(n / 4)))
-        with open(marker, "w") as f:
-            f.write("done")
     reader = IndexReader(index_dir)
     _READERS[key] = reader
     return reader

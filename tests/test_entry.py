@@ -161,6 +161,25 @@ def test_entry_smoke(ray_session):
     pd.testing.assert_frame_equal(df, df2)
 
 
+def test_replace_search_never_double_inserts(ray_session):
+    """The external driver re-imports the module per round over a warm
+    /tmp cache, and build_index's resume commit drops manifest extras —
+    so replace_search's replay guard keys on the carried-forward
+    'seg-r<gen>-' replacement segments.  A second cold-module pass must
+    leave exactly one replacement insert and return identical rows."""
+    first = entrymod.queries()["replace_search"](SF)
+    entrymod._READERS.clear()  # simulate a fresh driver process
+    second = entrymod.queries()["replace_search"](SF)
+    pd.testing.assert_frame_equal(first, second)
+    from iresearch_ray.index import manifest as manifest_mod
+
+    cache = os.path.join(entrymod._CACHE_ROOT, entrymod._slug(SF))
+    man = manifest_mod.load(os.path.join(cache, "index_repl"))
+    gens = sorted({s["segment_id"].split("-")[1] for s in man["segments"]
+                   if s["segment_id"].startswith("seg-r")})
+    assert len(gens) == 1, f"replacement inserted {len(gens)} times: {gens}"
+
+
 def test_topk_adaptive_overfetch_on_ties(ray_session, tmp_path):
     """mode='top' must equal mode='all' even when EVERY matching doc has
     the same rounded score: the fixed 3k over-fetch would cut an
