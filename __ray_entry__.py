@@ -178,8 +178,7 @@ def _replaced_reader(sf_dir: str):
     key, one manifest generation — by the deterministic 4-token doc
     'replacement batch doc <doc_id>'.  Masked originals still count in
     the global stats and term df (same accounting as delete_search);
-    a marker file keeps the replace from re-applying on warm caches."""
-    from iresearch_ray.analysis import get_analyzer
+    the carried-forward seg-r segments gate the insert on warm caches."""
     from iresearch_ray.index.build import build_index
     from iresearch_ray.index.delete import replace_by_filter
     from iresearch_ray.search import IndexReader, TermFilter
@@ -201,20 +200,29 @@ def _replaced_reader(sf_dir: str):
     # segments under the 'seg-r<gen>-' prefix in the SAME atomic commit
     # that masks the originals, and _carry_forward keeps them through
     # every later resume commit — so their presence (not a side marker a
-    # crash could miss, nor a manifest extra a resume commit drops) is
-    # the replay guard
+    # crash could miss, nor a manifest extra a resume commit drops) gates
+    # the INSERT.  The masks are NOT as durable (a leaf rebuilt by a later
+    # resume loses its docmask), so the mask step re-applies on every
+    # warm pass like _deleted_reader — delete_by_filter is content-
+    # idempotent and re-heals a rebuilt leaf
     from iresearch_ray.index import manifest as manifest_mod
+    from iresearch_ray.index.delete import delete_by_filter
 
     man = manifest_mod.load(index_dir)
     if not any(s["segment_id"].startswith("seg-r")
                for s in man["segments"]):
+        import pyarrow.compute as pc
+
         d = pq.read_table(pages_path, columns=["url", "text"])
-        ana = get_analyzer("ascii")
-        urls, texts = [], []
-        for u, t in zip(d["url"].to_pylist(), d["text"].to_pylist()):
-            if "dup" in ana.tokens(t or ""):
-                urls.append(u)
-                texts.append(f"replacement batch doc {_doc_id(u)}")
+        # 'dup' in ascii tokens == 'dup' in lower(text) bounded by
+        # non-[a-z0-9] or string edge (the tokenizer is exactly the
+        # [a-z0-9]+ runs), vectorized in one RE2 pass
+        hit = pc.match_substring_regex(
+            pc.utf8_lower(pc.fill_null(d["text"], "")),
+            "(^|[^a-z0-9])dup([^a-z0-9]|$)")
+        d = d.filter(hit)
+        urls = d["url"].to_pylist()
+        texts = [f"replacement batch doc {_doc_id(u)}" for u in urls]
         if urls:
             new_path = os.path.join(cache, "replacement_pages.parquet")
             tmp = new_path + ".tmp"
@@ -225,6 +233,8 @@ def _replaced_reader(sf_dir: str):
             replace_by_filter(index_dir, TermFilter("dup"), new_path,
                               analyzer="ascii",
                               target_docs=max(32, math.ceil(n / 4)))
+    else:
+        delete_by_filter(index_dir, TermFilter("dup"))
     reader = IndexReader(index_dir)
     _READERS[key] = reader
     return reader
@@ -403,6 +413,18 @@ FROM m, d, stats s
 
 def _sql_tf(term: str) -> str:
     return f"len(list_filter(ts, x -> x = '{term}'))"
+
+
+def _sql_bm25_expr(f: str, dl: str, df: str = "d.df") -> str:
+    """One term's BM25 score as a SQL expression over tf column ``f``,
+    doc-length column ``dl`` and df source ``df`` (stats CTE alias ``s``
+    in scope) — the same float64 association as _sql_bm25's SELECT, so
+    multi-term oracles (boosted sums, per-child sums) stay in lockstep
+    with the engine without re-pasting the blob."""
+    idf = f"(({BM25_K}+1)*ln(1+(s.n-{df}+0.5)/({df}+0.5)))"
+    norm = (f"(({BM25_K}-{BM25_K}*{BM25_B}) + "
+            f"({BM25_K}*{BM25_B}/(s.tot/s.n))*{dl})")
+    return f"({idf}\n   - {idf}\n     * {norm}\n     / ({norm} + {f}))"
 
 
 def _sql_expansion_counts(match_expr: str) -> str:
@@ -1998,15 +2020,9 @@ d2 AS (SELECT count(*)::DOUBLE AS df FROM tf WHERE f2 > 0),
 m AS (SELECT * FROM tf WHERE f1 > 0 OR f2 > 0)
 SELECT m.doc_id, round(
    CASE WHEN m.f1 > 0 THEN
-     1.0 * ((({k}+1)*ln(1+(s.n-d1.df+0.5)/(d1.df+0.5)))
-     - (({k}+1)*ln(1+(s.n-d1.df+0.5)/(d1.df+0.5)))
-       * (({k}-{k}*{b}) + ({k}*{b}/(s.tot/s.n))*m.dl)
-       / ((({k}-{k}*{b}) + ({k}*{b}/(s.tot/s.n))*m.dl) + m.f1)) ELSE 0 END
+     1.0 * {_sql_bm25_expr('m.f1', 'm.dl', 'd1.df')} ELSE 0 END
  + CASE WHEN m.f2 > 0 THEN
-     2.0 * ((({k}+1)*ln(1+(s.n-d2.df+0.5)/(d2.df+0.5)))
-     - (({k}+1)*ln(1+(s.n-d2.df+0.5)/(d2.df+0.5)))
-       * (({k}-{k}*{b}) + ({k}*{b}/(s.tot/s.n))*m.dl)
-       / ((({k}-{k}*{b}) + ({k}*{b}/(s.tot/s.n))*m.dl) + m.f2)) ELSE 0 END
+     2.0 * {_sql_bm25_expr('m.f2', 'm.dl', 'd2.df')} ELSE 0 END
  , 4) AS score
 FROM m, d1, d2, stats s
 """,
@@ -2032,11 +2048,7 @@ corpus AS (SELECT doc_id, len(kt) AS dl,
 stats AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE AS tot FROM corpus),
 d AS (SELECT count(*)::DOUBLE AS df FROM corpus WHERE f > 0),
 m AS (SELECT doc_id, dl, f FROM corpus WHERE f > 0)
-SELECT m.doc_id, round(sum(
-   (({k}+1)*ln(1+(s.n-d.df+0.5)/(d.df+0.5)))
-   - (({k}+1)*ln(1+(s.n-d.df+0.5)/(d.df+0.5)))
-     * (({k}-{k}*{b}) + ({k}*{b}/(s.tot/s.n))*m.dl)
-     / ((({k}-{k}*{b}) + ({k}*{b}/(s.tot/s.n))*m.dl) + m.f)), 4) AS score
+SELECT m.doc_id, round(sum({_sql_bm25_expr('m.f', 'm.dl')}), 4) AS score
 FROM m, d, stats s
 GROUP BY m.doc_id
 ORDER BY m.doc_id
@@ -2062,11 +2074,7 @@ corpus AS (SELECT doc_id, dl, fb, fd > 0 AS masked FROM base
 stats AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE AS tot FROM corpus),
 d AS (SELECT count(*)::DOUBLE AS df FROM corpus WHERE fb > 0),
 m AS (SELECT doc_id, dl, fb FROM corpus WHERE fb > 0 AND NOT masked)
-SELECT m.doc_id, round(
-   (({k}+1)*ln(1+(s.n-d.df+0.5)/(d.df+0.5)))
-   - (({k}+1)*ln(1+(s.n-d.df+0.5)/(d.df+0.5)))
-     * (({k}-{k}*{b}) + ({k}*{b}/(s.tot/s.n))*m.dl)
-     / ((({k}-{k}*{b}) + ({k}*{b}/(s.tot/s.n))*m.dl) + m.fb), 4) AS score
+SELECT m.doc_id, round({_sql_bm25_expr('m.fb', 'm.dl')}, 4) AS score
 FROM m, d, stats s
 """,
         # composed analyzer chain: delimited(' ') -> lower -> stopwords;

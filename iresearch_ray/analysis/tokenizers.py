@@ -332,9 +332,13 @@ def get_analyzer(name: str | Analyzer, **opts) -> Analyzer:
                 "analyzer options are not allowed with an Analyzer instance")
         return name
     try:
-        return _REGISTRY[name](**opts)
+        factory = _REGISTRY[name]
     except KeyError:
         raise KeyError(f"unknown analyzer {name!r}; known: {sorted(_REGISTRY)}") from None
+    # the factory runs OUTSIDE the try: a KeyError raised inside it (e.g.
+    # a pipeline/stopwords stage config missing a required key) must not
+    # be misreported as "unknown analyzer"
+    return factory(**opts)
 
 
 def analyzer_from_config(cfg: dict) -> Analyzer:

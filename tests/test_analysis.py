@@ -127,6 +127,12 @@ def test_registry_pipeline_stopwords_and_instance_passthrough():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         get_analyzer(p, delimiter=",")
+    # a KeyError raised INSIDE a factory (stage config missing 'inner')
+    # must surface as-is, not be misreported as "unknown analyzer"
+    with _pytest.raises(KeyError) as ei:
+        get_analyzer("pipeline",
+                     stages=[{"name": "stopwords", "stopwords": ["x"]}])
+    assert "unknown analyzer" not in str(ei.value)
     # round-trips through config() like every other registered analyzer
     from iresearch_ray.analysis.tokenizers import analyzer_from_config
     assert analyzer_from_config(p.config()).tokens("The a B") == p.tokens("The a B")

@@ -272,7 +272,11 @@ def test_analyzer_pipeline_sql_twin_fuzz(ray_session, seed):
         if k == 0:
             texts.append(None if i % 2 == 0 else "")
         else:
-            texts.append(" ".join(rng.choice(frags, size=k)))
+            # draw by index, NOT rng.choice(frags): numpy's fixed-width
+            # unicode array treats trailing NULs as padding, silently
+            # turning the lone-'\x00' frag into '' and losing coverage
+            idx = rng.integers(0, len(frags), size=k)
+            texts.append(" ".join(frags[j] for j in idx))
     tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
                     "text": pa.array(texts, pa.string())})
 
