@@ -140,6 +140,32 @@ def _deleted_reader(sf_dir: str):
     return reader
 
 
+def _offs_reader(sf_dir: str):
+    """Index with the OFFS posting feature (per-position char offsets,
+    reference field_data::invert offs writer) plus stored text — the
+    highlight_snippets contract query reads spans straight off the
+    postings instead of re-tokenizing."""
+    from iresearch_ray.index.build import build_index
+    from iresearch_ray.search import IndexReader
+
+    key = _slug(sf_dir) + "_offs"
+    if key in _READERS:
+        return _READERS[key]
+    _index_reader(sf_dir)  # ensures pages.parquet exists
+    cache = os.path.join(_CACHE_ROOT, _slug(sf_dir))
+    import pyarrow.parquet as pq
+
+    pages_path = os.path.join(cache, "pages.parquet")
+    n = pq.ParquetFile(pages_path).metadata.num_rows
+    index_dir = os.path.join(cache, "index_offs")
+    build_index(pages_path, index_dir, analyzer="ascii",
+                target_docs=max(32, math.ceil(n / 4)),
+                index_features=("pos", "offs"), store_columns=("text",))
+    reader = IndexReader(index_dir)
+    _READERS[key] = reader
+    return reader
+
+
 def _consolidated_reader(sf_dir: str):
     """Index built as ~8 small segments then tiered-consolidated
     (reference consolidation, index_writer::consolidate) — query results
@@ -1086,6 +1112,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = graph.domain_rank(docs, iterations=10).to_pandas()
         return out.sort_values("node").reset_index(drop=True)
 
+    def domain_rank_part_q(sf_dir):
+        """Same PageRank, FORCED through the partitioned path (round-5
+        scale route: rank vector range-partitioned into object-store
+        refs, edges co-sorted once, per-iteration = overlap-local
+        contrib map + int-key sort+combine).  partitions=3 exercises
+        real cross-partition gathers; the fixed-point int arithmetic is
+        order-free so the oracle is the SAME SQL as domain_rank."""
+        from iresearch_ray.pipelines import graph
+
+        docs = ray_docs(sf_dir, ["doc_id"]).map_batches(
+            _with_messy_urls, batch_format="pyarrow").map_batches(
+            _with_synth_html, batch_format="pyarrow")
+        out = graph.domain_rank(docs, iterations=10, partitions=3).to_pandas()
+        return out.sort_values("node").reset_index(drop=True)
+
+    def highlight_snippets_q(sf_dir):
+        """Tagged context snippets for every doc matching 'batch', spans
+        read from the OFFS posting feature (indexed=True — no
+        re-tokenization; reference offset attribute through
+        field_data::invert's offs writer).  The SQL twin re-derives the
+        first token occurrence with the same boundary spec the ascii
+        tokenizer uses ((^|[^a-z0-9])batch([^a-z0-9]|$)) and assembles
+        the identical ±30-char window."""
+        from iresearch_ray.search.highlight import highlight_snippets
+
+        reader = _offs_reader(sf_dir)
+        gdocs, keys = [], []
+        for seg in reader.segments:
+            i = seg.reader.lookup("batch")
+            if i < 0:
+                continue
+            docs, _ = seg.reader.postings(i)
+            docs = docs.astype(np.int64)
+            gdocs.append(docs + seg.base)
+            keys.append(seg.reader.keys[docs - 1])
+        if not gdocs:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "snippet": pd.Series([], dtype=str)})
+        gdocs = np.concatenate(gdocs)
+        id_by_gdoc = {int(g): _doc_id(k)
+                      for g, k in zip(gdocs, np.concatenate(keys))}
+        sn = highlight_snippets(reader, gdocs, ["batch"], indexed=True,
+                                context=30)
+        sn["doc_id"] = sn["doc"].map(id_by_gdoc).astype(np.int64)
+        return (sn[["doc_id", "snippet"]]
+                .sort_values("doc_id").reset_index(drop=True))
+
     def extract_links_q(sf_dir):
         from iresearch_ray.pipelines import curate
 
@@ -1254,9 +1327,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # first ~50 dict entries, so every contract query gets a driver
         # row in r04 or r05. HEAD (18) = the 3 ops that never had a
         # driver row plus the 15 r03-green entries displaced by round
-        # 4's window. MIDDLE (32) = r04-green keepers. TAIL (18) =
-        # r04-green rows (each with an in-window twin), safe to
-        # truncate. Policy pinned by
+        # 4's window. MIDDLE (32) = 9 new round-5 entries + r04-green
+        # keepers. TAIL (21) = r04-green rows (each with an in-window
+        # twin), safe to truncate. Policy pinned by
         # tests/test_entry.py::test_distinctive_queries_fit_driver_window.
         "dedup_corpus": dedup_corpus_q,            # never driver-verified
         "extract_links": extract_links_q,          # never driver-verified
@@ -1300,8 +1373,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "numeric_range": numeric_range,
         "multifield_and": multifield_and,
         "delete_search": delete_search,
-        "classify_labels": classify_labels,        # md5 fake -> exact oracle
-        "ngram_similarity": ngram_similarity,      # bounded chain-join oracle
+        # --- new in round 5 (first driver rows this round): scored-term
+        # sampling (limited_sample_collector spec: matched terms ranked
+        # by summed df desc then term asc, top scored_terms_limit score,
+        # the rest match at 0), OFFS-posting snippets, and the
+        # partitioned PageRank route ---
+        "prefix_scored_limit": lambda sf: _all_matches(
+            sf, PrefixFilter("s", scored_terms_limit=3)),
+        "highlight_snippets": highlight_snippets_q,
         # --- similarity search ---
         "ann_cosine": ann_cosine,
         # --- multimodal plumbing ---
@@ -1315,14 +1394,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_text": extract_text_q,
         "domain_links": domain_links_q,
         "domain_rank": domain_rank_q,
+        "domain_rank_part": domain_rank_part_q,    # forced partitioned path
         # --- windows / dedup pipelines ---
         "window_tumbling": window_tumbling,
         "domain_stats_psl": domain_stats_psl_q,   # PSL registrable mode
         "ngram_jaccard": ngram_jaccard,
         "keyterms": keyterms_q,
-        "duplicated_spans": duplicated_spans_q,
         "redact_pii": redact_pii_q,                # RE2-exact oracle
-        # --- tail: 18 r04-green rows (see CORRECTNESS_r04.json), each a
+        # --- tail: 21 r04-green rows (see CORRECTNESS_r04.json), each a
         # variant / stat view / composition input of an in-window twin;
         # safe to truncate at the driver's ~50-row window ---
         "term_postings": term_postings,            # ~ term_search
@@ -1358,6 +1437,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                                    with_counts=True),
         "top_terms": top_terms,
         "url_canonical": url_canonical_q,
+        # demoted in round 5 (second rotation) for prefix_scored_limit /
+        # highlight_snippets / domain_rank_part (each r04-green with an
+        # in-window twin)
+        "classify_labels": classify_labels,        # ~ multimodal_features
+        "ngram_similarity": ngram_similarity,      # ~ fuzzy_search
+        "duplicated_spans": duplicated_spans_q,    # ~ duplicated_span_stats
     }
 
 
@@ -1879,6 +1964,66 @@ it{k} AS MATERIALIZED (SELECT nd.v,
     return (",".join(parts) + f"""
 SELECT v AS node, r AS rank_units, CAST(r AS DOUBLE) / {sc} AS rank
 FROM it{iterations} ORDER BY node""")
+
+
+def _prefix_scored_limit_oracle_sql(prefix: str = "s", limit: int = 3) -> str:
+    """SQL twin of PrefixFilter(prefix, scored_terms_limit=limit) — the
+    reference limited_sample_collector spec (search/filters.py:951):
+    matched terms ranked by (summed df DESC, term ASC), the top ``limit``
+    are BM25-scored, docs matching only unscored terms still match with
+    score 0.  The per-doc sum runs over <= ``limit`` terms so the 4-dp
+    round is far inside float64 association safety."""
+    sc = _sql_bm25_expr("m.f", "m.dl", "scored.df")
+    return f"""
+{_TOK_CTE},
+stats AS (SELECT count(*)::DOUBLE AS n, sum(len(ts))::DOUBLE AS tot FROM tok),
+pos AS (SELECT doc_id, unnest(ts) AS w, len(ts) AS dl FROM tok),
+m AS (SELECT doc_id, w, count(*)::DOUBLE AS f, any_value(dl) AS dl
+      FROM pos WHERE w LIKE '{prefix}%' GROUP BY doc_id, w),
+d AS (SELECT w, count(*)::DOUBLE AS df FROM m GROUP BY w),
+scored AS (SELECT w, df FROM d ORDER BY df DESC, w LIMIT {limit}),
+persum AS (SELECT m.doc_id, sum({sc}) AS sc
+           FROM m JOIN scored ON m.w = scored.w, stats s
+           GROUP BY m.doc_id),
+alld AS (SELECT DISTINCT doc_id FROM m)
+SELECT alld.doc_id, round(coalesce(persum.sc, 0), 4) AS score
+FROM alld LEFT JOIN persum ON alld.doc_id = persum.doc_id
+"""
+
+
+def _highlight_snippets_oracle_sql(term: str = "batch",
+                                   context: int = 30) -> str:
+    """SQL twin of the OFFS-posting snippet query: the first token
+    occurrence of ``term`` is re-derived with the ascii tokenizer's own
+    boundary spec ((^|[^a-z0-9])term([^a-z0-9]|$) over lower(text) —
+    token chars and the split class are the same [a-z0-9] set, so the
+    regex agrees with the tokenizer by construction), located by
+    replacing the FIRST match with a chr(1) marker (regexp_replace is
+    first-match-only without the 'g' option) and assembled into the
+    identical +/-``context``-char window.  ascii lower() is
+    length-preserving, so offsets in lower(text) index the original."""
+    L = len(term)
+    pat = f"(^|[^a-z0-9]){term}([^a-z0-9]|$)"
+    return f"""
+WITH m AS (SELECT doc_id, text
+           FROM (SELECT doc_id, text, {_TOK} AS ts FROM documents)
+           WHERE list_contains(ts, '{term}')),
+hit AS (SELECT doc_id, text,
+               strpos(regexp_replace(lower(text), '{pat}',
+                                     '\\1' || chr(1)), chr(1)) - 1 AS s
+        FROM m),
+sp AS (SELECT doc_id, text, s, s + {L} AS e,
+              greatest(0, s - {context}) AS lo,
+              least(length(text), s + {L} + {context}) AS hi
+       FROM hit)
+SELECT doc_id,
+       (CASE WHEN lo > 0 THEN '...' ELSE '' END)
+       || substr(text, lo + 1, s - lo)
+       || '<em>' || substr(text, s + 1, {L}) || '</em>'
+       || substr(text, e + 1, hi - e)
+       || (CASE WHEN hi < length(text) THEN '...' ELSE '' END) AS snippet
+FROM sp
+"""
 
 
 def _cap_per_domain_oracle_sql(cap: int = 40) -> str:
@@ -2505,6 +2650,11 @@ ORDER BY doc_id
         "extract_text": _extract_text_oracle_sql(),
         "extract_anchors": _extract_anchors_oracle_sql(),
         "domain_rank": _domain_rank_oracle_sql(),
+        # the partitioned route is bit-identical by design (fixed-point
+        # int mass sums are order-free), so the oracle is the same SQL
+        "domain_rank_part": _domain_rank_oracle_sql(),
+        "prefix_scored_limit": _prefix_scored_limit_oracle_sql(),
+        "highlight_snippets": _highlight_snippets_oracle_sql(),
         "ngram_jaccard": f"""
 {_TOK_CTE},
 sh AS (SELECT doc_id, ts, least(len(ts), 3) AS kk, len(ts) AS nt

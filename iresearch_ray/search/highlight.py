@@ -79,15 +79,30 @@ def highlight_indexed(reader, global_docs, terms) -> pd.DataFrame:
     return out.sort_values(["doc", "start"]).reset_index(drop=True) if len(out) else out
 
 
-def highlight_snippets(reader, global_docs, terms, analyzer,
+def highlight_snippets(reader, global_docs, terms, analyzer=None,
                        text_column: str = "text", context: int = 30,
                        tag_open: str = "<em>", tag_close: str = "</em>",
-                       ) -> pd.DataFrame:
-    """One tagged snippet per doc around its first match."""
+                       indexed: bool = False) -> pd.DataFrame:
+    """One tagged snippet per doc around its first match.
+
+    ``indexed=True`` takes spans from the stored OFFS posting feature
+    (:func:`highlight_indexed` — no re-tokenization; the index must have
+    been built with ``index_features=('pos', 'offs')``); the default
+    re-tokenizes the stored text with ``analyzer``.  Both paths produce
+    identical snippets because the OFFS writer records exactly the
+    offsets ``tokens_with_offsets`` emits (reference parity:
+    core/analysis/token_attributes.hpp offset attribute consumed by
+    field_data::invert's offs writer)."""
     texts = reader.stored(np.asarray(global_docs, dtype=np.int64),
                           [text_column])
-    spans = highlight(reader, global_docs, terms, analyzer, text_column,
-                      _texts=texts)
+    if indexed:
+        spans = highlight_indexed(reader, global_docs, terms)
+    else:
+        if analyzer is None:
+            raise TypeError("highlight_snippets needs an analyzer "
+                            "when indexed=False")
+        spans = highlight(reader, global_docs, terms, analyzer, text_column,
+                          _texts=texts)
     text_by_doc = dict(zip(texts["doc"], texts[text_column]))
     out = {"doc": [], "snippet": []}
     for doc, grp in spans.groupby("doc", sort=True):

@@ -298,3 +298,71 @@ def test_analyzer_pipeline_sql_twin_fuzz(ray_session, seed):
     assert list(out["term"]) == list(exp["term"])
     assert list(out["df"].astype(np.int64)) == list(exp["df"].astype(np.int64))
     assert list(out["ttf"].astype(np.int64)) == list(exp["ttf"].astype(np.int64))
+
+
+@pytest.mark.parametrize("seed", [7, 8])
+def test_highlight_snippet_sql_twin_fuzz(ray_session, tmp_path_factory, seed):
+    """The highlight_snippets oracle twin over adversarial texts: the
+    term at string start/end, glued into longer tokens (xbatch, batch1,
+    batchy — must NOT match), uppercase/mixed case, punctuation and NUL
+    boundaries, repeats (first occurrence wins), safe accents, texts
+    shorter/longer than the context window, empty and NULL texts.  The
+    ENGINE side is the real path — OFFS-featured index build, spans off
+    the postings — so the fuzz pins tokenizer offsets == SQL boundary
+    regex end to end."""
+    import duckdb
+
+    import __ray_entry__ as M
+    from iresearch_ray.index.build import build_index
+    from iresearch_ray.search import IndexReader
+    from iresearch_ray.search.highlight import highlight_snippets
+
+    rng = np.random.default_rng(seed)
+    frags = ["batch", "BATCH", "Batch", "xbatch", "batch1", "batchy",
+             "the", "quick", "", " ", "-", "(batch)", "a\x00batch", "é",
+             "0batch0", "batch-batch", "zz", "...", "B", "longfillerword"]
+    texts: list = []
+    for i in range(200):
+        k = int(rng.integers(0, 12))
+        if k == 0:
+            texts.append(None if i % 2 == 0 else "")
+        else:
+            idx = rng.integers(0, len(frags), size=k)
+            texts.append(" ".join(frags[j] for j in idx))
+    tbl = pa.table({"doc_id": pa.array(range(1, len(texts) + 1), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    base = tmp_path_factory.mktemp(f"snipfuzz{seed}")
+    path = str(base / "docs.parquet")
+    pq.write_table(
+        pa.table({"url": [str(i) for i in range(1, len(texts) + 1)],
+                  "text": tbl["text"]}), path, row_group_size=64)
+    index_dir = str(base / "idx")
+    build_index(path, index_dir, analyzer="ascii", target_docs=64,
+                index_features=("pos", "offs"), store_columns=("text",))
+    reader = IndexReader(index_dir)
+
+    gdocs, keys = [], []
+    for seg in reader.segments:
+        i = seg.reader.lookup("batch")
+        if i < 0:
+            continue
+        docs, _ = seg.reader.postings(i)
+        docs = docs.astype(np.int64)
+        gdocs.append(docs + seg.base)
+        keys.append(seg.reader.keys[docs - 1])
+    assert gdocs, "fuzz corpus must contain the term"
+    gdocs, keys = np.concatenate(gdocs), np.concatenate(keys)
+    sn = highlight_snippets(reader, gdocs, ["batch"], indexed=True,
+                            context=30)
+    id_by_gdoc = {int(g): int(k) for g, k in zip(gdocs, keys)}
+    sn["doc_id"] = sn["doc"].map(id_by_gdoc).astype(np.int64)
+    ours = (sn[["doc_id", "snippet"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+    con = duckdb.connect()
+    con.register("fuzz_docs", tbl)
+    con.execute("CREATE VIEW documents AS SELECT * FROM fuzz_docs")
+    exp = (con.execute(M.oracle_sql()["highlight_snippets"]).df()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert list(ours["doc_id"]) == list(exp["doc_id"].astype(np.int64))
+    assert list(ours["snippet"]) == list(exp["snippet"])

@@ -97,7 +97,12 @@ def test_distinctive_queries_fit_driver_window():
     # in the window so their FIRST driver row lands this round
     for name in ["not_search", "terms_boost", "nested_search",
                  "consolidate_search", "replace_search",
-                 "analyzer_pipeline"]:
+                 "analyzer_pipeline",
+                 # second round-5 batch: scored-term sampling
+                 # (limited_sample_collector), OFFS-posting snippets,
+                 # and the partitioned PageRank route
+                 "prefix_scored_limit", "highlight_snippets",
+                 "domain_rank_part"]:
         assert name in window, f"{name} outside the driver's 50-row window"
     # the tail must stay redundant-only: each is an r04-green row
     # (its own driver evidence) AND has an in-window twin
@@ -138,7 +143,13 @@ def test_distinctive_queries_fit_driver_window():
              # via redact_pii)
              "wildcard_search": "fuzzy_search",
              "top_terms": "term_dictionary",
-             "url_canonical": "redact_pii"}
+             "url_canonical": "redact_pii",
+             # demoted in round 5 (second rotation) for
+             # prefix_scored_limit / highlight_snippets /
+             # domain_rank_part
+             "classify_labels": "multimodal_features",
+             "ngram_similarity": "fuzzy_search",
+             "duplicated_spans": "duplicated_span_stats"}
     import json
     import pathlib
     r04 = json.loads((pathlib.Path(__file__).parent.parent

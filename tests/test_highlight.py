@@ -118,6 +118,26 @@ def test_highlight_indexed_equals_retokenize(built_offs):
         assert texts[int(r["doc"]) - 1][r["start"]:r["end"]].lower() == r["term"]
 
 
+def test_highlight_snippets_indexed_equals_retokenize(built_offs):
+    """indexed=True snippets (OFFS postings, no re-tokenization) must be
+    byte-identical to the analyzer path, and indexed=False must demand
+    an analyzer."""
+    import pandas as pd
+
+    from iresearch_ray.search.highlight import highlight_snippets
+
+    reader, texts = built_offs
+    res = IndexSearcher(reader, BM25()).search(TermFilter("probe"), k=50)
+    docs = res["doc"].to_numpy()
+    a = highlight_snippets(reader, docs, ["probe"], indexed=True, context=7)
+    b = highlight_snippets(reader, docs, ["probe"], get_analyzer("ascii"),
+                           context=7)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) and all("<em>" in s for s in a["snippet"])
+    with pytest.raises(TypeError):
+        highlight_snippets(reader, docs, ["probe"])
+
+
 def test_offs_feature_guards(built, built_offs, tmp_path):
     """Plain indexes reject postings_offsets; offs needs an offset-capable
     analyzer.  Mixed offs/non-offs segment sets MERGE (round-4, matching
