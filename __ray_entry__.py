@@ -39,6 +39,12 @@ _TOK = ("list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
 PIPELINE_STOPWORDS = ("a", "and", "of", "the", "to")
 _TOK_CTE = f"WITH tok AS (SELECT doc_id, {_TOK} AS ts FROM documents)"
 
+# anchor-text vocabulary for the anchor_search contract query — one
+# constant so the _with_anchor_html fixture and _ANCHOR_HTML_SQL stay
+# in lockstep
+ANCHOR_WORDS = ("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+ANCHOR_QUERY_TERM = "alpha"
+
 # per-doc DISTINCT unsampled rolling span hashes (k=5 token windows), the
 # exact SQL mirror of dedup._SpanHashBatch with hash='md5'
 _SPAN_WH_CTE = f"""{_TOK_CTE},
@@ -1094,6 +1100,79 @@ def queries() -> dict[str, Callable[[str], Any]]:
              + "<p>no more</p></body></html>")
         return b.append_column("html", pa.array(h.tolist()))
 
+    def _with_anchor_html(b):
+        # richer markup for the anchor-text index: up to TWO <a> tags
+        # per page with real (sometimes two-word) anchor text drawn
+        # from a small vocabulary, plus a <link> decoy between them
+        # (anchors must come only from <a> fragments).  SQL twin:
+        # _ANCHOR_HTML_SQL.
+        import pyarrow as pa
+
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        W = np.array(ANCHOR_WORDS)
+        w1 = (pd.Series(W[ids % 6])
+              + pd.Series(np.where(ids % 2 == 0, " link", "")))
+        w2 = pd.Series(W[(ids // 4) % 6])
+        l0 = "http://t" + pd.Series((ids % 7).astype(str)) + ".example.org/a"
+        l1 = ("http://t" + pd.Series(((ids + 3) % 7).astype(str))
+              + ".example.org/d")
+        n = ids % 4
+        h = ("<html><body>"
+             + pd.Series(np.where(n >= 1,
+                                  '<a href="' + l0 + '">' + w1 + "</a>", ""))
+             + '<link href="/rel">'
+             + pd.Series(np.where(n >= 3,
+                                  '<a href="' + l1 + '">' + w2 + "</a>", ""))
+             + "<p>no more</p></body></html>")
+        return b.append_column("html", pa.array(h.tolist()))
+
+    def anchor_search_q(sf_dir):
+        """The whole anchor-text-index chain through the driver: href/
+        anchor fan-out -> target-domain resolve -> per-domain cap (5,
+        binding hard: ~70 anchors/domain at sf0.01) via the exact
+        rank-repair machinery -> deterministic (url, ordinal) concat ->
+        segment build keyed by domain -> BM25 over incoming-link
+        language.  The SQL twin replays every step in CTEs."""
+        from iresearch_ray.pipelines.websearch import build_anchor_index
+        from iresearch_ray.search import IndexReader
+
+        def with_page_urls(b):
+            # build_anchor_index's contract needs urls UNIQUE per page
+            # (anchor identity is (url, ordinal)); _with_messy_urls
+            # deliberately collides ~1/3 of its urls, so this query
+            # derives its own: one distinct url per doc_id
+            import pyarrow as pa
+
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            u = "http://p" + pd.Series(ids.astype(str)) + ".example.net/x"
+            return b.append_column("url", pa.array(u.tolist()))
+
+        docs = ray_docs(sf_dir, ["doc_id"]).map_batches(
+            with_page_urls, batch_format="pyarrow").map_batches(
+            _with_anchor_html, batch_format="pyarrow")
+        work = os.path.join(_CACHE_ROOT, _slug(sf_dir), "anchor_work")
+        build_anchor_index(docs, work, anchors_per_domain=5,
+                           target_docs=4)
+        reader = IndexReader(os.path.join(work, "index"))
+        prep = TermFilter(ANCHOR_QUERY_TERM).prepare(reader, _scorer())
+        doms, gids, scores = [], [], []
+        for seg in reader.segments:
+            d, sc = prep.execute(seg)
+            if len(d):
+                doms.append(seg.reader.keys[d - 1])
+                gids.append(d.astype(np.int64) + seg.base)
+                scores.append(np.round(sc.astype(np.float64), 4))
+        if not doms:
+            return pd.DataFrame({"domain": pd.Series([], dtype=str),
+                                 "n_anchors": pd.Series([], dtype=np.int64),
+                                 "score": pd.Series([], dtype=np.float64)})
+        stored = reader.stored(np.concatenate(gids), ["n_anchors"])
+        out = pd.DataFrame({"domain": np.concatenate(doms),
+                            "n_anchors": stored["n_anchors"]
+                            .to_numpy().astype(np.int64),
+                            "score": np.concatenate(scores)})
+        return out.sort_values("domain").reset_index(drop=True)
+
     def extract_text_q(sf_dir):
         from iresearch_ray.pipelines import curate
 
@@ -1389,7 +1468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": quality_filter_q,
         "token_quantiles": token_quantiles_q,
         # --- webtext curation ---
-        "hash_split": hash_split_q,
+        "anchor_search": anchor_search_q,          # new in round 5
         "cap_per_domain": cap_per_domain_q,
         "extract_text": extract_text_q,
         "domain_links": domain_links_q,
@@ -1443,6 +1522,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "classify_labels": classify_labels,        # ~ multimodal_features
         "ngram_similarity": ngram_similarity,      # ~ fuzzy_search
         "duplicated_spans": duplicated_spans_q,    # ~ duplicated_span_stats
+        "hash_split": hash_split_q,                # ~ dedup_fingerprint
     }
 
 
@@ -1809,6 +1889,81 @@ _SYNTH_HTML_SQL = """
   || (CASE WHEN doc_id % 4 >= 3 THEN ' stray href="http://u'
         || (doc_id % 11) || '.net/c?x=' || doc_id || '"' ELSE '' END)
   || '<p>no more</p></body></html>'"""
+
+def _anchor_words_case_sql(expr: str) -> str:
+    """CASE mapping ``expr`` (0..5) -> ANCHOR_WORDS, the SQL side of the
+    _with_anchor_html vocabulary."""
+    whens = " ".join(f"WHEN {i} THEN '{w}'"
+                     for i, w in enumerate(ANCHOR_WORDS))
+    return f"(CASE {expr} {whens} END)"
+
+
+def _anchor_html_sql() -> str:
+    """SQL twin of _with_anchor_html: up to two <a> tags with vocabulary
+    anchor text plus a <link> decoy."""
+    w1 = (_anchor_words_case_sql("doc_id % 6")
+          + " || (CASE WHEN doc_id % 2 = 0 THEN ' link' ELSE '' END)")
+    w2 = _anchor_words_case_sql("(doc_id // 4) % 6")
+    return f"""
+  '<html><body>'
+  || (CASE WHEN doc_id % 4 >= 1 THEN '<a href="http://t' || (doc_id % 7)
+        || '.example.org/a">' || {w1} || '</a>' ELSE '' END)
+  || '<link href="/rel">'
+  || (CASE WHEN doc_id % 4 >= 3 THEN '<a href="http://t'
+        || ((doc_id + 3) % 7)
+        || '.example.org/d">' || {w2} || '</a>' ELSE '' END)
+  || '<p>no more</p></body></html>'"""
+
+
+def _anchor_search_oracle_sql(term: str = ANCHOR_QUERY_TERM,
+                              cap: int = 5) -> str:
+    """SQL twin of anchor_search — the ENTIRE build_anchor_index chain
+    replayed in CTEs: the extract_anchors split-scan spec WITH the
+    in-page fragment ordinal (zipped unnests), the shared textclean and
+    domain chains, the (url, ordinal) per-domain cap
+    (row_number() OVER ... <= cap — the engine's _aid packed key
+    ``url || NUL || lpad(ordinal)`` sorts identically to (url, ordinal)
+    because NUL is the smallest byte), the ordered concat into one
+    domain doc, and BM25 over the anchor docs."""
+    from iresearch_ray.pipelines.curate import _ANCHOR_PAT, _ANCHOR_SPLIT
+
+    p = _sql_quote(_ANCHOR_PAT)
+    s_ = _sql_quote(_ANCHOR_SPLIT)
+    split = f"string_split(html, '{s_}')"
+    return f"""
+WITH h AS (SELECT doc_id,
+                  'http://p' || doc_id || '.example.net/x' AS url,
+                  {_anchor_html_sql()} AS html FROM documents),
+f AS (SELECT url, unnest({split}) AS frag,
+             unnest(range(len({split}))) AS ord FROM h),
+mm AS (SELECT url, ord, regexp_extract(frag, '{p}', 1) AS href,
+              regexp_extract(frag, '{p}', 2) AS t
+       FROM f WHERE ord > 0 AND regexp_matches(frag, '{p}')),
+a AS (SELECT url, ord, href, {_textclean_expr_sql('t')} AS anchor FROM mm),
+dm AS (SELECT url, ord, anchor, {_domain_expr_sql('href')} AS domain FROM a),
+keep AS (SELECT * FROM dm
+         WHERE domain <> '' AND anchor <> ''
+           AND strpos(url, chr(0)) = 0),
+capped AS (SELECT domain, anchor, url, ord FROM (
+    SELECT *, row_number() OVER (PARTITION BY domain
+                                 ORDER BY url, ord) AS rk
+    FROM keep) WHERE rk <= {cap}),
+domdoc AS (SELECT domain, count(*)::BIGINT AS n_anchors,
+                  string_agg(anchor, ' ' ORDER BY url, ord) AS text
+           FROM capped GROUP BY domain),
+tok AS (SELECT domain, n_anchors, {_TOK} AS ts FROM domdoc),
+stats AS (SELECT count(*)::DOUBLE AS n, sum(len(ts))::DOUBLE AS tot
+          FROM tok),
+tf AS (SELECT domain, n_anchors,
+              len(list_filter(ts, x -> x = '{term}'))::DOUBLE AS f,
+              len(ts) AS dl FROM tok),
+mt AS (SELECT * FROM tf WHERE f > 0),
+d AS (SELECT count(*)::DOUBLE AS df FROM tf WHERE f > 0)
+SELECT mt.domain, mt.n_anchors,
+       round({_sql_bm25_expr("mt.f", "mt.dl")}, 4) AS score
+FROM mt, d, stats s
+"""
+
 
 def _href_links_cte_sql() -> str:
     """The extract_links split-scan spec in SQL (string_split on
@@ -2655,6 +2810,7 @@ ORDER BY doc_id
         "domain_rank_part": _domain_rank_oracle_sql(),
         "prefix_scored_limit": _prefix_scored_limit_oracle_sql(),
         "highlight_snippets": _highlight_snippets_oracle_sql(),
+        "anchor_search": _anchor_search_oracle_sql(),
         "ngram_jaccard": f"""
 {_TOK_CTE},
 sh AS (SELECT doc_id, ts, least(len(ts), 3) AS kk, len(ts) AS nt

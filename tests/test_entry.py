@@ -102,7 +102,7 @@ def test_distinctive_queries_fit_driver_window():
                  # (limited_sample_collector), OFFS-posting snippets,
                  # and the partitioned PageRank route
                  "prefix_scored_limit", "highlight_snippets",
-                 "domain_rank_part"]:
+                 "domain_rank_part", "anchor_search"]:
         assert name in window, f"{name} outside the driver's 50-row window"
     # the tail must stay redundant-only: each is an r04-green row
     # (its own driver evidence) AND has an in-window twin
@@ -149,7 +149,10 @@ def test_distinctive_queries_fit_driver_window():
              # domain_rank_part
              "classify_labels": "multimodal_features",
              "ngram_similarity": "fuzzy_search",
-             "duplicated_spans": "duplicated_span_stats"}
+             "duplicated_spans": "duplicated_span_stats",
+             # demoted for anchor_search (md5-oracle pure functions of
+             # content stay in-window via dedup_fingerprint)
+             "hash_split": "dedup_fingerprint"}
     import json
     import pathlib
     r04 = json.loads((pathlib.Path(__file__).parent.parent
