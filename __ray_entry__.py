@@ -996,8 +996,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def hash_split_q(sf_dir):
         from iresearch_ray.pipelines import curate
 
+        # hash='md5' is the oracle mode (== md5_number_lower in SQL);
+        # the library default is the vectorized 'stable' fast path
         out = curate.hash_split(
-            ray_docs(sf_dir, ["doc_id"])).to_pandas()
+            ray_docs(sf_dir, ["doc_id"]), hash="md5").to_pandas()
         return out.sort_values("doc_id").reset_index(drop=True)
 
     def _with_messy_urls(b):
@@ -1732,8 +1734,8 @@ ORDER BY d.doc_id""")
 
 
 def _hash_split_oracle_sql() -> str:
-    """SQL twin of hash_split(defaults): md5_number_lower(id::VARCHAR) %
-    10000 bucketed by the cumulative (0.98, 0.01, 0.01) bounds."""
+    """SQL twin of hash_split(hash='md5'): md5_number_lower(id::VARCHAR)
+    % 10000 bucketed by the cumulative (0.98, 0.01, 0.01) bounds."""
     from iresearch_ray.pipelines.curate import SPLIT_BUCKETS
 
     b1 = round(0.98 * SPLIT_BUCKETS)

@@ -19,7 +19,7 @@ SPLIT_BUCKETS = 10_000
 
 def hash_split(ds, ratios=(0.98, 0.01, 0.01),
                names=("train", "valid", "test"),
-               id_column: str = "doc_id", hash: str = "md5",
+               id_column: str = "doc_id", hash: str = "stable",
                concurrency: int | None = None):
     """Deterministic corpus splits -> Dataset(id, split): bucket =
     hash(id) % 10000, assigned to ``names`` by cumulative ``ratios``.
@@ -29,11 +29,12 @@ def hash_split(ds, ratios=(0.98, 0.01, 0.01),
     shards and resumed jobs never reshuffle documents between splits
     (a random_sample would).  One shuffle-free map_batches pass.
 
-    ``hash='md5'`` equals DuckDB ``md5_number_lower(id::VARCHAR)``, so
-    the assignment is SQL-reproducible bit-for-bit (a per-row C md5 —
-    ~1 us/id).  ``hash='stable'`` is the at-scale fast path (vectorized
-    siphash over the id strings); both are deterministic, they just
-    draw different (equally uniform) bucket assignments.
+    ``hash='stable'`` (default) is the at-scale path: vectorized siphash
+    over the id strings, no Python per row.  ``hash='md5'`` equals
+    DuckDB ``md5_number_lower(id::VARCHAR)`` so the assignment is
+    SQL-reproducible bit-for-bit (the oracle mode; a per-row C md5 —
+    ~1 us/id).  Both are deterministic, they just draw different
+    (equally uniform) bucket assignments.
     """
     from iresearch_ray.analysis.minhash import stable_hash_strings
 
