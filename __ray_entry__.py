@@ -1208,6 +1208,78 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = graph.domain_rank(docs, iterations=10, partitions=3).to_pandas()
         return out.sort_values("node").reset_index(drop=True)
 
+    def _with_ranked_urls(b):
+        # urls spread across the three host families the synthetic graph
+        # ranks (t*.example.org / u*.net / ex*.example.com) so the
+        # median-rank threshold is a NON-TRIVIAL per-doc decision (the
+        # graph's own source hosts all tie at the lowest rank; a corpus
+        # confined to them would filter all-or-nothing).  SQL twin:
+        # _RANKED_URLS_SQL.
+        import pyarrow as pa
+
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        fam = ids % 3
+        host = np.where(
+            fam == 0,
+            "t" + pd.Series((ids % 7).astype(str)) + ".example.org",
+            np.where(fam == 1,
+                     "u" + pd.Series((ids % 11).astype(str)) + ".net",
+                     "ex" + pd.Series((ids % 5).astype(str))
+                     + ".example.com"))
+        url = "http://" + pd.Series(host) + "/d" + pd.Series(ids.astype(str))
+        return b.append_column("url", pa.array(url.tolist()))
+
+    def rank_filter_q(sf_dir):
+        """Rank-aware curation (graph.filter_by_domain_rank) through the
+        round-5 SCALE shape: PageRank the synthetic domain graph,
+        threshold at the ceil(n/2)-th largest rank_units (a deterministic
+        VALUE pick — ties don't change the unit value at a fixed sorted
+        position), keep the docs of a SECOND corpus whose url host
+        clears it (rank from the crawl, filter any corpus).
+        max_broadcast=1 forces the hash-partitioned membership route
+        (kept nodes as 128-bit-hash blocks in the object store) so the
+        scale path gets its own driver row."""
+        from iresearch_ray.pipelines import graph
+
+        docs = ray_docs(sf_dir, ["doc_id"]).map_batches(
+            _with_messy_urls, batch_format="pyarrow").map_batches(
+            _with_synth_html, batch_format="pyarrow")
+        ranks = graph.domain_rank(docs, iterations=10).materialize()
+        units = np.sort(ranks.to_pandas()["rank_units"].to_numpy())[::-1]
+        thr = int(units[math.ceil(len(units) / 2) - 1])
+        corpus = ray_docs(sf_dir, ["doc_id"]).map_batches(
+            _with_ranked_urls, batch_format="pyarrow")
+        kept = graph.filter_by_domain_rank(corpus, ranks, thr,
+                                           max_broadcast=1)
+        out = kept.select_columns(["doc_id"]).to_pandas()
+        out["doc_id"] = out["doc_id"].astype(np.int64)
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    def nearest_neighbors_q(sf_dir):
+        """Per-token k=2 neighbor expansion (reference
+        nearest_neighbors_stream emits each input token's k model
+        neighbors as tokens; the fastText model is container-stubbed
+        behind a deterministic fake).  hash='md5' makes the fake
+        SQL-reproducible — neighbor i of token w is
+        w ~ (md5_number_lower(w) >> 8i) % 97 zero-padded to 2 digits —
+        so the whole actor-pool expansion checks against an exact
+        oracle, the classify_labels pattern."""
+        from iresearch_ray.pipelines.classify import nearest_neighbors
+
+        out = nearest_neighbors(ray_docs(sf_dir, ["doc_id", "text"]),
+                                k=2, hash="md5").to_pandas()
+        ids = out["doc_id"].to_numpy().astype(np.int64)
+        lens = np.fromiter((len(ls) for ls in out["neighbor_tokens"]),
+                           dtype=np.int64, count=len(out))
+        flat = [n for ls in out["neighbor_tokens"] for n in ls]
+        total = int(lens.sum())
+        ords = (np.arange(total, dtype=np.int64)
+                - np.repeat(np.cumsum(lens) - lens, lens))
+        return (pd.DataFrame({"doc_id": np.repeat(ids, lens),
+                              "ord": ords,
+                              "neighbor": pd.Series(flat, dtype=str)})
+                .sort_values(["doc_id", "ord"]).reset_index(drop=True))
+
     def highlight_snippets_q(sf_dir):
         """Tagged context snippets for every doc matching 'batch', spans
         read from the OFFS posting feature (indexed=True — no
@@ -1476,13 +1548,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_links": domain_links_q,
         "domain_rank": domain_rank_q,
         "domain_rank_part": domain_rank_part_q,    # forced partitioned path
+        # new in round 5 (third batch, first driver rows this round):
+        # rank-aware curation through the hash-partitioned membership
+        # route, and the nearest-neighbors token expansion with an
+        # md5-reproducible fake (the classify_labels pattern)
+        "rank_filter": rank_filter_q,
+        "nearest_neighbors": nearest_neighbors_q,
         # --- windows / dedup pipelines ---
         "window_tumbling": window_tumbling,
         "domain_stats_psl": domain_stats_psl_q,   # PSL registrable mode
-        "ngram_jaccard": ngram_jaccard,
-        "keyterms": keyterms_q,
         "redact_pii": redact_pii_q,                # RE2-exact oracle
-        # --- tail: 21 r04-green rows (see CORRECTNESS_r04.json), each a
+        # --- tail: 23 r04-green rows (see CORRECTNESS_r04.json), each a
         # variant / stat view / composition input of an in-window twin;
         # safe to truncate at the driver's ~50-row window ---
         "term_postings": term_postings,            # ~ term_search
@@ -1525,6 +1601,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_similarity": ngram_similarity,      # ~ fuzzy_search
         "duplicated_spans": duplicated_spans_q,    # ~ duplicated_span_stats
         "hash_split": hash_split_q,                # ~ dedup_fingerprint
+        # demoted in round 5 (third rotation) for rank_filter /
+        # nearest_neighbors (each r04-green with an in-window twin)
+        "ngram_jaccard": ngram_jaccard,            # ~ dedup_corpus
+        "keyterms": keyterms_q,                    # ~ term_dictionary
     }
 
 
@@ -2121,6 +2201,60 @@ it{k} AS MATERIALIZED (SELECT nd.v,
     return (",".join(parts) + f"""
 SELECT v AS node, r AS rank_units, CAST(r AS DOUBLE) / {sc} AS rank
 FROM it{iterations} ORDER BY node""")
+
+
+_RANKED_URLS_SQL = """
+  SELECT doc_id,
+         'http://' ||
+         (CASE doc_id % 3
+            WHEN 0 THEN 't' || (doc_id % 7) || '.example.org'
+            WHEN 1 THEN 'u' || (doc_id % 11) || '.net'
+            ELSE 'ex' || (doc_id % 5) || '.example.com' END)
+         || '/d' || doc_id AS url
+  FROM documents"""
+
+
+def _rank_filter_oracle_sql() -> str:
+    """SQL twin of rank_filter: the full domain_rank CTE chain as a
+    derived table, the ceil(n/2)-th-largest rank_units threshold
+    (row_number over rank_units DESC — the engine picks the VALUE at
+    sorted position ceil(n/2)-1, identical under ties), kept nodes
+    joined against each filtered-corpus url's extracted host (the same
+    extract_domain chain).  rank_units are int64 fixed-point, so the
+    >= decision is exact on both sides."""
+    return f"""
+WITH ranks AS (SELECT * FROM ({_domain_rank_oracle_sql()})),
+ordered AS (SELECT rank_units,
+                   row_number() OVER (ORDER BY rank_units DESC) AS rn,
+                   count(*) OVER () AS n
+            FROM ranks),
+thr AS (SELECT rank_units AS t FROM ordered
+        WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)),
+kept AS (SELECT node FROM ranks, thr
+         WHERE rank_units >= thr.t AND node <> ''),
+corpus AS ({_RANKED_URLS_SQL}),
+d AS (SELECT doc_id, {_domain_expr_sql()} AS domain FROM corpus)
+SELECT d.doc_id FROM d JOIN kept ON d.domain = kept.node ORDER BY doc_id"""
+
+
+def _nearest_neighbors_oracle_sql(k: int = 2) -> str:
+    """SQL twin of nearest_neighbors(hash='md5'): every token expands to
+    k pseudo-neighbors w~NN where NN = (md5_number_lower(w) >> 8i) % 97
+    zero-padded to 2 digits — md5_hash_strings == md5_number_lower
+    (md5 digest bytes 8..16, little-endian) and the >> is the same
+    logical shift on uint64 both sides.  ord = token_ordinal*k + i,
+    the engine's flattened list position."""
+    return f"""
+{_TOK_CTE},
+t AS (SELECT doc_id, unnest(ts) AS w,
+             unnest(range(len(ts))) AS tord FROM tok),
+i AS (SELECT unnest(range({k})) AS i),
+n AS (SELECT doc_id, tord * {k} + i.i AS ord,
+             w || '~' ||
+             lpad(((md5_number_lower(w) >> (8 * i.i)) % 97)::VARCHAR,
+                  2, '0') AS neighbor
+      FROM t, i)
+SELECT doc_id, ord, neighbor FROM n ORDER BY doc_id, ord"""
 
 
 def _prefix_scored_limit_oracle_sql(prefix: str = "s", limit: int = 3) -> str:
@@ -2810,6 +2944,8 @@ ORDER BY doc_id
         # the partitioned route is bit-identical by design (fixed-point
         # int mass sums are order-free), so the oracle is the same SQL
         "domain_rank_part": _domain_rank_oracle_sql(),
+        "rank_filter": _rank_filter_oracle_sql(),
+        "nearest_neighbors": _nearest_neighbors_oracle_sql(),
         "prefix_scored_limit": _prefix_scored_limit_oracle_sql(),
         "highlight_snippets": _highlight_snippets_oracle_sql(),
         "anchor_search": _anchor_search_oracle_sql(),

@@ -89,11 +89,18 @@ class NearestNeighborsBatch:
     pseudo-neighbors derived from the token hash."""
 
     def __init__(self, text_column: str = "text", k: int = 2,
-                 model_path: str | None = None, analyzer: str = "ascii"):
+                 model_path: str | None = None, analyzer: str = "ascii",
+                 hash: str = "fnv"):
         from iresearch_ray.analysis import get_analyzer
 
+        # fake-path hash family, same contract as ClassifyBatch: 'fnv'
+        # (default) or 'md5' — md5 is reproducible in SQL as
+        # md5_number_lower, enabling an exact oracle for the fake
+        if hash not in ("fnv", "md5"):
+            raise ValueError(f"unknown hash family {hash!r}")
         self.text_column = text_column
         self.k = int(k)
+        self.hash = hash
         self.analyzer = get_analyzer(analyzer)
         self.model = None
         if model_path is not None:
@@ -106,21 +113,30 @@ class NearestNeighborsBatch:
                     "fasttext unavailable; omit model_path to use the "
                     "deterministic fake") from e
 
-    def _neighbors(self, token: str) -> list[str]:
-        if self.model is not None:
-            return [w for _, w in
-                    self.model.get_nearest_neighbors(token, k=self.k)]
-        h = _stable_hash(token)
+    def _fake_neighbors(self, token: str, h: int) -> list[str]:
         return [f"{token}~{(h >> (8 * i)) % 97:02d}" for i in range(self.k)]
 
     def __call__(self, b: pa.Table) -> pa.Table:
-        out = []
-        for text in b[self.text_column].to_pylist():
-            toks = self.analyzer.tokens(text or "")
-            flat: list[str] = []
-            for t in toks:
-                flat.extend(self._neighbors(t))
-            out.append(flat)
+        tok_lists = [self.analyzer.tokens(t or "")
+                     for t in b[self.text_column].to_pylist()]
+        if self.model is not None:
+            nb = {t: [w for _, w in
+                      self.model.get_nearest_neighbors(t, k=self.k)]
+                  for ts in tok_lists for t in ts}
+        else:
+            # hash each UNIQUE token once per batch (the md5 kernel is a
+            # batch call over the batch dictionary, not one per
+            # occurrence)
+            uniq = sorted({t for ts in tok_lists for t in ts})
+            if self.hash == "md5":
+                from iresearch_ray.analysis.minhash import md5_hash_strings
+
+                hs = md5_hash_strings(uniq)
+            else:
+                hs = [_stable_hash(t) for t in uniq]
+            nb = {t: self._fake_neighbors(t, int(h))
+                  for t, h in zip(uniq, hs)}
+        out = [[n for t in ts for n in nb[t]] for ts in tok_lists]
         return b.append_column(
             "neighbor_tokens", pa.array(out, type=pa.list_(pa.string())))
 
@@ -139,9 +155,10 @@ def classify(ds, text_column: str = "text", labels=("news", "sports", "tech",
 
 
 def nearest_neighbors(ds, text_column: str = "text", k: int = 2,
-                      concurrency: int | None = None, batch_size: int = 256):
+                      concurrency: int | None = None, batch_size: int = 256,
+                      hash: str = "fnv"):
     return ds.map_batches(
         NearestNeighborsBatch,
-        fn_constructor_kwargs=dict(text_column=text_column, k=k),
+        fn_constructor_kwargs=dict(text_column=text_column, k=k, hash=hash),
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=pool_size(concurrency))

@@ -102,7 +102,11 @@ def test_distinctive_queries_fit_driver_window():
                  # (limited_sample_collector), OFFS-posting snippets,
                  # and the partitioned PageRank route
                  "prefix_scored_limit", "highlight_snippets",
-                 "domain_rank_part", "anchor_search"]:
+                 "domain_rank_part", "anchor_search",
+                 # third round-5 batch: rank-aware curation through the
+                 # hash-partitioned membership route, nearest-neighbors
+                 # token expansion with the md5-reproducible fake
+                 "rank_filter", "nearest_neighbors"]:
         assert name in window, f"{name} outside the driver's 50-row window"
     # the tail must stay redundant-only: each is an r04-green row
     # (its own driver evidence) AND has an in-window twin
@@ -124,11 +128,11 @@ def test_distinctive_queries_fit_driver_window():
              "dedup_clusters": "dedup_corpus",
              "simhash_groups": "dedup_fingerprint",
              "doc_fingerprints": "dedup_fingerprint",
-             "contamination": "ngram_jaccard",
-             "more_like_this": "keyterms",
+             "contamination": "dedup_corpus",
+             "more_like_this": "term_topk",
              # demoted in round 5 for domain_stats_psl (registrable-
              # domain mode, new contract entry)
-             "embedding_neardup": "ngram_jaccard",
+             "embedding_neardup": "ann_cosine",
              # demoted in round 5 for not_search / terms_boost /
              # nested_search (each r04-green; conjunction scoring stays
              # in-window via multifield_and, positional phrase via
@@ -152,7 +156,13 @@ def test_distinctive_queries_fit_driver_window():
              "duplicated_spans": "duplicated_span_stats",
              # demoted for anchor_search (md5-oracle pure functions of
              # content stay in-window via dedup_fingerprint)
-             "hash_split": "dedup_fingerprint"}
+             "hash_split": "dedup_fingerprint",
+             # demoted in round 5 (third rotation) for rank_filter /
+             # nearest_neighbors: set-similarity pair mining stays
+             # in-window via dedup_corpus's minhash chain, df-ranked
+             # term scoring via term_dictionary
+             "ngram_jaccard": "dedup_corpus",
+             "keyterms": "term_dictionary"}
     import json
     import pathlib
     r04 = json.loads((pathlib.Path(__file__).parent.parent

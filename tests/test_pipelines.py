@@ -450,6 +450,45 @@ def test_classify_and_neighbors_plumbing(ray_session, docs):
     assert any(len(v) > 0 for v in nn["neighbor_tokens"])
 
 
+def test_nearest_neighbors_hash_modes(ray_session):
+    """The batched-unique-token refactor must preserve the fake's exact
+    per-token output in both hash families: fnv (the original per-token
+    _stable_hash format) and md5 (== md5_number_lower, the SQL-oracle
+    mode)."""
+    import hashlib
+
+    import ray
+
+    from iresearch_ray.pipelines.classify import (
+        NearestNeighborsBatch, _stable_hash, nearest_neighbors)
+
+    ds = ray.data.from_items([
+        {"doc_id": 1, "text": "Alpha beta ALPHA"},
+        {"doc_id": 2, "text": None},
+        {"doc_id": 3, "text": "42-beta"},
+    ])
+
+    def expect(tokens, hash_fn, k=2):
+        out = []
+        for t in tokens:
+            h = hash_fn(t)
+            out.extend(f"{t}~{(h >> (8 * i)) % 97:02d}" for i in range(k))
+        return out
+
+    def md5h(t):
+        return int.from_bytes(hashlib.md5(t.encode()).digest()[8:16],
+                              "little")
+
+    for mode, fn in (("fnv", _stable_hash), ("md5", md5h)):
+        nn = (nearest_neighbors(ds, k=2, hash=mode).to_pandas()
+              .set_index("doc_id")["neighbor_tokens"])
+        assert list(nn.loc[1]) == expect(["alpha", "beta", "alpha"], fn)
+        assert list(nn.loc[2]) == []
+        assert list(nn.loc[3]) == expect(["42", "beta"], fn)
+    with pytest.raises(ValueError):
+        NearestNeighborsBatch(hash="crc")
+
+
 def test_classify_model_path_raises_without_fasttext(ray_session):
     import pytest as _pytest
 
