@@ -172,6 +172,48 @@ def _offs_reader(sf_dir: str):
     return reader
 
 
+def _payload_reader(sf_dir: str):
+    """Index with the PAY posting feature (per-occurrence payload bytes,
+    reference .pay stream formats_10.cpp:345-353 + the payload token
+    attribute) over a derived payload-laced corpus: each doc is
+    ``shared|Ab<id%7> x<id%3> SHARED|cD<id%11>`` — the queried term
+    occurs twice (once needing a casefold, its payload mixed-case and
+    verbatim) with a payload-less token between them that must not
+    shift the payload stream."""
+    from iresearch_ray.index.build import build_index
+    from iresearch_ray.search import IndexReader
+
+    key = _slug(sf_dir) + "_pay"
+    if key in _READERS:
+        return _READERS[key]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cache = os.path.join(_CACHE_ROOT, _slug(sf_dir))
+    os.makedirs(cache, exist_ok=True)
+    path = os.path.join(cache, "payload_pages.parquet")
+    if not os.path.exists(path):
+        d = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id"]).sort_by("doc_id")
+        ids = d["doc_id"].to_numpy()
+        t = pa.table({
+            "url": pa.array([f"doc/{i}" for i in ids], pa.string()),
+            "text": pa.array(
+                [f"shared|Ab{i % 7} x{i % 3} SHARED|cD{i % 11}"
+                 for i in ids], pa.string())})
+        tmp = path + ".tmp"
+        pq.write_table(t, tmp, compression="zstd")
+        os.replace(tmp, path)
+    n = pq.ParquetFile(path).metadata.num_rows
+    index_dir = os.path.join(cache, "index_pay")
+    build_index(path, index_dir, analyzer="payload-delimiter",
+                target_docs=max(32, math.ceil(n / 4)),
+                index_features=("pos", "pay"))
+    reader = IndexReader(index_dir)
+    _READERS[key] = reader
+    return reader
+
+
 def _consolidated_reader(sf_dir: str):
     """Index built as ~8 small segments then tiered-consolidated
     (reference consolidation, index_writer::consolidate) — query results
@@ -1280,6 +1322,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               "neighbor": pd.Series(flat, dtype=str)})
                 .sort_values(["doc_id", "ord"]).reset_index(drop=True))
 
+    def payload_search_q(sf_dir):
+        """PAY posting feature through the driver: per-occurrence payload
+        bytes read straight off the postings of 'shared' (two occurrences
+        per doc; payloads are opaque bytes that round-trip VERBATIM —
+        mixed case survives while the term itself casefolds — and the
+        payload-less token between them must not shift the stream).
+        ``occ`` is the in-doc occurrence ordinal from the decoded
+        run offsets."""
+        reader = _payload_reader(sf_dir)
+        ids, occs, pays_out = [], [], []
+        for sv in reader.segments:
+            seg = sv.reader
+            i = seg.lookup("shared")
+            if i < 0:
+                continue
+            docs, freqs, pays, run_offs = seg.postings_payloads(i)
+            keys = seg.keys[docs - 1]
+            for j, k in enumerate(keys):
+                did = _doc_id(k)
+                lo, hi = int(run_offs[j]), int(run_offs[j + 1])
+                for o in range(lo, hi):
+                    ids.append(did)
+                    occs.append(o - lo)
+                    pays_out.append(pays[o].decode())
+        return (pd.DataFrame({"doc_id": pd.Series(ids, dtype=np.int64),
+                              "occ": pd.Series(occs, dtype=np.int64),
+                              "payload": pd.Series(pays_out, dtype=str)})
+                .sort_values(["doc_id", "occ"]).reset_index(drop=True))
+
     def highlight_snippets_q(sf_dir):
         """Tagged context snippets for every doc matching 'batch', spans
         read from the OFFS posting feature (indexed=True — no
@@ -1554,11 +1625,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # md5-reproducible fake (the classify_labels pattern)
         "rank_filter": rank_filter_q,
         "nearest_neighbors": nearest_neighbors_q,
+        # new in round 5: the PAY posting feature's first driver row
+        # (per-occurrence payload bytes, verbatim round-trip)
+        "payload_search": payload_search_q,
         # --- windows / dedup pipelines ---
-        "window_tumbling": window_tumbling,
         "domain_stats_psl": domain_stats_psl_q,   # PSL registrable mode
         "redact_pii": redact_pii_q,                # RE2-exact oracle
-        # --- tail: 23 r04-green rows (see CORRECTNESS_r04.json), each a
+        # --- tail: 24 r04-green rows (see CORRECTNESS_r04.json), each a
         # variant / stat view / composition input of an in-window twin;
         # safe to truncate at the driver's ~50-row window ---
         "term_postings": term_postings,            # ~ term_search
@@ -1602,9 +1675,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicated_spans": duplicated_spans_q,    # ~ duplicated_span_stats
         "hash_split": hash_split_q,                # ~ dedup_fingerprint
         # demoted in round 5 (third rotation) for rank_filter /
-        # nearest_neighbors (each r04-green with an in-window twin)
+        # nearest_neighbors / payload_search (each r04-green with an
+        # in-window twin)
         "ngram_jaccard": ngram_jaccard,            # ~ dedup_corpus
         "keyterms": keyterms_q,                    # ~ term_dictionary
+        "window_tumbling": window_tumbling,        # ~ window_hopping
     }
 
 
@@ -2946,6 +3021,16 @@ ORDER BY doc_id
         "domain_rank_part": _domain_rank_oracle_sql(),
         "rank_filter": _rank_filter_oracle_sql(),
         "nearest_neighbors": _nearest_neighbors_oracle_sql(),
+        # payload fixture rebuilt directly: occurrence 0 carries
+        # 'Ab'||id%7, occurrence 1 'cD'||id%11 (verbatim bytes; the
+        # engine decodes them off the PAY posting stream)
+        "payload_search": """
+SELECT doc_id, CAST(0 AS BIGINT) AS occ,
+       'Ab' || (doc_id % 7) AS payload FROM documents
+UNION ALL
+SELECT doc_id, CAST(1 AS BIGINT) AS occ,
+       'cD' || (doc_id % 11) AS payload FROM documents
+ORDER BY doc_id, occ""",
         "prefix_scored_limit": _prefix_scored_limit_oracle_sql(),
         "highlight_snippets": _highlight_snippets_oracle_sql(),
         "anchor_search": _anchor_search_oracle_sql(),

@@ -105,8 +105,9 @@ def test_distinctive_queries_fit_driver_window():
                  "domain_rank_part", "anchor_search",
                  # third round-5 batch: rank-aware curation through the
                  # hash-partitioned membership route, nearest-neighbors
-                 # token expansion with the md5-reproducible fake
-                 "rank_filter", "nearest_neighbors"]:
+                 # token expansion with the md5-reproducible fake, and
+                 # the PAY posting feature's first driver row
+                 "rank_filter", "nearest_neighbors", "payload_search"]:
         assert name in window, f"{name} outside the driver's 50-row window"
     # the tail must stay redundant-only: each is an r04-green row
     # (its own driver evidence) AND has an in-window twin
@@ -122,7 +123,7 @@ def test_distinctive_queries_fit_driver_window():
              "quality_stats": "quality_filter",
              "langid": "lang_distribution",
              "domain_stats": "cap_per_domain",
-             "window_sessions": "window_tumbling",
+             "window_sessions": "window_hopping",
              "dedup_exact": "dedup_fingerprint",
              "minhash_pairs": "dedup_corpus",
              "dedup_clusters": "dedup_corpus",
@@ -158,11 +159,13 @@ def test_distinctive_queries_fit_driver_window():
              # content stay in-window via dedup_fingerprint)
              "hash_split": "dedup_fingerprint",
              # demoted in round 5 (third rotation) for rank_filter /
-             # nearest_neighbors: set-similarity pair mining stays
-             # in-window via dedup_corpus's minhash chain, df-ranked
-             # term scoring via term_dictionary
+             # nearest_neighbors / payload_search: set-similarity pair
+             # mining stays in-window via dedup_corpus's minhash chain,
+             # df-ranked term scoring via term_dictionary, windowed
+             # aggregation via window_hopping
              "ngram_jaccard": "dedup_corpus",
-             "keyterms": "term_dictionary"}
+             "keyterms": "term_dictionary",
+             "window_tumbling": "window_hopping"}
     import json
     import pathlib
     r04 = json.loads((pathlib.Path(__file__).parent.parent
