@@ -1322,6 +1322,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               "neighbor": pd.Series(flat, dtype=str)})
                 .sort_values(["doc_id", "ord"]).reset_index(drop=True))
 
+    def proxy_search_q(sf_dir):
+        """proxy_filter (reference core/search/proxy_filter.hpp:36-41):
+        the per-segment result memo around an inner conjunction.  One
+        prepared query executes every segment TWICE — the second pass
+        must come off the proxy cache bit-identical (loud failure here
+        if the memo ever corrupts) — and the returned rows equal the
+        plain conjunction contract, which is what the SQL twin (the
+        bool_and spec) checks."""
+        from iresearch_ray.search import ProxyFilter
+
+        reader = _index_reader(sf_dir)
+        prep = ProxyFilter(AndFilter(
+            [TermFilter("batch"), TermFilter("stream")])).prepare(
+            reader, _scorer())
+        ids, scores = [], []
+        for seg in reader.segments:
+            d1, s1 = prep.execute(seg)
+            docs, sc = prep.execute(seg)  # served from the proxy memo
+            if not (np.array_equal(d1, docs) and np.array_equal(s1, sc)):
+                raise AssertionError(
+                    "proxy cache diverged from the first execution")
+            if seg.mask is not None and len(docs):
+                docs, sc = seg.apply_mask(docs, sc)
+            if len(docs):
+                keys = seg.reader.keys[docs - 1]
+                ids.append(np.array([_doc_id(k) for k in keys],
+                                    dtype=np.int64))
+                scores.append(sc)
+        if not ids:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "score": pd.Series([], dtype=np.float64)})
+        return (pd.DataFrame({
+            "doc_id": np.concatenate(ids),
+            "score": np.round(np.concatenate(scores).astype(np.float64), 4)})
+            .sort_values("doc_id").reset_index(drop=True))
+
     def payload_search_q(sf_dir):
         """PAY posting feature through the driver: per-occurrence payload
         bytes read straight off the postings of 'shared' (two occurrences
@@ -1617,7 +1653,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cap_per_domain": cap_per_domain_q,
         "extract_text": extract_text_q,
         "domain_links": domain_links_q,
-        "domain_rank": domain_rank_q,
         "domain_rank_part": domain_rank_part_q,    # forced partitioned path
         # new in round 5 (third batch, first driver rows this round):
         # rank-aware curation through the hash-partitioned membership
@@ -1626,8 +1661,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_filter": rank_filter_q,
         "nearest_neighbors": nearest_neighbors_q,
         # new in round 5: the PAY posting feature's first driver row
-        # (per-occurrence payload bytes, verbatim round-trip)
+        # (per-occurrence payload bytes, verbatim round-trip) and the
+        # proxy_filter result memo (second execution must be
+        # bit-identical off the cache)
         "payload_search": payload_search_q,
+        "proxy_search": proxy_search_q,
         # --- windows / dedup pipelines ---
         "domain_stats_psl": domain_stats_psl_q,   # PSL registrable mode
         "redact_pii": redact_pii_q,                # RE2-exact oracle
@@ -1675,11 +1713,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicated_spans": duplicated_spans_q,    # ~ duplicated_span_stats
         "hash_split": hash_split_q,                # ~ dedup_fingerprint
         # demoted in round 5 (third rotation) for rank_filter /
-        # nearest_neighbors / payload_search (each r04-green with an
-        # in-window twin)
+        # nearest_neighbors / payload_search / proxy_search (each
+        # r04-green with an in-window twin)
         "ngram_jaccard": ngram_jaccard,            # ~ dedup_corpus
         "keyterms": keyterms_q,                    # ~ term_dictionary
         "window_tumbling": window_tumbling,        # ~ window_hopping
+        # domain_rank's exact oracle chain stays doubly in-window:
+        # domain_rank_part runs the SAME SQL, rank_filter chains it
+        "domain_rank": domain_rank_q,              # ~ domain_rank_part
     }
 
 
@@ -2458,6 +2499,28 @@ def _redact_oracle_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     k, b = BM25_K, BM25_B
     profiles_sql = _sql_langid()
+    # shared by bool_and_search and proxy_search: the proxy is a result
+    # memo around the same conjunction, so its contract IS the
+    # conjunction's (the cache-hit bit-equality is asserted engine-side)
+    bool_and_sql = f"""
+{_TOK_CTE},
+stats AS (SELECT count(*)::DOUBLE AS n, sum(len(ts))::DOUBLE AS tot FROM tok),
+tf AS (SELECT doc_id, {_sql_tf('batch')} AS f1, {_sql_tf('stream')} AS f2,
+              len(ts) AS dl FROM tok),
+d1 AS (SELECT count(*)::DOUBLE AS df FROM tf WHERE f1 > 0),
+d2 AS (SELECT count(*)::DOUBLE AS df FROM tf WHERE f2 > 0),
+m AS (SELECT * FROM tf WHERE f1 > 0 AND f2 > 0)
+SELECT m.doc_id, round(
+   (({k}+1)*ln(1+(s.n-d1.df+0.5)/(d1.df+0.5)))
+   - (({k}+1)*ln(1+(s.n-d1.df+0.5)/(d1.df+0.5)))
+     * (({k}-{k}*{b}) + ({k}*{b}/(s.tot/s.n))*m.dl)
+     / ((({k}-{k}*{b}) + ({k}*{b}/(s.tot/s.n))*m.dl) + m.f1)
+ + (({k}+1)*ln(1+(s.n-d2.df+0.5)/(d2.df+0.5)))
+   - (({k}+1)*ln(1+(s.n-d2.df+0.5)/(d2.df+0.5)))
+     * (({k}-{k}*{b}) + ({k}*{b}/(s.tot/s.n))*m.dl)
+     / ((({k}-{k}*{b}) + ({k}*{b}/(s.tot/s.n))*m.dl) + m.f2), 4) AS score
+FROM m, d1, d2, stats s
+"""
     return {
         "term_postings": f"""
 {_TOK_CTE}
@@ -2482,25 +2545,8 @@ FROM m, d, stats s
         " ORDER BY score DESC, doc_id LIMIT 10",
         "term_topk_wand": _sql_bm25(_sql_tf("the"), "f > 0") +
         " ORDER BY score DESC, doc_id LIMIT 10",
-        "bool_and_search": f"""
-{_TOK_CTE},
-stats AS (SELECT count(*)::DOUBLE AS n, sum(len(ts))::DOUBLE AS tot FROM tok),
-tf AS (SELECT doc_id, {_sql_tf('batch')} AS f1, {_sql_tf('stream')} AS f2,
-              len(ts) AS dl FROM tok),
-d1 AS (SELECT count(*)::DOUBLE AS df FROM tf WHERE f1 > 0),
-d2 AS (SELECT count(*)::DOUBLE AS df FROM tf WHERE f2 > 0),
-m AS (SELECT * FROM tf WHERE f1 > 0 AND f2 > 0)
-SELECT m.doc_id, round(
-   (({k}+1)*ln(1+(s.n-d1.df+0.5)/(d1.df+0.5)))
-   - (({k}+1)*ln(1+(s.n-d1.df+0.5)/(d1.df+0.5)))
-     * (({k}-{k}*{b}) + ({k}*{b}/(s.tot/s.n))*m.dl)
-     / ((({k}-{k}*{b}) + ({k}*{b}/(s.tot/s.n))*m.dl) + m.f1)
- + (({k}+1)*ln(1+(s.n-d2.df+0.5)/(d2.df+0.5)))
-   - (({k}+1)*ln(1+(s.n-d2.df+0.5)/(d2.df+0.5)))
-     * (({k}-{k}*{b}) + ({k}*{b}/(s.tot/s.n))*m.dl)
-     / ((({k}-{k}*{b}) + ({k}*{b}/(s.tot/s.n))*m.dl) + m.f2), 4) AS score
-FROM m, d1, d2, stats s
-""",
+        "bool_and_search": bool_and_sql,
+        "proxy_search": bool_and_sql,
         "bool_or_minmatch": f"""
 {_TOK_CTE},
 tf AS (SELECT doc_id, {_sql_tf('spark')} AS f1, {_sql_tf('window')} AS f2,

@@ -106,8 +106,10 @@ def test_distinctive_queries_fit_driver_window():
                  # third round-5 batch: rank-aware curation through the
                  # hash-partitioned membership route, nearest-neighbors
                  # token expansion with the md5-reproducible fake, and
-                 # the PAY posting feature's first driver row
-                 "rank_filter", "nearest_neighbors", "payload_search"]:
+                 # the PAY posting feature's first driver row, and the
+                 # proxy_filter result memo
+                 "rank_filter", "nearest_neighbors", "payload_search",
+                 "proxy_search"]:
         assert name in window, f"{name} outside the driver's 50-row window"
     # the tail must stay redundant-only: each is an r04-green row
     # (its own driver evidence) AND has an in-window twin
@@ -165,7 +167,10 @@ def test_distinctive_queries_fit_driver_window():
              # aggregation via window_hopping
              "ngram_jaccard": "dedup_corpus",
              "keyterms": "term_dictionary",
-             "window_tumbling": "window_hopping"}
+             "window_tumbling": "window_hopping",
+             # domain_rank's exact oracle chain stays doubly in-window
+             # (domain_rank_part runs the SAME SQL; rank_filter chains it)
+             "domain_rank": "domain_rank_part"}
     import json
     import pathlib
     r04 = json.loads((pathlib.Path(__file__).parent.parent
