@@ -715,12 +715,32 @@ class SegmentReader:
     # hot terms every query; bound by TOTAL cached postings so head terms
     # can't blow the heap (the reference leans on the OS page cache +
     # per-reader format caches for the same effect)
-    # sized so a 1M-doc-corpus head term's postings AND its packed
-    # occurrence-key array both fit (≈240k occurrences/segment each);
-    # worst case ~16 MB/reader, and only readers actually serving head
-    # queries ever fill it
+    # _CACHE_MAX_POSTINGS is the element-count FLOOR, sized so a
+    # 1M-doc-corpus head term's postings AND its packed occurrence-key
+    # array both fit (≈240k occurrences/segment each; ~16 MB/reader);
+    # _cache_budget() scales it with segment size — see the 5M-doc
+    # HighPhrase finding in BASELINE.md
     _CACHE_MAX_POSTINGS = 2_000_000
     _MISSING = object()
+
+    def _cache_budget(self) -> int:
+        """Postings-LRU element budget: max(floor, 80 elements per doc in
+        the segment).  A head term's positional entry is ≈ (tf+3)·n_docs
+        elements (docs+freqs+positions+run_offsets) and its occurrence-key
+        array tf·n_docs more, so the fixed 2M floor stopped covering head
+        terms once segments passed ~30k docs — at a 5M-doc corpus (78k
+        docs/segment, head tf≈16) every warm phrase query re-decoded ~2M
+        position varints per term through the oversize bypass (measured:
+        HighPhrase 4.4 s at 5M vs the expected ~0.7 s linear growth).
+        80 el/doc keeps a two-head-term phrase working set resident and
+        caps a fully-hot reader at ~640 B/doc (50 MB at 78k docs); only
+        readers actually serving head queries ever fill it, and
+        distributed serving spreads segment groups across actors."""
+        b = getattr(self, "_cache_budget_v", None)
+        if b is None:
+            n = int(getattr(self, "num_docs", 0) or 0)
+            b = self._cache_budget_v = max(self._CACHE_MAX_POSTINGS, 80 * n)
+        return b
 
     def cached_entry(self, key, build, oversize_bypass: bool = False):
         """Get-or-build in the postings LRU: every query-hot derived
@@ -742,11 +762,12 @@ class SegmentReader:
             return hit
         out = build()
         n = _cache_entry_size(out)
-        if oversize_bypass and n > self._CACHE_MAX_POSTINGS // 4:
+        budget = self._cache_budget()
+        if oversize_bypass and n > budget // 4:
             return out
         cache[key] = out
         self._post_cache_size += n
-        while self._post_cache_size > self._CACHE_MAX_POSTINGS and cache:
+        while self._post_cache_size > budget and cache:
             _, old = cache.popitem(last=False)
             self._post_cache_size -= _cache_entry_size(old)
         return out
