@@ -392,11 +392,14 @@ def _scorer():
 
 
 def _all_matches(sf_dir: str, flt, with_counts: bool = False,
-                 reader=None) -> pd.DataFrame:
-    """Every match as (doc_id, score[, n_terms]) via per-segment execute."""
+                 reader=None, prep=None) -> pd.DataFrame:
+    """Every match as (doc_id, score[, n_terms]) via per-segment execute.
+    ``prep`` lets a caller pass an already-prepared query (proxy_search
+    re-executes a warmed ProxyFilter memo through this same assembly)."""
     if reader is None:
         reader = _index_reader(sf_dir)
-    prep = flt.prepare(reader, _scorer())
+    if prep is None:
+        prep = flt.prepare(reader, _scorer())
     ids, scores, counts = [], [], []
     for seg in reader.segments:
         if with_counts:
@@ -1336,27 +1339,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         prep = ProxyFilter(AndFilter(
             [TermFilter("batch"), TermFilter("stream")])).prepare(
             reader, _scorer())
-        ids, scores = [], []
         for seg in reader.segments:
-            d1, s1 = prep.execute(seg)
+            # SNAPSHOT the first pass: the memo returns the stored tuple
+            # object on a hit, so comparing it to itself would be
+            # vacuous — copies make the bit-equality check real (a
+            # wrong-key hit or in-place mutation now fails loudly)
+            d1, s1 = (a.copy() for a in prep.execute(seg))
             docs, sc = prep.execute(seg)  # served from the proxy memo
             if not (np.array_equal(d1, docs) and np.array_equal(s1, sc)):
                 raise AssertionError(
                     "proxy cache diverged from the first execution")
-            if seg.mask is not None and len(docs):
-                docs, sc = seg.apply_mask(docs, sc)
-            if len(docs):
-                keys = seg.reader.keys[docs - 1]
-                ids.append(np.array([_doc_id(k) for k in keys],
-                                    dtype=np.int64))
-                scores.append(sc)
-        if not ids:
-            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
-                                 "score": pd.Series([], dtype=np.float64)})
-        return (pd.DataFrame({
-            "doc_id": np.concatenate(ids),
-            "score": np.round(np.concatenate(scores).astype(np.float64), 4)})
-            .sort_values("doc_id").reset_index(drop=True))
+        # third pass per segment — all memo hits — through the shared
+        # result assembly so the proxy row can never drift from the
+        # plain conjunction rows' mask/round/sort handling
+        return _all_matches(sf_dir, None, reader=reader, prep=prep)
 
     def payload_search_q(sf_dir):
         """PAY posting feature through the driver: per-occurrence payload

@@ -35,9 +35,17 @@ def hash_split(ds, ratios=(0.98, 0.01, 0.01),
     SQL-reproducible bit-for-bit (the oracle mode; a per-row C md5 —
     ~1 us/id).  Both are deterministic, they just draw different
     (equally uniform) bucket assignments.
+
+    COMPAT: the default was ``'md5'`` before round 5.  The two families
+    draw DIFFERENT splits, so a corpus whose held-out assignment was
+    minted under the old default must pin ``hash='md5'`` explicitly —
+    re-running with the new default would move documents between splits
+    (the reshuffle this function exists to prevent).
     """
     from iresearch_ray.analysis.minhash import stable_hash_strings
 
+    if hash not in ("md5", "stable"):
+        raise ValueError(f"unknown hash family {hash!r}")
     if len(ratios) != len(names):
         raise ValueError("ratios and names must align")
     cum = np.cumsum(np.asarray(ratios, dtype=np.float64))
